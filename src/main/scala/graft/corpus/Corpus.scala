@@ -1,0 +1,75 @@
+package graft.corpus
+
+import graft.model._
+import graft.oracle.Oracle
+import org.apache.spark.sql.{SparkSession, Dataset, SaveMode}
+import java.nio.file.{Files, Paths}
+
+/** Materializes the synthetic corpus + oracle golden tables as Parquet
+  * snapshots under data/ (idempotent; keyed by scale-factor name).
+  * Generation is distributed (spark.range → per-doc pure generator) and
+  * deterministic — the per-doc seed makes partitioning irrelevant.
+  */
+object Corpus {
+
+  val Root = "/root/repo/data"
+
+  def corpusPath(sf: String): String = s"$Root/corpus/$sf"
+  def goldenSpansPath(sf: String): String = s"$Root/golden_spans/$sf"
+  def goldenMdPath(sf: String): String = s"$Root/golden_md/$sf"
+  def goldenTotalsPath(sf: String): String = s"$Root/golden_totals/$sf"
+
+  private def exists(path: String): Boolean =
+    Files.exists(Paths.get(path, "_SUCCESS"))
+
+  def generate(spark: SparkSession, spec: CorpusGen.Spec): Dataset[Doc] = {
+    import spark.implicits._
+    spark.range(0, spec.docs.toLong, 1,
+        math.min(spec.docs, spark.sparkContext.defaultParallelism * 2))
+      .map(i => CorpusGen.genDoc(i, spec))
+  }
+
+  /** Ensure the input corpus parquet exists; returns its path. */
+  def ensure(spark: SparkSession, sf: String): String = synchronized {
+    val path = corpusPath(sf)
+    if (!exists(path)) {
+      generate(spark, CorpusGen.specFor(sf))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    path
+  }
+
+  /** Ensure the oracle-generated golden tables exist (exploded spans,
+    * per-doc markdown, global metric totals); returns the spans path.
+    */
+  def ensureGolden(spark: SparkSession, sf: String): String = synchronized {
+    val spansPath = goldenSpansPath(sf)
+    if (!exists(spansPath) || !exists(goldenMdPath(sf)) || !exists(goldenTotalsPath(sf))) {
+      import spark.implicits._
+      val spec = CorpusGen.specFor(sf)
+      val golden = spark.range(0, spec.docs.toLong, 1,
+          math.min(spec.docs, spark.sparkContext.defaultParallelism * 2))
+        .map(i => Oracle.golden(CorpusGen.genDoc(i, spec)))
+        .persist()
+      golden.flatMap(e => e.spans.map(s => (e.doc_id, s.kind, s.text, s.media_ref, s.order)))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+        .write.mode(SaveMode.Overwrite).parquet(spansPath)
+      golden.map(e => (e.doc_id, e.markdown)).toDF("doc_id", "markdown")
+        .write.mode(SaveMode.Overwrite).parquet(goldenMdPath(sf))
+      golden.map(e => (1L, e.spans.size.toLong,
+          e.spans.count(_.kind == Kind.Error).toLong))
+        .toDF("docs", "spans", "failures")
+        .groupBy().sum("docs", "spans", "failures")
+        .toDF("total_docs", "total_spans", "total_failures")
+        .write.mode(SaveMode.Overwrite).parquet(goldenTotalsPath(sf))
+      golden.unpersist()
+    }
+    spansPath
+  }
+
+  /** Scale-factor name from a test-data dir like `/root/testdata/sf0.01`. */
+  def sfName(sfDir: String): String = {
+    val base = Paths.get(sfDir).getFileName.toString
+    if (base.startsWith("sf")) base else "sf0.01"
+  }
+}

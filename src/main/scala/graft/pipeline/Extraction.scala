@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import graft.model._
+import graft.parse.{PageParser, DocParser}
+import org.apache.spark.sql.{SparkSession, DataFrame, Dataset, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.TaskContext
+
+/** One parsed page row flowing between the parse and assembly stages. */
+final case class PageRes(
+    doc_id: String,
+    page_no: Int,
+    spans: Seq[OutSpan],   // order = WITHIN-page index
+    md: String,
+    failed: Boolean,
+    part_id: Int,
+    wall_ms: Long)
+
+/** The distributed extraction pipeline (SURVEY.md §3.1 Spark restatement):
+  *
+  *   read snapshot → repartitionByRange(doc_id) → flatMap to pages →
+  *   repartitionByRange(doc_id, page_no)   (mega-doc pages fan out — the
+  *   reference's own Electron client chunks 5000-page docs the same way,
+  *   parallelProcessor.js:131–260) →
+  *   mapPartitions(parse)                  (pooled parser: the regex tables in
+  *   graft.parse.Typo are compiled once per JVM, the analog of the reference's
+  *   per-worker singleton model init, tasks.py:59–87) →
+  *   salted two-phase assembly             (partial sort_array/collect_list per
+  *   (doc_id, salt) bucket, then a tiny final concat per doc — SURVEY §2.3) →
+  *   output (doc_id, spans, markdown).
+  *
+  * Everything after the parse stage is Catalyst built-ins (collect_list,
+  * sort_array, flatten, transform), so map-side partial aggregation, AQE
+  * coalescing and whole-stage codegen all apply.
+  */
+object Extraction {
+
+  /** Pages per salt bucket for the two-phase skewed-doc assembly. With
+    * 5000-page mega-docs this bounds any single partial group to 64 pages.
+    */
+  val PagesPerSaltBucket = 64
+
+  def readInput(spark: SparkSession, path: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(path).select("doc_id", "spans").as[Doc]
+  }
+
+  /** Stage 1+2: fan docs out into parsed pages. */
+  def parsePages(docs: Dataset[Doc], numPartitions: Int): Dataset[PageRes] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // fan out pages, then range-repartition on (doc_id, page_no): mega-docs
+    // split across partitions while keeping ranges contiguous for assembly
+    val tasks = docs.flatMap { d =>
+      DocParser.splitPages(d.spans).map { case (n, s) => (d.doc_id, n, s) }
+    }.toDF("doc_id", "page_no", "page_spans")
+      .repartitionByRange(numPartitions, col("doc_id"), col("page_no"))
+      .as[(String, Int, Seq[InSpan])]
+
+    tasks.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      it.map { case (docId, pageNo, pageSpans) =>
+        val t0 = System.nanoTime()
+        val r = PageParser.parse(pageNo, pageSpans)
+        val ms = (System.nanoTime() - t0) / 1000000
+        PageRes(docId, r.pageNo, r.spans, r.markdown, r.parseFailed, pid, ms)
+      }
+    }
+  }
+
+  /** Stage 3: salted two-phase page→document assembly (SPEC.md §7–8). */
+  def assemble(parsed: Dataset[PageRes], salted: Boolean = true): DataFrame = {
+    val pageStruct = struct(col("page_no"), col("spans"), col("md"))
+
+    val perDoc =
+      if (salted) {
+        // phase 1: partial per (doc_id, salt) — bounded group size, map-side combine
+        val partial = parsed.toDF()
+          .withColumn("salt", (col("page_no") / lit(PagesPerSaltBucket)).cast("int"))
+          .groupBy(col("doc_id"), col("salt"))
+          .agg(sort_array(collect_list(pageStruct)).as("bucket"))
+        // phase 2: tiny final concat of ordered buckets per doc
+        partial
+          .groupBy(col("doc_id"))
+          .agg(flatten(transform(
+            sort_array(collect_list(struct(col("salt"), col("bucket")))),
+            b => b.getField("bucket"))).as("pages"))
+      } else {
+        parsed.toDF()
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(pageStruct)).as("pages"))
+      }
+
+    perDoc.select(
+      col("doc_id"),
+      transform(
+        flatten(transform(col("pages"), p => p.getField("spans"))),
+        (s, i) => struct(
+          s.getField("kind").as("kind"),
+          s.getField("text").as("text"),
+          s.getField("media_ref").as("media_ref"),
+          i.cast("int").as("order"))).as("spans"),
+      array_join(
+        transform(col("pages"), p =>
+          concat(lit("## 페이지 "), p.getField("page_no").cast("string"),
+            lit("\n\n"), p.getField("md"))),
+        "\n\n---\n\n").as("markdown"))
+  }
+
+  /** Full pipeline: input path → extracted (doc_id, spans, markdown). */
+  def run(spark: SparkSession, inputPath: String,
+          numPartitions: Int = 0, salted: Boolean = true): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism * 2
+    assemble(parsePages(readInput(spark, inputPath), n), salted)
+  }
+
+  /** Per-partition lineage + extraction metrics (FIXTURES.md §3) from a parsed
+    * page dataset. At sandbox scale we aggregate the (persisted) parse output;
+    * on a real cluster the same rows would ride the job via accumulators or
+    * `observe()` so nothing is recomputed.
+    */
+  def metrics(parsed: Dataset[PageRes], runId: String, snapshotId: String): DataFrame = {
+    parsed.toDF()
+      .groupBy(col("part_id").as("partition_id"))
+      .agg(
+        min(col("doc_id")).as("doc_lo"),
+        max(col("doc_id")).as("doc_hi"),
+        count(lit(1)).as("pages_parsed"),
+        sum(size(col("spans"))).as("spans_emitted"),
+        sum(when(col("failed"), 1L).otherwise(0L)).as("parse_failures"),
+        sum(col("wall_ms")).as("wall_ms"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("snapshot_id", lit(snapshotId))
+      .select("run_id", "snapshot_id", "partition_id", "doc_lo", "doc_hi",
+        "pages_parsed", "spans_emitted", "parse_failures", "wall_ms")
+  }
+
+  /** Exploded per-span view (the comparator/driver-facing shape). */
+  def explodeSpans(extracted: DataFrame): DataFrame = {
+    extracted
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"),
+        col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.order").as("ord"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{SparkSession, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot layer over Parquet (SURVEY.md §7.1: no Iceberg
+  * runtime jar ships in this sandbox, so snapshots + atomic commit + committed-
+  * only scans + resume are provided by this thin stand-in; swapping in
+  * `iceberg-spark-runtime` is a config change, not a redesign).
+  *
+  * Layout:
+  *   <root>/snap-<id>/data/      parquet output (doc_id, spans, markdown)
+  *   <root>/snap-<id>/metrics/   parquet metrics (per-partition lineage)
+  *   <root>/snap-<id>/manifest.json   commit marker, written ATOMICALLY last
+  *
+  * A snapshot without a manifest is uncommitted garbage and is never read —
+  * that is the exactly-once story: a killed run leaves no visible output, a
+  * resumed run skips doc_ids of committed snapshots via a left-anti join
+  * (the Spark analog of Redis-result idempotency, tasks.py:37–54).
+  */
+object TableIO {
+
+  final case class Snapshot(id: String, dir: Path, parent: Option[String])
+
+  private def manifestPath(dir: Path): Path = dir.resolve("manifest.json")
+
+  def committedSnapshots(root: String): Seq[Snapshot] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) return Nil
+    Files.list(r).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("snap-") && Files.exists(manifestPath(p)))
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val json = new String(Files.readAllBytes(manifestPath(p)), "UTF-8")
+        val parent = """"parent"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+        Snapshot(p.getFileName.toString.stripPrefix("snap-"), p, parent)
+      }
+  }
+
+  /** Union of all committed snapshots' data — the "table scan". */
+  def readCommitted(spark: SparkSession, root: String): Option[DataFrame] = {
+    val dirs = committedSnapshots(root).map(_.dir.resolve("data").toString)
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Run the extraction over `inputPath`, skipping docs already committed
+    * under `outRoot`, and commit a new snapshot atomically. Returns the
+    * snapshot id, or None if nothing was left to process.
+    */
+  def runAndCommit(spark: SparkSession, inputPath: String, outRoot: String,
+                   runId: String, numPartitions: Int = 0): Option[String] = {
+    val docs = Extraction.readInput(spark, inputPath)
+    val remaining = readCommitted(spark, outRoot) match {
+      case Some(done) =>
+        docs.join(done.select("doc_id"), Seq("doc_id"), "left_anti")
+          .as[graft.model.Doc](org.apache.spark.sql.Encoders.product[graft.model.Doc])
+      case None => docs
+    }
+    if (remaining.isEmpty) return None
+
+    val snaps = committedSnapshots(outRoot)
+    val snapshotId = f"${snaps.length}%06d-$runId"
+    val dir = Paths.get(outRoot, s"snap-$snapshotId")
+    Files.createDirectories(dir)
+
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism * 2
+    val parsed = Extraction.parsePages(remaining, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      Extraction.assemble(parsed)
+        .write.mode(SaveMode.Overwrite).parquet(dir.resolve("data").toString)
+      Extraction.metrics(parsed, runId, snapshotId)
+        .write.mode(SaveMode.Overwrite).parquet(dir.resolve("metrics").toString)
+    } finally parsed.unpersist()
+
+    // atomic commit: manifest written via temp file + move
+    val parent = snaps.lastOption.map(s => s""""parent": "${s.id}", """).getOrElse("")
+    val json = s"""{"snapshot_id": "$snapshotId", $parent"run_id": "$runId"}"""
+    val tmp = dir.resolve("manifest.json.tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE)
+    Some(snapshotId)
+  }
+
+  /** All committed metrics rows. */
+  def readMetrics(spark: SparkSession, root: String): Option[DataFrame] = {
+    val dirs = committedSnapshots(root).map(_.dir.resolve("metrics").toString)
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+}
