@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.model._
+import graft.corpus.CorpusGen
+import graft.oracle.Oracle
+import graft.pipeline.{Extraction, TableIO}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Checkpoint/resume + metrics (north rule: resumable from snapshot
+  * checkpoints with per-partition lineage; exactly-once per doc_id).
+  */
+class ResumeSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  private val spec = CorpusGen.Spec(docs = 60, megaPages = 32)
+
+  private def writeInput(dir: String, docs: Seq[Doc]): Unit =
+    spark.createDataset(docs).write.mode(SaveMode.Overwrite).parquet(dir)
+
+  test("kill/resume: second run processes only the remainder; union equals golden") {
+    val tmp = Files.createTempDirectory("graft-resume").toString
+    val all = CorpusGen.genAll(spec).toSeq
+    val (first, rest) = all.splitAt(25)
+
+    // run 1 sees only a prefix of the input (simulates a kill after a
+    // committed snapshot: committed work is visible, the rest never ran)
+    writeInput(s"$tmp/input1", first)
+    val s1 = TableIO.runAndCommit(spark, s"$tmp/input1", s"$tmp/out", "run1", 4)
+    s1.isDefined shouldBe true
+
+    // run 2 sees the FULL input and must skip the committed doc_ids
+    writeInput(s"$tmp/input", all)
+    val s2 = TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "run2", 4)
+    s2.isDefined shouldBe true
+
+    // snapshot 2's data contains exactly the remainder
+    val snap2 = spark.read.parquet(s"$tmp/out/snap-${s2.get}/data")
+    snap2.select("doc_id").as[String].collect().sorted shouldBe
+      rest.map(_.doc_id).sorted.toArray
+
+    // committed union: every doc exactly once, equal to golden
+    val committed = TableIO.readCommitted(spark, s"$tmp/out").get
+    committed.groupBy("doc_id").count().filter($"count" > 1).count() shouldBe 0
+    val got = committed.select($"doc_id", $"spans").as[(String, Seq[OutSpan])]
+      .collect().toMap
+    val golden = all.map(d => d.doc_id -> Oracle.golden(d).spans).toMap
+    got.keySet shouldBe golden.keySet
+    for ((id, g) <- golden) withClue(s"doc $id: ") { got(id) shouldBe g }
+
+    // a third run over the same input is a no-op (idempotent)
+    TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "run3", 4) shouldBe None
+  }
+
+  test("uncommitted snapshot (no manifest) is invisible to readers") {
+    val tmp = Files.createTempDirectory("graft-uncommitted").toString
+    val all = CorpusGen.genAll(CorpusGen.Spec(5, 4)).toSeq
+    writeInput(s"$tmp/input", all)
+    // fake a crashed run: data written, manifest missing
+    val dir = java.nio.file.Paths.get(tmp, "out", "snap-zz-crashed", "data")
+    Files.createDirectories(dir)
+    spark.createDataset(all).write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    TableIO.readCommitted(spark, s"$tmp/out") shouldBe None
+    // resume ignores it and processes everything
+    val s = TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "r", 2)
+    s.isDefined shouldBe true
+    TableIO.readCommitted(spark, s"$tmp/out").get.count() shouldBe 5
+  }
+
+  test("metrics: per-partition lineage rows with correct totals") {
+    val tmp = Files.createTempDirectory("graft-metrics").toString
+    val all = CorpusGen.genAll(spec).toSeq
+    writeInput(s"$tmp/input", all)
+    TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "mrun", 4)
+    val m = TableIO.readMetrics(spark, s"$tmp/out").get
+    m.columns shouldBe Array("run_id", "snapshot_id", "partition_id", "doc_lo",
+      "doc_hi", "pages_parsed", "spans_emitted", "parse_failures", "wall_ms")
+
+    val totalPages = all.map(d => graft.parse.DocParser.splitPages(d.spans).size.toLong).sum
+    m.agg(sum($"pages_parsed")).as[Long].head() shouldBe totalPages
+    m.agg(sum($"parse_failures")).as[Long].head() shouldBe Oracle.expectedFailures(spec)
+    val goldenSpans = all.map(d => Oracle.golden(d).spans.size.toLong).sum
+    m.agg(sum($"spans_emitted")).as[Long].head() shouldBe goldenSpans
+    // lineage ranges are real doc ids
+    m.select("doc_lo").as[String].collect().foreach(_ should startWith("doc-"))
+  }
+}
