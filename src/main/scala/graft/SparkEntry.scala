@@ -1,13 +1,182 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.pipeline.Extraction
+import graft.ops.{TextOps, Dedup, Similarity, Multimodal}
+
+/** Driver contract — see SURVEY.md §7 + SPEC.md.
+  *
+  * Two query families:
+  *  - `x_*`: the extraction engine (north rule) over the self-synthesized
+  *    interleaved text+media corpus (FIXTURES.md shape). Their DuckDB oracles
+  *    read the ORACLE-generated golden parquet via read_parquet(), so the
+  *    driver independently re-checks pipeline == sequential oracle.
+  *  - `q_*`: training-data pipeline operators (dedup / similarity / text
+  *    analysis) over the driver-provided tables, with ANSI-SQL oracles where
+  *    exactly expressible (integer-exact outputs only); LSH/minhash/ANN ops
+  *    are non-SQL-expressible → rows-only checks + ScalaTest self-checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def docsTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Extraction over the synthesized corpus at the scale matching sfDir. */
+  private def extracted(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = Corpus.sfName(sfDir)
+    val path = Corpus.ensure(spark, sf)
+    Corpus.ensureGolden(spark, sf) // materialize oracle outputs for the driver's oracle SQL
+    Extraction.run(spark, path)
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Extraction.explodeSpans(
+      Extraction.run(spark, Corpus.ensure(spark, "sf0.001")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction engine (north rule) --------------------------------
+    "x_extract_spans" -> ((s, dir) =>
+      Extraction.explodeSpans(extracted(s, dir))),
+    "x_extract_markdown" -> ((s, dir) =>
+      extracted(s, dir).select(col("doc_id"), col("markdown"))),
+    "x_extract_totals" -> ((s, dir) =>
+      extracted(s, dir).agg(
+        count(lit(1)).cast("long").as("total_docs"),
+        sum(size(col("spans"))).cast("long").as("total_spans"),
+        sum(size(filter(col("spans"), x => x.getField("kind") === "error")))
+          .cast("long").as("total_failures"))),
+    "x_extract_metrics" -> ((s, dir) => {
+      val sf = Corpus.sfName(dir)
+      val parsed = Extraction.parsePages(
+        Extraction.readInput(s, Corpus.ensure(s, sf)),
+        s.sparkContext.defaultParallelism * 2)
+      Extraction.metrics(parsed, "verify", "verify")
+    }),
+
+    // ---- text analysis over the documents table ------------------------
+    "q_doc_exact_dedup" -> ((s, dir) => Dedup.exact(docsTable(s, dir))
+      .select(col("content_md5"), col("n_docs").cast("long").as("n_docs"),
+        col("keep_id").cast("long").as("keep_id"))),
+    "q_doc_token_stats" -> ((s, dir) => {
+      val t = TextOps.tokenStats(docsTable(s, dir))
+      t.select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_nonspace").cast("long").as("n_nonspace"))
+    }),
+    "q_doc_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))
+      .select(col("doc_id").cast("long").as("doc_id"), col("pred_lang"))),
+    "q_doc_quality" -> ((s, dir) => TextOps.quality(docsTable(s, dir))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_punct").cast("long").as("n_punct"),
+        col("n_digit").cast("long").as("n_digit"),
+        col("n_stopword").cast("long").as("n_stopword"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("punct_pm"), col("stopword_pm"))),
+    "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsTable(s, dir))
+      .select(col("doc_id").cast("long").as("doc_id"), col("md5_hex"))),
+
+    // ---- dedup / similarity (non-SQL-expressible → rows-only gate) -----
+    "q_ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsTable(s, dir), n = 3, minJaccardPm = 200)),
+    "q_minhash_near_dup" -> ((s, dir) =>
+      Dedup.minHashNearDup(docsTable(s, dir), n = 3, minJaccardPm = 200)),
+    "q_simhash_near_dup" -> ((s, dir) =>
+      Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)),
+    "q_ann_brute_topk" -> ((s, dir) =>
+      Similarity.bruteTopK(embTable(s, dir), nQueries = 20, k = 5)),
+    "q_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(embTable(s, dir), nQueries = 20, k = 5)),
+    // near-dups are PLANTED (perturbed copies of the first 20 vectors):
+    // the driver corpus has no true embedding near-duplicates, so recall is
+    // measured against a known ground truth instead of an empty set
+    "q_emb_near_dup" -> ((s, dir) => {
+      val embs = embTable(s, dir)
+      Similarity.cosineNearDup(
+        embs.select(col("vec_id").cast("long"), col("embedding"))
+          .unionByName(Similarity.perturbed(embs, n = 20)),
+        minCosinePm = 990)
+    }),
+    "q_media_features" -> ((s, dir) => {
+      val sf = Corpus.sfName(dir)
+      Multimodal.extractFeatures(
+        Multimodal.fromCorpus(s, Corpus.ensure(s, sf))).toDF()
+        .select(col("doc_id"), col("media_ref"), col("n_bytes"), col("content_h64"))
+    }),
+
+    // ---- classic relational ops over driver tables ---------------------
+    "q_events_gap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // exact epoch MICROSECONDS on both sides (seconds would round
+      // differently between engines on fractional timestamps)
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us")) // parquet NTZ → UTC instant
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      e.withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("gap_us").cast("long").as("gap_us"))
+    }),
+    "q_lineitem_pricing" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+            .cast("long").as("revenue_cents"),
+          count(lit(1)).cast("long").as("n_rows"))))
+
+  /** DuckDB-runnable oracles. Column names/types match the Spark outputs
+    * exactly (integer-exact expressions only; see query-family note above).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "x_extract_spans" ->
+      "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
+    "x_extract_markdown" ->
+      "SELECT doc_id, markdown FROM read_parquet('/root/repo/data/golden_md/sf0.01/*.parquet')",
+    "x_extract_totals" ->
+      "SELECT total_docs, total_spans, total_failures FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
+    "q_doc_exact_dedup" ->
+      "SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY md5(text)",
+    "q_doc_token_stats" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+        "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace FROM documents"),
+    "q_doc_langid" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE " +
+        "WHEN regexp_matches(text, '[가-힣]') THEN 'ko' " +
+        "WHEN regexp_matches(text, '[ぁ-んァ-ン]') THEN 'ja' " +
+        "WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' " +
+        "WHEN regexp_matches(text, '[а-яА-Я]') THEN 'ru' " +
+        "WHEN regexp_matches(text, '(?i)(^| )(der|die|das|und|nicht) ') THEN 'de' " +
+        "WHEN regexp_matches(text, '(?i)(^| )(le|la|les|une|est) ') THEN 'fr' " +
+        "WHEN regexp_matches(text, '(?i)(^| )(el|los|las|una|es) ') THEN 'es' " +
+        "ELSE 'en' END AS pred_lang FROM documents"),
+    "q_doc_quality" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
+        "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopword, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+        "CAST(floor(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1000 / greatest(length(text), 1)) AS BIGINT) AS punct_pm, " +
+        "CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','in','is'))) * 1000 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)) AS BIGINT) AS stopword_pm " +
+        "FROM documents"),
+    "q_doc_fingerprint" ->
+      "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_hex FROM documents",
+    "q_events_gap" ->
+      ("SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, " +
+        "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS gap_us FROM events"),
+    "q_lineitem_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty, " +
+        "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents, " +
+        "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"))
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import scala.util.hashing.MurmurHash3
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, batch feature extraction inside `mapPartitions`.
+  *
+  * The DECODE step is a clearly-marked deterministic STUB (no image/audio
+  * codecs ship in this container); everything Spark-side — schema, binary
+  * encoding, partition-sized batching, pooled-decoder lifecycle, feature
+  * shape — is real and tested. The pooled-decoder pattern mirrors the
+  * reference's per-worker model pooling (tasks.py:59–87).
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      doc_id: String, media_ref: String, media_type: String,
+      content: Array[Byte], width: Int, height: Int)
+
+  final case class MediaFeatures(
+      doc_id: String, media_ref: String, n_bytes: Int,
+      content_h64: Long, embedding: Array[Float])
+
+  val BatchSize = 32
+  val EmbeddingDim = 16
+
+  /** Deterministic synthetic payload for a media_ref (stands in for real
+    * bytes; seeded so any subset regenerates identically).
+    */
+  def syntheticContent(mediaRef: String): Array[Byte] = {
+    val seed = MurmurHash3.stringHash(mediaRef)
+    val rng = new scala.util.Random(seed)
+    val n = 256 + rng.nextInt(768)
+    val bytes = new Array[Byte](n)
+    rng.nextBytes(bytes)
+    bytes
+  }
+
+  /** Materialize media records for every media-bearing span of the corpus. */
+  def fromCorpus(spark: SparkSession, corpusPath: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(corpusPath)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.media_ref") =!= "")
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"))
+      .as[(String, String)]
+      .map { case (doc, ref) =>
+        val mt = if (ref.endsWith(".png")) "image/png" else "image/jpeg"
+        MediaRecord(doc, ref, mt, syntheticContent(ref), 640, 480)
+      }
+  }
+
+  /** A "decoder" held per partition (pooled, like the reference's per-worker
+    * models). decode() is the STUB boundary: a real build would hand `bytes`
+    * to an actual codec here; we derive a deterministic fake feature vector.
+    */
+  final class StubDecoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      // STUB: deterministic pseudo-features from content bytes — replace with
+      // a real image/audio decode when codecs are available.
+      val h = MurmurHash3.bytesHash(bytes)
+      val rng = new scala.util.Random(h)
+      Array.fill(EmbeddingDim)(rng.nextFloat())
+    }
+  }
+
+  /** Batched feature extraction: partition-local decoder, fixed-size batches
+    * (the mapInPandas batch-shape analog for a JVM-only build).
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder // pooled once per partition
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val emb = decoder.decode(m.content)
+          val h64 = (MurmurHash3.bytesHash(m.content).toLong << 32) |
+            (m.content.length.toLong & 0xffffffffL)
+          MediaFeatures(m.doc_id, m.media_ref, m.content.length, h64, emb)
+        }
+      }
+    }
+  }
+}
