@@ -1,5 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.pipeline.Extraction
+
+/** Driver-contract benchmark: runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS], prints ONE JSON line.
+  * The headline extraction throughput (docs/sec, spans/sec end-to-end) is
+  * measured separately from the per-query loop; corpus parquet
+  * materialization is excluded from timing (it stands in for the
+  * pre-existing input table, like /root/testdata for the q_* queries).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +19,70 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val sf = Corpus.sfName(sfDir)
+    val corpusPath = Corpus.ensure(spark, sf) // excluded from timing
+
+    // headline: end-to-end extraction throughput
+    val t0 = System.nanoTime()
+    val row = Extraction.run(spark, corpusPath)
+      .agg(count(lit(1)), sum(size(col("spans")))).head()
+    val (docs, spans) = (row.getLong(0), row.getLong(1))
+    val extractSec = (System.nanoTime() - t0) / 1e9
+
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val t = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - t) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum + extractSec
+    val dps = docs / extractSec
+    val sps = spans / extractSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""extraction":{"docs":$docs,"spans":$spans,"secs":$extractSec,""" +
+      s""""docs_per_sec":$dps,"spans_per_sec":$sps},"cpus":$cpus}""")
+    spark.stop()
+  }
+}
+
+/** Extraction-only benchmark for the two-parallelism scaling evidence
+  * (BASELINE.md: throughput at local[N] vs local[4N] on the SAME input).
+  * Usage: runMain graft.ExtractBench <corpusPath> [repeats]
+  */
+object ExtractBench {
+  def main(args: Array[String]): Unit = {
+    val corpusPath = args.headOption.getOrElse(Corpus.corpusPath("sf0.1"))
+    val repeats = if (args.length > 1) args(1).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // materialize the input table if absent (generation excluded from timing)
+    Corpus.ensure(spark, Corpus.sfName(corpusPath))
+
+    for (r <- 1 to repeats) {
+      val t0 = System.nanoTime()
+      val row = Extraction.run(spark, corpusPath)
+        .agg(count(lit(1)), sum(size(col("spans")))).head()
+      val (docs, spans) = (row.getLong(0), row.getLong(1))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"bench":"extract","cpus":$cpus%s,"run":$r,"docs":$docs,"spans":$spans,"secs":$sec%.3f,"docs_per_sec":${docs / sec}%.2f,"spans_per_sec":${spans / sec}%.1f}""")
+    }
     spark.stop()
   }
 }

@@ -30,7 +30,9 @@ object SparkEntry {
   private def extracted(spark: SparkSession, sfDir: String): DataFrame = {
     val sf = Corpus.sfName(sfDir)
     val path = Corpus.ensure(spark, sf)
-    Corpus.ensureGolden(spark, sf) // materialize oracle outputs for the driver's oracle SQL
+    // materialize oracle outputs for the driver's oracle SQL at the
+    // correctness-gate scales; bench scale skips the sequential oracle
+    if (sf != "sf0.1") Corpus.ensureGolden(spark, sf)
     Extraction.run(spark, path)
   }
 

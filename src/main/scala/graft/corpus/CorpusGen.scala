@@ -27,7 +27,9 @@ object CorpusGen {
     case "sf0.1"   => Spec(10000, 5000)
     case other =>
       val sf = other.stripPrefix("sf").toDouble
-      Spec(math.max(1, (100000 * sf).toInt), math.max(8, (50000 * sf).toInt))
+      // mega-doc capped at the reference's "5,000+ pages" case (README.md:7)
+      Spec(math.max(1, (100000 * sf).toInt),
+        math.min(5000, math.max(8, (50000 * sf).toInt)))
   }
 
   def docId(i: Long): String = f"doc-$i%09d"

@@ -133,14 +133,15 @@ object Similarity {
   /** Deterministically perturbed copies of the first `n` vectors (planted
     * near-duplicates for recall measurement; ids offset by 1,000,000).
     */
-  def perturbed(embs: DataFrame, n: Int, seed: Long = 7, noise: Float = 0.002f): DataFrame = {
+  def perturbed(embs: DataFrame, n: Int, seed: Long = 7, noise: Float = 0.002f,
+                idOffset: Long = 1000000L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     embs.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
       .where(col("vec_id") < n)
       .map { case (id, v) =>
         val rng = new Random(seed + id)
-        (id + 1000000L, v.map(x => x + (rng.nextFloat() - 0.5f) * 2 * noise))
+        (id + idOffset, v.map(x => x + (rng.nextFloat() - 0.5f) * 2 * noise))
       }
       .toDF("vec_id", "embedding")
   }

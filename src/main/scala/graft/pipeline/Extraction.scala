@@ -45,16 +45,33 @@ object Extraction {
     spark.read.parquet(path).select("doc_id", "spans").as[Doc]
   }
 
-  /** Stage 1+2: fan docs out into parsed pages. */
+  /** North-rule input clustering: explicit repartitionByRange on doc_id for
+    * inputs that are not already doc_id-clustered (an Iceberg table sorted on
+    * doc_id would make this a no-op; our corpus writes are generated
+    * doc_id-contiguous, so the pipeline leaves this off by default — the range
+    * exchange costs a sampling pass over the scan, which is only worth paying
+    * for genuinely unclustered input).
+    */
+  def clusterByDocId(docs: Dataset[Doc], numPartitions: Int): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs.repartitionByRange(numPartitions, col("doc_id")).as[Doc]
+  }
+
+  /** Stage 1+2: fan docs out into parsed pages.
+    *
+    * The page fan-out is HASH-repartitioned on (doc_id, page_no): a 5000-page
+    * mega-doc's pages spread uniformly over the cluster without the sampling
+    * job a range exchange would run (range sampling re-executes the fan-out —
+    * measured 2× cost and high variance at sf0.1). Assembly hashes by doc_id
+    * anyway, so page contiguity buys nothing here.
+    */
   def parsePages(docs: Dataset[Doc], numPartitions: Int): Dataset[PageRes] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // fan out pages, then range-repartition on (doc_id, page_no): mega-docs
-    // split across partitions while keeping ranges contiguous for assembly
     val tasks = docs.flatMap { d =>
       DocParser.splitPages(d.spans).map { case (n, s) => (d.doc_id, n, s) }
     }.toDF("doc_id", "page_no", "page_spans")
-      .repartitionByRange(numPartitions, col("doc_id"), col("page_no"))
+      .repartition(numPartitions, col("doc_id"), col("page_no"))
       .as[(String, Int, Seq[InSpan])]
 
     tasks.mapPartitions { it =>

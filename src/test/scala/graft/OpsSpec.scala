@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Self-checks for the training-data operators: LSH/minhash results verified
+  * against exact computations on the same data (SURVEY.md: "a correct-but-
+  * unverified approximate operator is not done").
+  */
+class OpsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("exact dedup partitions the corpus: group sizes sum to row count") {
+    val total = docs.count()
+    Dedup.exact(docs).agg(sum($"n_docs")).as[Long].head() shouldBe total
+  }
+
+  test("minhash+LSH near-dup pairs are a high-recall subset of exact n-gram jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccardPm = 200)
+      .select($"a".cast("long"), $"b".cast("long")).as[(Long, Long)].collect().toSet
+    val mh = Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    // verification step guarantees precision 1.0
+    mh.subsetOf(exact) shouldBe true
+    // banding guarantees high recall at this jaccard level
+    mh.size.toDouble / exact.size.toDouble should be >= 0.8
+  }
+
+  test("simhash near-dup: every reported pair truly within hamming bound; sane count") {
+    val pairs = Dedup.simHashNearDup(docs, maxHamming = 7).collect()
+    val sims = docs.select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().map { case (id, t) => id -> Dedup.simhash64(t) }.toMap
+    pairs.foreach { r =>
+      val h = java.lang.Long.bitCount(sims(r.getLong(0)) ^ sims(r.getLong(1)))
+      h should be <= 7
+      h shouldBe r.getInt(2).toLong.toInt
+    }
+    // pigeonhole banding is exhaustive: count must equal brute-force count
+    val ids = sims.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if java.lang.Long.bitCount(sims(ids(i)) ^ sims(ids(j))) <= 7
+    } yield 1).size
+    pairs.length shouldBe brute
+  }
+
+  test("ANN: brute matches local ground truth; LSH full recall on near-dups") {
+    val brute = Similarity.bruteTopK(embs, nQueries = 10, k = 5)
+      .select($"q_id".cast("long"), $"n_id".cast("long")).as[(Long, Long)].collect().toSet
+    brute.size shouldBe 50
+    // local ground truth (double-precision cosine, same tie-break)
+    val all = embs.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for ((q, qv) <- all.filter(_._1 < 10)) yield {
+      all.filter(_._1 != q).map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, s) => (-s, n) }.take(5).map(x => (q, x._1))
+    }).flatten.toSet
+    brute shouldBe expected
+
+    // LSH recall contract holds for HIGH-similarity neighbors; this corpus is
+    // near-random (max pairwise cosine 0.51), where hyperplane theory predicts
+    // collision ~0.14 for cos≈0.4 pairs at 8 planes + 1-bit probe. Assert the
+    // theoretical floor on random data…
+    val lsh = Similarity.lshTopK(embs, nQueries = 10, k = 5)
+      .select($"q_id".cast("long"), $"n_id".cast("long")).as[(Long, Long)].collect().toSet
+    (lsh intersect brute).size.toDouble / brute.size.toDouble should be >= 0.05
+    // …and full recall where LSH's contract actually applies: planted
+    // near-duplicate queries (negative ids < nQueries) must rank their source
+    // vector first.
+    val withDups = embs.select($"vec_id".cast("long"), $"embedding")
+      .unionByName(Similarity.perturbed(embs, n = 10, idOffset = -1000000L))
+    val top1 = Similarity.lshTopK(withDups, nQueries = 0, k = 1) // queries: ids < 0
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    for (i <- 0L until 10L) top1(i - 1000000L) shouldBe i
+  }
+
+  test("cosine near-dup finds all planted perturbed duplicates") {
+    val base = embs.select($"vec_id".cast("long"), $"embedding")
+    val withDups = base.unionByName(Similarity.perturbed(embs, n = 20))
+    val found = Similarity.cosineNearDup(withDups, minCosinePm = 990)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 20L).map(i => (i, i + 1000000L)).toSet
+    planted.subsetOf(found) shouldBe true
+  }
+
+  test("multimodal plumbing: features deterministic, batch path exercised") {
+    val sf = "sf0.001"
+    val path = graft.corpus.Corpus.ensure(spark, sf)
+    val media = Multimodal.fromCorpus(spark, path)
+    val n = media.count()
+    n should be > 0L
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(m => (m.doc_id, m.media_ref))
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(m => (m.doc_id, m.media_ref))
+    f1.map(_.content_h64).toSeq shouldBe f2.map(_.content_h64).toSeq
+    f1.foreach { f =>
+      f.embedding.length shouldBe Multimodal.EmbeddingDim
+      f.n_bytes should be >= 256
+    }
+  }
+
+  test("token stats / quality are consistent") {
+    val q = TextOps.quality(docs)
+    q.where($"punct_pm" > 1000 || $"stopword_pm" > 1000).count() shouldBe 0
+    TextOps.tokenStats(docs).where($"n_tokens" === 0 && $"n_chars" > 0)
+      .count() shouldBe 0
+  }
+}
