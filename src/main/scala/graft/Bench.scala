@@ -56,12 +56,14 @@ object Bench {
 
 /** Extraction-only benchmark for the two-parallelism scaling evidence
   * (BASELINE.md: throughput at local[N] vs local[4N] on the SAME input).
-  * Usage: runMain graft.ExtractBench <corpusPath> [repeats]
+  * Usage: runMain graft.ExtractBench <corpusPath> [repeats] [mode]
+  * mode: fanout (page fan-out + salted assembly) | doclocal (zero-shuffle)
   */
 object ExtractBench {
   def main(args: Array[String]): Unit = {
     val corpusPath = args.headOption.getOrElse(Corpus.corpusPath("sf0.1"))
     val repeats = if (args.length > 1) args(1).toInt else 1
+    val mode = if (args.length > 2) args(2) else "fanout"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,11 +79,12 @@ object ExtractBench {
 
     for (r <- 1 to repeats) {
       val t0 = System.nanoTime()
-      val row = Extraction.run(spark, corpusPath)
-        .agg(count(lit(1)), sum(size(col("spans")))).head()
+      val out = if (mode == "doclocal") Extraction.runDocLocal(spark, corpusPath)
+                else Extraction.run(spark, corpusPath)
+      val row = out.agg(count(lit(1)), sum(size(col("spans")))).head()
       val (docs, spans) = (row.getLong(0), row.getLong(1))
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"bench":"extract","cpus":$cpus%s,"run":$r,"docs":$docs,"spans":$spans,"secs":$sec%.3f,"docs_per_sec":${docs / sec}%.2f,"spans_per_sec":${spans / sec}%.1f}""")
+      println(f"""{"bench":"extract","mode":"$mode%s","cpus":$cpus%s,"run":$r,"docs":$docs,"spans":$spans,"secs":$sec%.3f,"docs_per_sec":${docs / sec}%.2f,"spans_per_sec":${spans / sec}%.1f}""")
     }
     spark.stop()
   }

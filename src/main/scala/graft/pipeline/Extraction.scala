@@ -132,6 +132,24 @@ object Extraction {
     assemble(parsePages(readInput(spark, inputPath), n), salted)
   }
 
+  /** Doc-local, ZERO-shuffle pipeline: parse and assemble each document
+    * whole inside `mapPartitions`.
+    *
+    * Topology choice (measured, BENCH.md): the fan-out path shuffles every
+    * raw span once and every parsed span twice; that is the right trade when
+    * per-page work is expensive (the reference's GPU OCR is ~2 s/page —
+    * 5000-page docs would serialize for hours). Our deterministic parse is
+    * ~0.5 ms/page, so a 5000-page mega-doc costs ~2.5 s serial — cheaper than
+    * shuffling 100 TB of raw spans. Both modes produce identical output
+    * (ExtractionGoldenSpec); pick by parse-cost regime.
+    */
+  def runDocLocal(spark: SparkSession, inputPath: String): DataFrame = {
+    import spark.implicits._
+    readInput(spark, inputPath)
+      .mapPartitions(_.map(DocParser.parseDoc))
+      .toDF("doc_id", "spans", "markdown")
+  }
+
   /** Per-partition lineage + extraction metrics (FIXTURES.md §3) from a parsed
     * page dataset. At sandbox scale we aggregate the (persisted) parse output;
     * on a real cluster the same rows would ride the job via accumulators or

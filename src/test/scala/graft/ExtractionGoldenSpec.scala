@@ -53,6 +53,18 @@ class ExtractionGoldenSpec extends AnyFunSuite with Matchers {
     assertMatchesGolden(8, salted = false)
   }
 
+  test("doc-local zero-shuffle mode == fan-out mode == golden") {
+    val out = docs.mapPartitions(_.map(graft.parse.DocParser.parseDoc))
+      .collect().map(e => e.doc_id -> e).toMap
+    out.keySet shouldBe golden.keySet
+    for ((id, g) <- golden) {
+      withClue(s"doc $id: ") {
+        out(id).spans shouldBe g.spans
+        out(id).markdown shouldBe g.markdown
+      }
+    }
+  }
+
   test("the corpus exercises every output kind") {
     val kinds = golden.values.flatMap(_.spans.map(_.kind)).toSet
     kinds should contain allOf
