@@ -65,9 +65,10 @@ object ExtractBench {
     val repeats = if (args.length > 1) args(1).toInt else 1
     val mode = if (args.length > 2) args(2) else "fanout"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
