@@ -47,6 +47,8 @@ object SparkEntry {
       Extraction.explodeSpans(extracted(s, dir))),
     "x_extract_markdown" -> ((s, dir) =>
       extracted(s, dir).select(col("doc_id"), col("markdown"))),
+    "x_extract_html" -> ((s, dir) =>
+      extracted(s, dir).select(col("doc_id"), col("html"))),
     "x_extract_totals" -> ((s, dir) =>
       extracted(s, dir).agg(
         count(lit(1)).cast("long").as("total_docs"),
@@ -144,6 +146,8 @@ object SparkEntry {
       "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
     "x_extract_markdown" ->
       "SELECT doc_id, markdown FROM read_parquet('/root/repo/data/golden_md/sf0.01/*.parquet')",
+    "x_extract_html" ->
+      "SELECT doc_id, html FROM read_parquet('/root/repo/data/golden_html/sf0.01/*.parquet')",
     "x_extract_totals" ->
       "SELECT total_docs, total_spans, total_failures FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
     "q_doc_exact_dedup" ->

@@ -17,6 +17,7 @@ object Corpus {
   def corpusPath(sf: String): String = s"$Root/corpus/$sf"
   def goldenSpansPath(sf: String): String = s"$Root/golden_spans/$sf"
   def goldenMdPath(sf: String): String = s"$Root/golden_md/$sf"
+  def goldenHtmlPath(sf: String): String = s"$Root/golden_html/$sf"
   def goldenTotalsPath(sf: String): String = s"$Root/golden_totals/$sf"
 
   private def exists(path: String): Boolean =
@@ -44,7 +45,8 @@ object Corpus {
     */
   def ensureGolden(spark: SparkSession, sf: String): String = synchronized {
     val spansPath = goldenSpansPath(sf)
-    if (!exists(spansPath) || !exists(goldenMdPath(sf)) || !exists(goldenTotalsPath(sf))) {
+    if (!exists(spansPath) || !exists(goldenMdPath(sf)) ||
+        !exists(goldenHtmlPath(sf)) || !exists(goldenTotalsPath(sf))) {
       import spark.implicits._
       val spec = CorpusGen.specFor(sf)
       val golden = spark.range(0, spec.docs.toLong, 1,
@@ -56,6 +58,8 @@ object Corpus {
         .write.mode(SaveMode.Overwrite).parquet(spansPath)
       golden.map(e => (e.doc_id, e.markdown)).toDF("doc_id", "markdown")
         .write.mode(SaveMode.Overwrite).parquet(goldenMdPath(sf))
+      golden.map(e => (e.doc_id, e.html)).toDF("doc_id", "html")
+        .write.mode(SaveMode.Overwrite).parquet(goldenHtmlPath(sf))
       golden.map(e => (1L, e.spans.size.toLong,
           e.spans.count(_.kind == Kind.Error).toLong))
         .toDF("docs", "spans", "failures")

@@ -19,8 +19,9 @@ final case class Doc(doc_id: String, spans: Seq[InSpan])
   */
 final case class OutSpan(kind: String, text: String, media_ref: String, order: Int)
 
-/** Extracted document: ordered spans + rendered markdown (SPEC.md §7–8). */
-final case class Extracted(doc_id: String, spans: Seq[OutSpan], markdown: String)
+/** Extracted document: ordered spans + rendered markdown/html (SPEC.md §7–8). */
+final case class Extracted(doc_id: String, spans: Seq[OutSpan], markdown: String,
+                           html: String)
 
 /** A parsed geometric line lifted from a `pdf_line` span payload. */
 final case class Line(
@@ -56,6 +57,7 @@ final case class PageResult(
     pageNo: Int,
     spans: Seq[OutSpan],     // order field holds the WITHIN-PAGE index here
     markdown: String,
+    html: String,
     parseFailed: Boolean)
 
 /** Fixed page geometry (FIXTURES.md §1: A4 @ 300 DPI, config.py:79–82). */

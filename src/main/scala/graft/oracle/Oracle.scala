@@ -25,7 +25,10 @@ object Oracle {
       r.spans.foreach { s => out += s.copy(order = order); order += 1 }
     }
     val md = results.map(r => s"## 페이지 ${r.pageNo}\n\n${r.markdown}").mkString("\n\n---\n\n")
-    Extracted(doc.doc_id, out.result(), md)
+    val html = results.map(r =>
+      s"""<div class="page-section" data-page="${r.pageNo}">\n${r.html}\n</div>""")
+      .mkString("\n")
+    Extracted(doc.doc_id, out.result(), md, html)
   }
 
   /** Golden corpus for a scale factor, lazily. */

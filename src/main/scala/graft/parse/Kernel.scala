@@ -203,6 +203,57 @@ object Tables {
   }
 }
 
+/** HTML emission helpers (html_generator.py:304–456, 530–583; SPEC.md §7b). */
+object Html {
+
+  /** `_escape_html` (html_generator.py:530–537): & first, then < > " '. */
+  def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&#x27;")
+
+  /** Size class from line height (font = 0.75·h; thresholds 20/16/10 pt —
+    * html_generator.py:408–456). Exact integer forms on 3h.
+    */
+  def sizeClass(h: Int): String = {
+    if (3L * h > 80) " size-xlarge"
+    else if (3L * h > 64) " size-large"
+    else if (3L * h < 40) " size-small"
+    else ""
+  }
+
+  private val SepRow = "^[\\s|:\\-]+$".r
+
+  /** markdown_table_to_html (html_generator.py:539–583): first row th,
+    * separator rows skipped, cells escaped.
+    */
+  def mdTableToHtml(md: String, cls: String): String = {
+    val rows = md.split("\n", -1).iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && SepRow.findFirstIn(l).isEmpty)
+      .map { l =>
+        val stripped = {
+          val a = if (l.startsWith("|")) l.substring(1) else l
+          if (a.endsWith("|")) a.substring(0, a.length - 1) else a
+        }
+        stripped.split("\\|", -1).map(c => escape(c.trim)).toSeq
+      }
+      .toSeq
+    if (rows.isEmpty) return s"""<table class="$cls"></table>"""
+    val sb = new StringBuilder(s"""<table class="$cls">""")
+    rows.zipWithIndex.foreach { case (cells, i) =>
+      val t = if (i == 0) "th" else "td"
+      sb.append("<tr>")
+      cells.foreach(c => sb.append(s"<$t>$c</$t>"))
+      sb.append("</tr>")
+    }
+    sb.append("</table>").toString
+  }
+
+  /** Spacing divs before a text line (html_generator.py:378–406). */
+  def spacingDivs(gap: Int): String =
+    "<div class=\"empty-line\"></div>" * Style.emptyLines(gap)
+}
+
 /** DOM-heuristic boilerplate scoring (north rule; SURVEY.md §7.5).
   * score = textLen / (1+linkTextLen) / (1+depth); keep iff score >= 1 — exact
   * integer form, SPEC.md §3.8.

@@ -14,10 +14,15 @@ object PageParser {
 
   val ParseFailMarker = "<<PARSE_FAIL>>"
 
-  /** A span plus its within-page sort band and key (SPEC.md §4). */
+  /** A span plus its within-page sort band/key and renderer attributes
+    * (SPEC.md §4, §7, §7b). `plain` is the corrected text WITHOUT the
+    * markdown bold wrapper (the HTML renderer uses <strong> instead).
+    */
   private final case class Keyed(band: Int, y: Int, x: Int, offset: Int,
                                  kind: String, text: String, mediaRef: String,
-                                 indented: Boolean)
+                                 indented: Boolean, plain: String = "",
+                                 bold: Boolean = false, align: String = "left",
+                                 gap: Int = 0, h: Int = 0)
 
   def parse(pageNo: Int, spans: Seq[InSpan]): PageResult = {
     try parseInner(pageNo, spans)
@@ -31,7 +36,8 @@ object PageParser {
     */
   private def failed(pageNo: Int): PageResult = {
     val text = s"[처리 실패: page $pageNo]"
-    PageResult(pageNo, Seq(OutSpan(Kind.Error, text, "", 0)), text, parseFailed = true)
+    PageResult(pageNo, Seq(OutSpan(Kind.Error, text, "", 0)), text,
+      s"""<p class="error">${Html.escape(text)}</p>""", parseFailed = true)
   }
 
   private def parseInner(pageNo: Int, spans: Seq[InSpan]): PageResult = {
@@ -94,13 +100,17 @@ object PageParser {
       val posDens = textLines.map(_.densityPm).filter(_ > 0)
       val med2d = if (posDens.nonEmpty) Geometry.median2x(posDens) else 1000L // 0.5 * 2
       val minX = textLines.map(_.x).min
+      val gaps = Style.spacingBefore(textLines)
       textLines.foreach { l =>
         val tag = Style.tag(l.h, med2h)
         val bold = Style.isBold(l.densityPm, med2d)
         val indent = Style.isIndented(l.x, minX)
         val corrected = Typo.fixTypos(l.raw)
         val text = if (bold) s"**$corrected**" else corrected
-        keyed += Keyed(1, l.y, l.x, l.offset, tag, text, "", indent)
+        keyed += Keyed(1, l.y, l.x, l.offset, tag, text, "", indent,
+          plain = corrected, bold = bold,
+          align = Style.alignment(l.x, l.x2, Page.Width),
+          gap = gaps(l.offset), h = l.h)
       }
     }
 
@@ -143,7 +153,25 @@ object PageParser {
       }
     }.mkString("\n\n")
 
-    PageResult(pageNo, out, md, parseFailed = false)
+    // ---- page HTML (html_generator.py:304–456; SPEC.md §7b) ---------------
+    val html = ordered.map { k =>
+      k.kind match {
+        case Kind.Table => Html.mdTableToHtml(k.text, "ocr-table")
+        case Kind.InvisibleTable => Html.mdTableToHtml(k.text, "invisible-table")
+        case Kind.Media =>
+          val cap = Html.escape(k.text)
+          s"""<figure><img src="${k.mediaRef}" alt="$cap"/><figcaption>$cap</figcaption></figure>"""
+        case _ if k.band == 3 => s"<p>${Html.escape(k.text)}</p>"
+        case tag => // text line: h1 | h2 | p
+          val cls = s"align-${k.align}" +
+            (if (k.indented) " indented" else "") + Html.sizeClass(k.h)
+          val body0 = Html.escape(k.plain)
+          val body = if (k.bold) s"<strong>$body0</strong>" else body0
+          Html.spacingDivs(k.gap) + s"""<$tag class="$cls">$body</$tag>"""
+      }
+    }.mkString("\n")
+
+    PageResult(pageNo, out, md, html, parseFailed = false)
   }
 }
 
@@ -186,7 +214,10 @@ object DocParser {
       }
     }
     val md = sorted.map(p => s"## 페이지 ${p.pageNo}\n\n${p.markdown}").mkString("\n\n---\n\n")
-    Extracted(docId, spans.toSeq, md)
+    val html = sorted.map(p =>
+      s"""<div class="page-section" data-page="${p.pageNo}">\n${p.html}\n</div>""")
+      .mkString("\n")
+    Extracted(docId, spans.toSeq, md, html)
   }
 
   /** Full sequential parse of one document. */

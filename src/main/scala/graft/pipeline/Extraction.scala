@@ -12,6 +12,7 @@ final case class PageRes(
     page_no: Int,
     spans: Seq[OutSpan],   // order = WITHIN-page index
     md: String,
+    html: String,
     failed: Boolean,
     part_id: Int,
     wall_ms: Long)
@@ -80,14 +81,14 @@ object Extraction {
         val t0 = System.nanoTime()
         val r = PageParser.parse(pageNo, pageSpans)
         val ms = (System.nanoTime() - t0) / 1000000
-        PageRes(docId, r.pageNo, r.spans, r.markdown, r.parseFailed, pid, ms)
+        PageRes(docId, r.pageNo, r.spans, r.markdown, r.html, r.parseFailed, pid, ms)
       }
     }
   }
 
   /** Stage 3: salted two-phase page→document assembly (SPEC.md §7–8). */
   def assemble(parsed: Dataset[PageRes], salted: Boolean = true): DataFrame = {
-    val pageStruct = struct(col("page_no"), col("spans"), col("md"))
+    val pageStruct = struct(col("page_no"), col("spans"), col("md"), col("html"))
 
     val perDoc =
       if (salted) {
@@ -121,7 +122,13 @@ object Extraction {
         transform(col("pages"), p =>
           concat(lit("## 페이지 "), p.getField("page_no").cast("string"),
             lit("\n\n"), p.getField("md"))),
-        "\n\n---\n\n").as("markdown"))
+        "\n\n---\n\n").as("markdown"),
+      array_join(
+        transform(col("pages"), p =>
+          concat(lit("<div class=\"page-section\" data-page=\""),
+            p.getField("page_no").cast("string"), lit("\">\n"),
+            p.getField("html"), lit("\n</div>"))),
+        "\n").as("html"))
   }
 
   /** Full pipeline: input path → extracted (doc_id, spans, markdown). */
@@ -147,7 +154,7 @@ object Extraction {
     import spark.implicits._
     readInput(spark, inputPath)
       .mapPartitions(_.map(DocParser.parseDoc))
-      .toDF("doc_id", "spans", "markdown")
+      .toDF("doc_id", "spans", "markdown", "html")
   }
 
   /** Per-partition lineage + extraction metrics (FIXTURES.md §3) from a parsed

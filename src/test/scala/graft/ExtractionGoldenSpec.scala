@@ -26,16 +26,17 @@ class ExtractionGoldenSpec extends AnyFunSuite with Matchers {
 
   private def assertMatchesGolden(numPartitions: Int, salted: Boolean): Unit = {
     val out = Extraction.assemble(Extraction.parsePages(docs, numPartitions), salted)
-      .select($"doc_id", $"spans", $"markdown")
-      .as[(String, Seq[OutSpan], String)]
+      .select($"doc_id", $"spans", $"markdown", $"html")
+      .as[(String, Seq[OutSpan], String, String)]
       .collect()
-      .map(t => t._1 -> ((t._2, t._3))).toMap
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
 
     out.keySet shouldBe golden.keySet
     for ((id, g) <- golden) {
-      val (spans, md) = out(id)
+      val (spans, md, html) = out(id)
       withClue(s"doc $id spans: ") { spans shouldBe g.spans }
       withClue(s"doc $id markdown: ") { md shouldBe g.markdown }
+      withClue(s"doc $id html: ") { html shouldBe g.html }
     }
   }
 
@@ -61,6 +62,7 @@ class ExtractionGoldenSpec extends AnyFunSuite with Matchers {
       withClue(s"doc $id: ") {
         out(id).spans shouldBe g.spans
         out(id).markdown shouldBe g.markdown
+        out(id).html shouldBe g.html
       }
     }
   }

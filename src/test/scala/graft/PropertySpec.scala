@@ -96,7 +96,8 @@ class PropertySpec extends AnyFunSuite with Matchers {
   test("salted bucket merge == direct merge for arbitrary page orderings") {
     forAll(Gen.listOf(Gen.chooseNum(1, 200))) { pageNos =>
       val pages = pageNos.distinct.map(n =>
-        PageResult(n, Seq(OutSpan(Kind.P, s"p$n", "", 0)), s"md$n", parseFailed = false))
+        PageResult(n, Seq(OutSpan(Kind.P, s"p$n", "", 0)), s"md$n", s"<p>p$n</p>",
+          parseFailed = false))
       val direct = DocParser.assemble("d", pages)
       val shuffledIn = DocParser.assemble("d", scala.util.Random.shuffle(pages))
       shuffledIn shouldBe direct
