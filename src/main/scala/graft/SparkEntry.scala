@@ -49,6 +49,17 @@ object SparkEntry {
       extracted(s, dir).select(col("doc_id"), col("markdown"))),
     "x_extract_html" -> ((s, dir) =>
       extracted(s, dir).select(col("doc_id"), col("html"))),
+    // post-extraction correction cascade over the doc markdown (the CLI-path
+    // ordering, batch_processor.py:477–482); LLM boundary disabled → regex only
+    "x_corrected_markdown" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).select(col("doc_id"), col("markdown")).as[(String, String)]
+        .map { case (id, md) =>
+          val r = graft.parse.Corrector.correct(md)
+          (id, r.corrected, r.regexFired.toLong)
+        }
+        .toDF("doc_id", "corrected_md", "regex_fired")
+    }),
     "x_extract_totals" -> ((s, dir) =>
       extracted(s, dir).agg(
         count(lit(1)).cast("long").as("total_docs"),
@@ -148,6 +159,8 @@ object SparkEntry {
       "SELECT doc_id, markdown FROM read_parquet('/root/repo/data/golden_md/sf0.01/*.parquet')",
     "x_extract_html" ->
       "SELECT doc_id, html FROM read_parquet('/root/repo/data/golden_html/sf0.01/*.parquet')",
+    "x_corrected_markdown" ->
+      "SELECT doc_id, corrected_md, regex_fired FROM read_parquet('/root/repo/data/golden_corrected/sf0.01/*.parquet')",
     "x_extract_totals" ->
       "SELECT total_docs, total_spans, total_failures FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
     "q_doc_exact_dedup" ->

@@ -18,6 +18,7 @@ object Corpus {
   def goldenSpansPath(sf: String): String = s"$Root/golden_spans/$sf"
   def goldenMdPath(sf: String): String = s"$Root/golden_md/$sf"
   def goldenHtmlPath(sf: String): String = s"$Root/golden_html/$sf"
+  def goldenCorrectedPath(sf: String): String = s"$Root/golden_corrected/$sf"
   def goldenTotalsPath(sf: String): String = s"$Root/golden_totals/$sf"
 
   private def exists(path: String): Boolean =
@@ -46,7 +47,8 @@ object Corpus {
   def ensureGolden(spark: SparkSession, sf: String): String = synchronized {
     val spansPath = goldenSpansPath(sf)
     if (!exists(spansPath) || !exists(goldenMdPath(sf)) ||
-        !exists(goldenHtmlPath(sf)) || !exists(goldenTotalsPath(sf))) {
+        !exists(goldenHtmlPath(sf)) || !exists(goldenCorrectedPath(sf)) ||
+        !exists(goldenTotalsPath(sf))) {
       import spark.implicits._
       val spec = CorpusGen.specFor(sf)
       val golden = spark.range(0, spec.docs.toLong, 1,
@@ -60,6 +62,11 @@ object Corpus {
         .write.mode(SaveMode.Overwrite).parquet(goldenMdPath(sf))
       golden.map(e => (e.doc_id, e.html)).toDF("doc_id", "html")
         .write.mode(SaveMode.Overwrite).parquet(goldenHtmlPath(sf))
+      golden.map { e =>
+        val r = graft.parse.Corrector.correct(e.markdown)
+        (e.doc_id, r.corrected, r.regexFired.toLong)
+      }.toDF("doc_id", "corrected_md", "regex_fired")
+        .write.mode(SaveMode.Overwrite).parquet(goldenCorrectedPath(sf))
       golden.map(e => (1L, e.spans.size.toLong,
           e.spans.count(_.kind == Kind.Error).toLong))
         .toDF("docs", "spans", "failures")
