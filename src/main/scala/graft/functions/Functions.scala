@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.parse.Typo
+
+/** `fix_typos` as a native Catalyst expression (SURVEY.md §2.10 / §4's
+  * optional codegen-friendly hot path).
+  *
+  * The heavy lifting stays in the pooled `graft.parse.Typo` kernel (compiled
+  * regexes are JVM singletons); `doGenCode` emits a static call so the
+  * expression participates in WHOLE-STAGE CODEGEN instead of falling back to
+  * interpreted eval — preference tier (b) of the custom-operator ladder:
+  * compose built-ins > custom Expression > custom plan node > mapPartitions.
+  */
+case class FixTyposExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_typos"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Typo.fixTypos(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.parse.Typo.fixTypos($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Functions {
+  /** Column-level API: `ds.select(fix_typos($"text"))`. */
+  def fix_typos(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      FixTyposExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  /** Register for the SQL surface on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fix_typos", exprs => FixTyposExpr(exprs.head), "scala_udf")
+}
+
+/** Session extension: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.functions.GraftExtensions`
+  * injects `fix_typos` into every session's catalog.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("fix_typos"),
+      new ExpressionInfo(classOf[FixTyposExpr].getName, "fix_typos"),
+      (exprs: Seq[Expression]) => FixTyposExpr(exprs.head)))
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the `private[sql]` Column <-> Expression converters in
+  * Spark 4 (Column became a ColumnNode wrapper; the classic converters are
+  * package-private). Lives in the spark.sql package solely to re-expose the
+  * two conversions the custom-Expression surface needs.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.functions.Functions
+import graft.parse.Typo
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("fix_typos Column API matches the kernel on the vector set") {
+    val inputs = Seq("제 1 조 (목적)", "갑과 Z는 2o23년", "I. 서론", "plain  text")
+    val out = inputs.toDF("t")
+      .select(Functions.fix_typos($"t").as("c")).as[String].collect()
+    out shouldBe inputs.map(Typo.fixTypos)
+  }
+
+  test("fix_typos SQL registration works and nulls propagate") {
+    Functions.register(spark)
+    spark.sql("SELECT fix_typos('제 1 조') AS c").as[String].head() shouldBe "제1조"
+    spark.sql("SELECT fix_typos(CAST(NULL AS STRING)) AS c").head().isNullAt(0) shouldBe true
+  }
+
+  test("expression participates in whole-stage codegen (no fallback)") {
+    // range source (not a LocalTableScan, which would constant-fold the
+    // projection away) so the expression must run inside generated code
+    val df = spark.range(3).select(Functions.fix_typos(
+      concat(lit("제 "), ($"id" + 1).cast("string"), lit(" 조"))).as("c"))
+    // the "*(1)" star prefix marks operators fused into WholeStageCodegen
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("*(1) Project [fix_typos(")
+    df.as[String].collect() shouldBe Array("제1조", "제2조", "제3조")
+  }
+}
