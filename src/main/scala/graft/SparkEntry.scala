@@ -140,6 +140,20 @@ object SparkEntry {
           col("event_id").cast("long").as("event_id"),
           col("gap_us").cast("long").as("gap_us"))
     }),
+    // broadcast dimension join + deterministic top-k (SURVEY §2.3/§2.6)
+    "q_top_customers" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      orders.groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")) * 100).cast("long").as("revenue_cents"),
+          count(lit(1)).cast("long").as("n_orders"))
+        .join(broadcast(cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("revenue_cents"), col("n_orders"))
+    }),
     "q_lineitem_pricing" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -194,6 +208,12 @@ object SparkEntry {
       ("SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, " +
         "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +
         "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS gap_us FROM events"),
+    "q_top_customers" ->
+      ("SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment, revenue_cents, n_orders FROM (" +
+        "SELECT o_custkey, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents, " +
+        "CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey) o " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 20"),
     "q_lineitem_pricing" ->
       ("SELECT l_returnflag, l_linestatus, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty, " +
         "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents, " +
