@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.model.OutSpan
+import graft.corpus.{Corpus, CorpusGen}
+import graft.oracle.Oracle
+import graft.plans.ExtractDocs
+
+class CustomPlanSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("custom ExtractDocs plan node: planned via strategy, zero shuffles, golden-equal") {
+    val path = Corpus.ensure(spark, "sf0.001")
+    val df = ExtractDocs.over(spark, path)
+
+    // physical nodes print without the Exec suffix; "!" would mark an
+    // invalid node (missing references)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("ExtractDocs")
+    plan should not include "!ExtractDocs"
+    plan.linesIterator.count(_.contains("Exchange")) shouldBe 0
+
+    val out = df.select($"doc_id", $"spans", $"markdown", $"html")
+      .as[(String, Seq[OutSpan], String, String)]
+      .collect().map(t => t._1 -> t).toMap
+
+    val spec = CorpusGen.specFor("sf0.001")
+    val golden = CorpusGen.genAll(spec).map(d => d.doc_id -> Oracle.golden(d)).toMap
+    out.keySet shouldBe golden.keySet
+    for ((id, g) <- golden) {
+      withClue(s"doc $id: ") {
+        out(id)._2 shouldBe g.spans
+        out(id)._3 shouldBe g.markdown
+        out(id)._4 shouldBe g.html
+      }
+    }
+  }
+
+  test("custom node composes with downstream Catalyst ops (filter + explode)") {
+    import org.apache.spark.sql.functions._
+    val path = Corpus.ensure(spark, "sf0.001")
+    val n = ExtractDocs.over(spark, path)
+      .where($"doc_id" === "doc-000000042")
+      .select(explode($"spans"))
+      .count()
+    val golden = Oracle.golden(CorpusGen.genDoc(42, CorpusGen.specFor("sf0.001")))
+    n shouldBe golden.spans.size.toLong
+  }
+}
