@@ -59,7 +59,9 @@ object Bench {
 /** Extraction-only benchmark for the two-parallelism scaling evidence
   * (BASELINE.md: throughput at local[N] vs local[4N] on the SAME input).
   * Usage: runMain graft.ExtractBench <corpusPath> [repeats] [mode]
-  * mode: fanout (page fan-out + salted assembly) | doclocal (zero-shuffle)
+  * mode: fanout (page fan-out + salted assembly) | doclocal (zero-shuffle
+  * typed Dataset) | custom (zero-shuffle custom plan node, no Encoder
+  * round-trip)
   */
 object ExtractBench {
   def main(args: Array[String]): Unit = {
@@ -82,8 +84,11 @@ object ExtractBench {
 
     for (r <- 1 to repeats) {
       val t0 = System.nanoTime()
-      val out = if (mode == "doclocal") Extraction.runDocLocal(spark, corpusPath)
-                else Extraction.run(spark, corpusPath)
+      val out = mode match {
+        case "doclocal" => Extraction.runDocLocal(spark, corpusPath)
+        case "custom" => graft.plans.ExtractDocs.over(spark, corpusPath)
+        case _ => Extraction.run(spark, corpusPath)
+      }
       val row = out.agg(count(lit(1)), sum(size(col("spans")))).head()
       val (docs, spans) = (row.getLong(0), row.getLong(1))
       val sec = (System.nanoTime() - t0) / 1e9

@@ -45,6 +45,14 @@ object SparkEntry {
     // ---- extraction engine (north rule) --------------------------------
     "x_extract_spans" -> ((s, dir) =>
       Extraction.explodeSpans(extracted(s, dir))),
+    // same extraction via the custom LogicalPlan+Strategy+SparkPlan node
+    // (graft.plans.ExtractDocs) — gated by the same golden-spans oracle
+    "x_extract_spans_custom" -> ((s, dir) => {
+      val sf = Corpus.sfName(dir)
+      val path = Corpus.ensure(s, sf)
+      if (sf != "sf0.1") Corpus.ensureGolden(s, sf)
+      Extraction.explodeSpans(graft.plans.ExtractDocs.over(s, path))
+    }),
     "x_extract_markdown" -> ((s, dir) =>
       extracted(s, dir).select(col("doc_id"), col("markdown"))),
     "x_extract_html" -> ((s, dir) =>
@@ -168,6 +176,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "x_extract_spans" ->
+      "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
+    "x_extract_spans_custom" ->
       "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
     "x_extract_markdown" ->
       "SELECT doc_id, markdown FROM read_parquet('/root/repo/data/golden_md/sf0.01/*.parquet')",

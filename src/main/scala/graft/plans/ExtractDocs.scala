@@ -61,6 +61,9 @@ object ExtractDocs {
     if (!spark.experimental.extraStrategies.contains(ExtractStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ ExtractStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushDocIdFilterThroughExtract))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushDocIdFilterThroughExtract
     val child = spark.read.parquet(inputPath).select("doc_id", "spans")
     org.apache.spark.sql.GraftColumnBridge.ofRows(
       spark, ExtractDocs(org.apache.spark.sql.GraftColumnBridge.logicalPlan(child)))

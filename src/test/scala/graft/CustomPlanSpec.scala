@@ -39,6 +39,22 @@ class CustomPlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("doc_id predicate is pushed through the custom node into the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val path = Corpus.ensure(spark, "sf0.001")
+    val df = ExtractDocs.over(spark, path).where($"doc_id" === "doc-000000042")
+
+    // the optimizer rule rewrites the output-attribute predicate onto the
+    // child, where FileSourceStrategy turns it into a data filter on the scan
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    scan should include("PushedFilters")
+    scan should include("EqualTo(doc_id,doc-000000042)")
+
+    val rows = df.select($"doc_id", $"spans").as[(String, Seq[OutSpan])].collect()
+    val golden = Oracle.golden(CorpusGen.genDoc(42, CorpusGen.specFor("sf0.001")))
+    rows.toSeq shouldBe Seq(("doc-000000042", golden.spans))
+  }
+
   test("custom node composes with downstream Catalyst ops (filter + explode)") {
     import org.apache.spark.sql.functions._
     val path = Corpus.ensure(spark, "sf0.001")
