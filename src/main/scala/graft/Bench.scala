@@ -31,9 +31,10 @@ object Bench {
     val sf = Corpus.sfName(sfDir)
     val corpusPath = Corpus.ensure(spark, sf) // excluded from timing
 
-    // headline: end-to-end extraction throughput
+    // headline: end-to-end extraction throughput via the fastest
+    // oracle-equal physical mode (BENCH.md shoot-out: the custom plan node)
     val t0 = System.nanoTime()
-    val row = Extraction.run(spark, corpusPath)
+    val row = graft.plans.ExtractDocs.over(spark, corpusPath)
       .agg(count(lit(1)), sum(size(col("spans")))).head()
     val (docs, spans) = (row.getLong(0), row.getLong(1))
     val extractSec = (System.nanoTime() - t0) / 1e9
@@ -50,7 +51,7 @@ object Bench {
     val sps = spans / extractSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""extraction":{"docs":$docs,"spans":$spans,"secs":$extractSec,""" +
+      s""""extraction":{"mode":"custom","docs":$docs,"spans":$spans,"secs":$extractSec,""" +
       s""""docs_per_sec":$dps,"spans_per_sec":$sps},"cpus":$cpus}""")
     spark.stop()
   }

@@ -55,6 +55,29 @@ class CustomPlanSpec extends AnyFunSuite with Matchers {
     rows.toSeq shouldBe Seq(("doc-000000042", golden.spans))
   }
 
+  test("mixed predicates split: doc_id side pushes, computed-column side stays above") {
+    val path = Corpus.ensure(spark, "sf0.001")
+    val df = ExtractDocs.over(spark, path)
+      .where($"doc_id" === "doc-000000042" && org.apache.spark.sql.functions.length($"markdown") > 0)
+
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    scan should include("EqualTo(doc_id,doc-000000042)")
+    // markdown is COMPUTED by the node — its predicate must never reach the scan
+    scan should not include "markdown"
+    val kept = df.queryExecution.optimizedPlan.toString
+    kept should include("length(markdown")
+
+    df.count() shouldBe 1L
+  }
+
+  test("computed-column-only predicate is not pushed (no doc_id term)") {
+    val path = Corpus.ensure(spark, "sf0.001")
+    val df = ExtractDocs.over(spark, path).where(org.apache.spark.sql.functions.length($"html") > 0)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    scan should not include "html"
+    df.count() shouldBe 100L
+  }
+
   test("custom node composes with downstream Catalyst ops (filter + explode)") {
     import org.apache.spark.sql.functions._
     val path = Corpus.ensure(spark, "sf0.001")
