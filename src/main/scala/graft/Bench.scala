@@ -32,12 +32,18 @@ object Bench {
     val corpusPath = Corpus.ensure(spark, sf) // excluded from timing
 
     // headline: end-to-end extraction throughput via the fastest
-    // oracle-equal physical mode (BENCH.md shoot-out: the custom plan node)
-    val t0 = System.nanoTime()
-    val row = graft.plans.ExtractDocs.over(spark, corpusPath)
-      .agg(count(lit(1)), sum(size(col("spans")))).head()
-    val (docs, spans) = (row.getLong(0), row.getLong(1))
-    val extractSec = (System.nanoTime() - t0) / 1e9
+    // oracle-equal physical mode (BENCH.md shoot-out: the custom plan node).
+    // One untimed pass warms the JIT (the C2-compiled parse is ~5x the
+    // interpreted speed — BENCH.md methodology), then best of 2 timed runs.
+    def extractOnce(): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val row = graft.plans.ExtractDocs.over(spark, corpusPath)
+        .agg(count(lit(1)), sum(size(col("spans")))).head()
+      (row.getLong(0), row.getLong(1), (System.nanoTime() - t0) / 1e9)
+    }
+    extractOnce() // warmup, untimed
+    val timed = Seq(extractOnce(), extractOnce()).minBy(_._3)
+    val (docs, spans, extractSec) = timed
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t = System.nanoTime()
