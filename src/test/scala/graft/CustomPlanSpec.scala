@@ -78,6 +78,29 @@ class CustomPlanSpec extends AnyFunSuite with Matchers {
     df.count() shouldBe 100L
   }
 
+  test("pushdown rule preserves semantics across a predicate battery") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.Column
+    val path = Corpus.ensure(spark, "sf0.001")
+    val predicates: Seq[(String, Column)] = Seq(
+      "equality" -> ($"doc_id" === "doc-000000042"),
+      "range" -> ($"doc_id" >= "doc-000000090"),
+      "isin" -> $"doc_id".isin("doc-000000001", "doc-000000002", "nope"),
+      "like-prefix" -> $"doc_id".like("doc-00000009%"),
+      "conj-mixed" -> ($"doc_id" < "doc-000000010" && F.length($"markdown") > 10),
+      // a disjunct referencing a computed column must NOT push — and must
+      // still be answered correctly above the node
+      "disj-mixed" -> ($"doc_id" === "doc-000000003" || F.size($"spans") > 100),
+      "negation" -> !($"doc_id" <=> "doc-000000042"))
+    for ((name, p) <- predicates) {
+      val viaCustom = ExtractDocs.over(spark, path).where(p)
+        .select($"doc_id").as[String].collect().sorted.toSeq
+      val viaDocLocal = graft.pipeline.Extraction.runDocLocal(spark, path).where(p)
+        .select($"doc_id").as[String].collect().sorted.toSeq
+      withClue(s"predicate $name: ") { viaCustom shouldBe viaDocLocal }
+    }
+  }
+
   test("custom node composes with downstream Catalyst ops (filter + explode)") {
     import org.apache.spark.sql.functions._
     val path = Corpus.ensure(spark, "sf0.001")
