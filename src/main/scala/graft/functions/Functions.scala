@@ -43,16 +43,3 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fix_typos", exprs => FixTyposExpr(exprs.head), "scala_udf")
 }
-
-/** Session extension: `SparkSession.builder().withExtensions(new
-  * GraftExtensions)` or `spark.sql.extensions=graft.functions.GraftExtensions`
-  * injects `fix_typos` into every session's catalog.
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("fix_typos"),
-      new ExpressionInfo(classOf[FixTyposExpr].getName, "fix_typos"),
-      (exprs: Seq[Expression]) => FixTyposExpr(exprs.head)))
-  }
-}

@@ -36,14 +36,21 @@ object PushDocIdFilterThroughExtract extends Rule[LogicalPlan] with PredicateHel
   }
 }
 
-/** spark-submit registration point:
+/** The single spark-submit registration point for everything this library
+  * adds to a session — the extraction strategy, the pushdown rule, and the
+  * `fix_typos` SQL function:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
-  * [[ExtractDocs.over]] also installs both pieces at runtime for sessions
-  * built without the conf.
+  * [[ExtractDocs.over]] / [[graft.functions.Functions.register]] install the
+  * same pieces at runtime for sessions built without the conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => ExtractStrategy)
     ext.injectOptimizerRule(_ => PushDocIdFilterThroughExtract)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("fix_typos"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.FixTyposExpr].getName, "fix_typos"),
+      exprs => graft.functions.FixTyposExpr(exprs.head)))
   }
 }
