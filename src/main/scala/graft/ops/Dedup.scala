@@ -95,25 +95,33 @@ object Dedup {
     val rowsPerBand = k / bands
 
     val sh = shingles(docs, n).cache()
-    val sigs = sh.select(col("doc_id").cast("long"), col("shingle")).as[(Long, Long)].rdd
-      .groupByKey()
-      .mapValues(hs => minhashSig(hs, k))
-
-    // band buckets: (bandIdx, bandHash) -> doc
-    val buckets = sigs.flatMap { case (doc, sig) =>
-      (0 until bands).iterator.map { b =>
-        val band = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-        ((b, MurmurHash3.arrayHash(band)), doc)
+    // signatures via Tungsten-native collect_list (map-side combined, no
+    // RDD/Java-serialization round-trip), minhash fold in a typed map
+    val buckets = sh.groupBy(col("doc_id").cast("long").as("doc_id"))
+      .agg(collect_list(col("shingle")).as("shingles"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (doc, hs) =>
+        val sig = minhashSig(hs, k)
+        (0 until bands).iterator.map { b =>
+          val band = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+          (b, MurmurHash3.arrayHash(band), doc)
+        }
       }
-    }
-    val candidates = buckets.groupByKey().values
+      .toDF("band", "bucket", "doc_id")
+    // pair docs sharing a band bucket; sorting makes (a, b) canonical
+    // before the cross-bucket distinct. Bucket cardinality is small by
+    // construction (near-dups only), so the local pair loop is bounded.
+    val candidates = buckets.groupBy("band", "bucket")
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(col("ds")).as[Seq[Long]]
       .flatMap { ds =>
-        val sorted = ds.toArray.distinct.sorted
+        val sorted = ds.sorted
         for (i <- sorted.indices.iterator; j <- (i + 1) until sorted.length)
           yield (sorted(i), sorted(j))
       }
-      .distinct()
       .toDF("a", "b")
+      .distinct()
 
     // verify candidates with exact jaccard over the shingle index
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
