@@ -40,16 +40,24 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccardPm: Int = 500,
                         maxDf: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sh = shingles(docs, n).cache()
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf && col("df") >= 2)
-    val indexed = sh.join(rare.select("shingle"), Seq("shingle"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
-    val a = indexed.withColumnRenamed("doc_id", "a")
-    val b = indexed.withColumnRenamed("doc_id", "b")
-    val inter = a.join(b, Seq("shingle"))
-      .where(col("a") < col("b"))
+    // one groupBy-shingle shuffle builds the inverted index posting lists;
+    // the df cap ([2, maxDf]) and the per-shingle pair loop both run inside
+    // the aggregated row — no two-sided self-join exchange
+    val inter = sh.groupBy("shingle")
+      .agg(collect_set(col("doc_id").cast("long")).as("ds"))
+      .where(size(col("ds")).between(2, maxDf))
+      .select(col("ds")).as[Seq[Long]]
+      .flatMap { ds =>
+        val sorted = ds.sorted
+        for (i <- sorted.indices.iterator; j <- (i + 1) until sorted.length)
+          yield (sorted(i), sorted(j))
+      }
+      .toDF("a", "b")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_inter"))
 
