@@ -74,22 +74,37 @@ object SparkEntry {
       extracted(s, dir).select(col("doc_id"), col("markdown")).as[(String, String)]
         .map { case (id, md) =>
           val r = graft.parse.Corrector.correct(md)
-          (id, r.corrected, r.regexFired.toLong)
+          // edit_est: the gemini_corrector.py:438 estimator over the regex
+          // correction (the LLM boundary is identity in the rebuild)
+          (id, r.corrected, r.regexFired.toLong,
+            graft.parse.Corrector.editEstimate(md, r.corrected).toLong)
         }
-        .toDF("doc_id", "corrected_md", "regex_fired")
+        .toDF("doc_id", "corrected_md", "regex_fired", "edit_est")
+    }),
+    // html→markdown round-trip (html_generator.py:585–637) over the extracted
+    // html surface; golden computed by the sequential oracle
+    "x_html_to_markdown" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).select(col("doc_id"), col("html")).as[(String, String)]
+        .map { case (id, html) => (id, graft.parse.HtmlText.htmlToMarkdown(html)) }
+        .toDF("doc_id", "md_from_html")
     }),
     "x_extract_totals" -> ((s, dir) =>
       extracted(s, dir).agg(
         count(lit(1)).cast("long").as("total_docs"),
         sum(size(col("spans"))).cast("long").as("total_spans"),
         sum(size(filter(col("spans"), x => x.getField("kind") === "error")))
-          .cast("long").as("total_failures"))),
+          .cast("long").as("total_failures"),
+        floor(sum(col("conf_pm")) / count(lit(1))).cast("long").as("avg_conf_pm"))),
+    // deterministic totals over the per-partition metrics/lineage table
+    // (pages parsed, spans emitted, failures, confidence mass)
     "x_extract_metrics" -> ((s, dir) => {
       val sf = Corpus.sfName(dir)
+      if (sf != "sf0.1") Corpus.ensureGolden(s, sf)
       val parsed = Extraction.parsePages(
         Extraction.readInput(s, Corpus.ensure(s, sf)),
         s.sparkContext.defaultParallelism * 2)
-      Extraction.metrics(parsed, "verify", "verify")
+      Extraction.metricsTotals(Extraction.metrics(parsed, "verify", "verify"))
     }),
 
     // ---- text analysis over the documents table ------------------------
@@ -194,9 +209,13 @@ object SparkEntry {
     "x_extract_html" ->
       "SELECT doc_id, html FROM read_parquet('/root/repo/data/golden_html/sf0.01/*.parquet')",
     "x_corrected_markdown" ->
-      "SELECT doc_id, corrected_md, regex_fired FROM read_parquet('/root/repo/data/golden_corrected/sf0.01/*.parquet')",
+      "SELECT doc_id, corrected_md, regex_fired, edit_est FROM read_parquet('/root/repo/data/golden_corrected/sf0.01/*.parquet')",
+    "x_html_to_markdown" ->
+      "SELECT doc_id, md_from_html FROM read_parquet('/root/repo/data/golden_htmlmd/sf0.01/*.parquet')",
     "x_extract_totals" ->
-      "SELECT total_docs, total_spans, total_failures FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
+      "SELECT total_docs, total_spans, total_failures, avg_conf_pm FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
+    "x_extract_metrics" ->
+      "SELECT total_pages, total_spans, total_failures, sum_conf_pm FROM read_parquet('/root/repo/data/golden_metrics/sf0.01/*.parquet')",
     "q_doc_exact_dedup" ->
       "SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY md5(text)",
     "q_doc_token_stats" ->

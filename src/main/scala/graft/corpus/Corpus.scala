@@ -20,6 +20,8 @@ object Corpus {
   def goldenHtmlPath(sf: String): String = s"$Root/golden_html/$sf"
   def goldenCorrectedPath(sf: String): String = s"$Root/golden_corrected/$sf"
   def goldenTotalsPath(sf: String): String = s"$Root/golden_totals/$sf"
+  def goldenMetricsPath(sf: String): String = s"$Root/golden_metrics/$sf"
+  def goldenHtmlMdPath(sf: String): String = s"$Root/golden_htmlmd/$sf"
 
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
@@ -48,7 +50,8 @@ object Corpus {
     val spansPath = goldenSpansPath(sf)
     if (!exists(spansPath) || !exists(goldenMdPath(sf)) ||
         !exists(goldenHtmlPath(sf)) || !exists(goldenCorrectedPath(sf)) ||
-        !exists(goldenTotalsPath(sf))) {
+        !exists(goldenTotalsPath(sf)) || !exists(goldenMetricsPath(sf)) ||
+        !exists(goldenHtmlMdPath(sf))) {
       import spark.implicits._
       val spec = CorpusGen.specFor(sf)
       val golden = spark.range(0, spec.docs.toLong, 1,
@@ -62,17 +65,34 @@ object Corpus {
         .write.mode(SaveMode.Overwrite).parquet(goldenMdPath(sf))
       golden.map(e => (e.doc_id, e.html)).toDF("doc_id", "html")
         .write.mode(SaveMode.Overwrite).parquet(goldenHtmlPath(sf))
+      golden.map(e => (e.doc_id, graft.parse.HtmlText.htmlToMarkdown(e.html)))
+        .toDF("doc_id", "md_from_html")
+        .write.mode(SaveMode.Overwrite).parquet(goldenHtmlMdPath(sf))
       golden.map { e =>
         val r = graft.parse.Corrector.correct(e.markdown)
-        (e.doc_id, r.corrected, r.regexFired.toLong)
-      }.toDF("doc_id", "corrected_md", "regex_fired")
+        (e.doc_id, r.corrected, r.regexFired.toLong,
+          graft.parse.Corrector.editEstimate(e.markdown, r.corrected).toLong)
+      }.toDF("doc_id", "corrected_md", "regex_fired", "edit_est")
         .write.mode(SaveMode.Overwrite).parquet(goldenCorrectedPath(sf))
       golden.map(e => (1L, e.spans.size.toLong,
-          e.spans.count(_.kind == Kind.Error).toLong))
-        .toDF("docs", "spans", "failures")
-        .groupBy().sum("docs", "spans", "failures")
-        .toDF("total_docs", "total_spans", "total_failures")
+          e.spans.count(_.kind == Kind.Error).toLong, e.conf_pm))
+        .toDF("docs", "spans", "failures", "conf")
+        .agg(org.apache.spark.sql.functions.sum("docs").as("total_docs"),
+          org.apache.spark.sql.functions.sum("spans").as("total_spans"),
+          org.apache.spark.sql.functions.sum("failures").as("total_failures"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(floor(sum(conf) / count(1)) AS BIGINT)").as("avg_conf_pm"))
         .write.mode(SaveMode.Overwrite).parquet(goldenTotalsPath(sf))
+      // page-granular metrics totals via the sequential oracle
+      spark.range(0, spec.docs.toLong, 1,
+          math.min(spec.docs, spark.sparkContext.defaultParallelism * 2))
+        .map(i => Oracle.pageStats(CorpusGen.genDoc(i, spec)))
+        .toDF("pages", "spans", "failures", "conf")
+        .agg(org.apache.spark.sql.functions.sum("pages").as("total_pages"),
+          org.apache.spark.sql.functions.sum("spans").as("total_spans"),
+          org.apache.spark.sql.functions.sum("failures").as("total_failures"),
+          org.apache.spark.sql.functions.sum("conf").as("sum_conf_pm"))
+        .write.mode(SaveMode.Overwrite).parquet(goldenMetricsPath(sf))
       golden.unpersist()
     }
     spansPath

@@ -19,9 +19,12 @@ final case class Doc(doc_id: String, spans: Seq[InSpan])
   */
 final case class OutSpan(kind: String, text: String, media_ref: String, order: Int)
 
-/** Extracted document: ordered spans + rendered markdown/html (SPEC.md §7–8). */
+/** Extracted document: ordered spans + rendered markdown/html (SPEC.md §7–8)
+  * + doc-level average confidence (tasks.py:365–368: mean of per-page
+  * confidences, floored to per-mille — integer-exact restatement).
+  */
 final case class Extracted(doc_id: String, spans: Seq[OutSpan], markdown: String,
-                           html: String)
+                           html: String, conf_pm: Long)
 
 /** A parsed geometric line lifted from a `pdf_line` span payload. */
 final case class Line(
@@ -52,13 +55,17 @@ final case class HtmlBlock(depth: Int, tag: String, linkTextLen: Int, raw: Strin
 /** Figure/image span to be linked in reading order. */
 final case class MediaSpan(caption: String, mediaRef: String, offset: Int)
 
-/** Per-page parse result before document assembly. */
+/** Per-page parse result before document assembly. `confPm` is the page's
+  * average OCR confidence in per-mille (ocr_engine.py:690–695; 0 for pages
+  * with no confidence-bearing lines and for failed pages).
+  */
 final case class PageResult(
     pageNo: Int,
     spans: Seq[OutSpan],     // order field holds the WITHIN-PAGE index here
     markdown: String,
     html: String,
-    parseFailed: Boolean)
+    parseFailed: Boolean,
+    confPm: Int)
 
 /** Fixed page geometry (FIXTURES.md §1: A4 @ 300 DPI, config.py:79–82). */
 object Page {

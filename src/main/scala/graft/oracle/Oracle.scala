@@ -28,7 +28,21 @@ object Oracle {
     val html = results.map(r =>
       s"""<div class="page-section" data-page="${r.pageNo}">\n${r.html}\n</div>""")
       .mkString("\n")
-    Extracted(doc.doc_id, out.result(), md, html)
+    // doc avg confidence (tasks.py:365–368): mean of page confs, per-mille floor
+    val conf = if (results.isEmpty) 0L
+               else results.map(_.confPm.toLong).sum / results.length
+    Extracted(doc.doc_id, out.result(), md, html, conf)
+  }
+
+  /** Sequential page-level stats for the metrics oracle: (pages, spans,
+    * failures, sum of page confidences in per-mille) for one document.
+    */
+  def pageStats(doc: Doc): (Long, Long, Long, Long) = {
+    val results = DocParser.splitPages(doc.spans).map { case (n, s) => PageParser.parse(n, s) }
+    (results.size.toLong,
+     results.map(_.spans.size.toLong).sum,
+     results.count(_.parseFailed).toLong,
+     results.map(_.confPm.toLong).sum)
   }
 
   /** Golden corpus for a scale factor, lazily. */

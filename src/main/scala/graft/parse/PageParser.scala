@@ -22,7 +22,8 @@ object PageParser {
                                  kind: String, text: String, mediaRef: String,
                                  indented: Boolean, plain: String = "",
                                  bold: Boolean = false, align: String = "left",
-                                 gap: Int = 0, h: Int = 0)
+                                 gap: Int = 0, h: Int = 0,
+                                 htmlStyle: String = HtmlText.Normal)
 
   def parse(pageNo: Int, spans: Seq[InSpan]): PageResult = {
     try parseInner(pageNo, spans)
@@ -36,8 +37,10 @@ object PageParser {
     */
   private def failed(pageNo: Int): PageResult = {
     val text = s"[처리 실패: page $pageNo]"
+    // error path carries confidence 0.0 (ocr_engine.py:699–701)
     PageResult(pageNo, Seq(OutSpan(Kind.Error, text, "", 0)), text,
-      s"""<p class="error">${Html.escape(text)}</p>""", parseFailed = true)
+      s"""<p class="error">${Html.escape(text)}</p>""", parseFailed = true,
+      confPm = 0)
   }
 
   private def parseInner(pageNo: Int, spans: Seq[InSpan]): PageResult = {
@@ -99,6 +102,11 @@ object PageParser {
       val med2h = Geometry.median2x(textLines.map(_.h))
       val posDens = textLines.map(_.densityPm).filter(_ > 0)
       val med2d = if (posDens.nonEmpty) Geometry.median2x(posDens) else 1000L // 0.5 * 2
+      // HTML-path baselines: upper-median font (html_generator.py:698–705)
+      // and median stroke width (layout_analyzer.py:434–439) over the same
+      // post-masking text population the style loop runs on
+      val medFont = HtmlText.upperMedian(textLines.map(_.h))
+      val med2Stroke = Geometry.median2x(textLines.map(_.strokePm))
       val minX = textLines.map(_.x).min
       val gaps = Style.spacingBefore(textLines)
       textLines.foreach { l =>
@@ -107,10 +115,14 @@ object PageParser {
         val indent = Style.isIndented(l.x, minX)
         val corrected = Typo.fixTypos(l.raw)
         val text = if (bold) s"**$corrected**" else corrected
+        // html surface: stroke-width bold feeds the html_generator classifier
+        // (format_ocr_results, html_generator.py:707–743)
+        val strokeBold = Style.isBoldStroke(l.strokePm, med2Stroke)
+        val hStyle = HtmlText.detectTextStyle(corrected, l.h, medFont, strokeBold)
         keyed += Keyed(1, l.y, l.x, l.offset, tag, text, "", indent,
           plain = corrected, bold = bold,
           align = Style.alignment(l.x, l.x2, Page.Width),
-          gap = gaps(l.offset), h = l.h)
+          gap = gaps(l.offset), h = l.h, htmlStyle = hStyle)
       }
     }
 
@@ -154,6 +166,10 @@ object PageParser {
     }.mkString("\n\n")
 
     // ---- page HTML (html_generator.py:304–456; SPEC.md §7b) ---------------
+    // Text-line tags come from the HTML-path classifier (detect_text_style,
+    // html_generator.py:241–302): h1/h2/h3 headings, `bold` → <strong>
+    // paragraph (html_generator.py:357–361), normal → plain paragraph. The
+    // class dialect (align-*/indented/size-*) is SPEC.md §7b's restatement.
     val html = ordered.map { k =>
       k.kind match {
         case Kind.Table => Html.mdTableToHtml(k.text, "ocr-table")
@@ -162,16 +178,25 @@ object PageParser {
           val cap = Html.escape(k.text)
           s"""<figure><img src="${k.mediaRef}" alt="$cap"/><figcaption>$cap</figcaption></figure>"""
         case _ if k.band == 3 => s"<p>${Html.escape(k.text)}</p>"
-        case tag => // text line: h1 | h2 | p
+        case _ => // text line: styled via the html-path classifier
           val cls = s"align-${k.align}" +
             (if (k.indented) " indented" else "") + Html.sizeClass(k.h)
           val body0 = Html.escape(k.plain)
-          val body = if (k.bold) s"<strong>$body0</strong>" else body0
+          val (tag, body) = k.htmlStyle match {
+            case HtmlText.Heading1 | HtmlText.Heading2 | HtmlText.Heading3 =>
+              (k.htmlStyle, body0)
+            case HtmlText.Bold => ("p", s"<strong>$body0</strong>")
+            case _ => ("p", body0)
+          }
           Html.spacingDivs(k.gap) + s"""<$tag class="$cls">$body</$tag>"""
       }
     }.mkString("\n")
 
-    PageResult(pageNo, out, md, html, parseFailed = false)
+    // page confidence over ALL OCR lines of the page, pre-masking — the
+    // reference averages the raw engine output (ocr_engine.py:690–695)
+    val confPm = Style.pageConfPm(lines.map(_.confPm).toSeq)
+
+    PageResult(pageNo, out, md, html, parseFailed = false, confPm = confPm)
   }
 }
 
@@ -217,7 +242,11 @@ object DocParser {
     val html = sorted.map(p =>
       s"""<div class="page-section" data-page="${p.pageNo}">\n${p.html}\n</div>""")
       .mkString("\n")
-    Extracted(docId, spans.toSeq, md, html)
+    // doc avg confidence = mean of page confidences (tasks.py:365–368),
+    // floored to per-mille; non-negative ints so / floors exactly
+    val conf = if (sorted.isEmpty) 0L
+               else sorted.map(_.confPm.toLong).sum / sorted.length
+    Extracted(docId, spans.toSeq, md, html, conf)
   }
 
   /** Full sequential parse of one document. */

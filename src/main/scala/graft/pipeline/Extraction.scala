@@ -14,6 +14,7 @@ final case class PageRes(
     md: String,
     html: String,
     failed: Boolean,
+    conf_pm: Int,          // page avg confidence, per-mille (ocr_engine.py:690–695)
     part_id: Int,
     wall_ms: Long)
 
@@ -81,14 +82,16 @@ object Extraction {
         val t0 = System.nanoTime()
         val r = PageParser.parse(pageNo, pageSpans)
         val ms = (System.nanoTime() - t0) / 1000000
-        PageRes(docId, r.pageNo, r.spans, r.markdown, r.html, r.parseFailed, pid, ms)
+        PageRes(docId, r.pageNo, r.spans, r.markdown, r.html, r.parseFailed,
+          r.confPm, pid, ms)
       }
     }
   }
 
   /** Stage 3: salted two-phase page→document assembly (SPEC.md §7–8). */
   def assemble(parsed: Dataset[PageRes], salted: Boolean = true): DataFrame = {
-    val pageStruct = struct(col("page_no"), col("spans"), col("md"), col("html"))
+    val pageStruct = struct(col("page_no"), col("spans"), col("md"), col("html"),
+      col("conf_pm"))
 
     val perDoc =
       if (salted) {
@@ -128,7 +131,12 @@ object Extraction {
           concat(lit("<div class=\"page-section\" data-page=\""),
             p.getField("page_no").cast("string"), lit("\">\n"),
             p.getField("html"), lit("\n</div>"))),
-        "\n").as("html"))
+        "\n").as("html"),
+      // doc avg confidence = floor(mean of page confs) — sums fit a double
+      // exactly (≤ 1000 per page), so floor() is integer-exact
+      floor(aggregate(col("pages"), lit(0L),
+          (acc, p) => acc + p.getField("conf_pm")) / size(col("pages")))
+        .cast("long").as("conf_pm"))
   }
 
   /** Full pipeline: input path → extracted (doc_id, spans, markdown). */
@@ -154,7 +162,7 @@ object Extraction {
     import spark.implicits._
     readInput(spark, inputPath)
       .mapPartitions(_.map(DocParser.parseDoc))
-      .toDF("doc_id", "spans", "markdown", "html")
+      .toDF("doc_id", "spans", "markdown", "html", "conf_pm")
   }
 
   /** Per-partition lineage + extraction metrics (FIXTURES.md §3) from a parsed
@@ -171,11 +179,25 @@ object Extraction {
         count(lit(1)).as("pages_parsed"),
         sum(size(col("spans"))).as("spans_emitted"),
         sum(when(col("failed"), 1L).otherwise(0L)).as("parse_failures"),
+        sum(col("conf_pm").cast("long")).as("sum_conf_pm"),
         sum(col("wall_ms")).as("wall_ms"))
       .withColumn("run_id", lit(runId))
       .withColumn("snapshot_id", lit(snapshotId))
       .select("run_id", "snapshot_id", "partition_id", "doc_lo", "doc_hi",
-        "pages_parsed", "spans_emitted", "parse_failures", "wall_ms")
+        "pages_parsed", "spans_emitted", "parse_failures", "sum_conf_pm",
+        "wall_ms")
+  }
+
+  /** Deterministic totals over the metrics table (the driver-oracled view;
+    * the per-partition rows above are the operational lineage surface, whose
+    * grouping depends on the physical partitioning).
+    */
+  def metricsTotals(metricsDf: DataFrame): DataFrame = {
+    metricsDf.agg(
+      sum(col("pages_parsed")).cast("long").as("total_pages"),
+      sum(col("spans_emitted")).cast("long").as("total_spans"),
+      sum(col("parse_failures")).cast("long").as("total_failures"),
+      sum(col("sum_conf_pm")).cast("long").as("sum_conf_pm"))
   }
 
   /** Exploded per-span view (the comparator/driver-facing shape). */

@@ -52,7 +52,8 @@ object ExtractDocs {
     StructField("doc_id", StringType),
     StructField("spans", ArrayType(spanType)),
     StructField("markdown", StringType),
-    StructField("html", StringType)))
+    StructField("html", StringType),
+    StructField("conf_pm", LongType, nullable = false)))
 
   /** Build the extraction DataFrame over an input table via the custom node.
     * Registers the strategy on the session (idempotent).
@@ -95,14 +96,22 @@ final case class ExtractDocsExec(output: Seq[Attribute], child: SparkPlan)
       // unchecked — a GenericInternalRow segfaults under JIT'd readers)
       val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
       rows.map { row =>
-        // manual decode — no Encoder machinery
+        // manual decode — no Encoder machinery. The child contract is
+        // non-null (doc_id, spans, span fields); violations fail with a
+        // diagnosable message instead of an opaque NPE (ADVICE round 1).
+        require(!row.isNullAt(0) && !row.isNullAt(1),
+          "ExtractDocs child contract: doc_id and spans must be non-null")
         val docId = row.getUTF8String(0).toString
         val arr = row.getArray(1)
         val n = arr.numElements()
         val spans = new Array[InSpan](n)
         var i = 0
         while (i < n) {
+          require(!arr.isNullAt(i),
+            s"ExtractDocs child contract: null span element at $i (doc $docId)")
           val s = arr.getStruct(i, 4)
+          require(!s.isNullAt(0) && !s.isNullAt(1) && !s.isNullAt(2),
+            s"ExtractDocs child contract: null span field at $i (doc $docId)")
           spans(i) = InSpan(
             s.getUTF8String(0).toString,
             s.getUTF8String(1).toString,
@@ -123,7 +132,8 @@ final case class ExtractDocsExec(output: Seq[Attribute], child: SparkPlan)
         toUnsafe(new GenericInternalRow(Array[Any](
           UTF8String.fromString(e.doc_id), new GenericArrayData(outSpans),
           UTF8String.fromString(e.markdown),
-          UTF8String.fromString(e.html)))): InternalRow
+          UTF8String.fromString(e.html),
+          e.conf_pm))): InternalRow
       }
     }
   }

@@ -97,7 +97,7 @@ class PropertySpec extends AnyFunSuite with Matchers {
     forAll(Gen.listOf(Gen.chooseNum(1, 200))) { pageNos =>
       val pages = pageNos.distinct.map(n =>
         PageResult(n, Seq(OutSpan(Kind.P, s"p$n", "", 0)), s"md$n", s"<p>p$n</p>",
-          parseFailed = false))
+          parseFailed = false, confPm = n % 1000))
       val direct = DocParser.assemble("d", pages)
       val shuffledIn = DocParser.assemble("d", scala.util.Random.shuffle(pages))
       shuffledIn shouldBe direct

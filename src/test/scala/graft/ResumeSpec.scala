@@ -79,13 +79,18 @@ class ResumeSpec extends AnyFunSuite with Matchers {
     TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "mrun", 4)
     val m = TableIO.readMetrics(spark, s"$tmp/out").get
     m.columns shouldBe Array("run_id", "snapshot_id", "partition_id", "doc_lo",
-      "doc_hi", "pages_parsed", "spans_emitted", "parse_failures", "wall_ms")
+      "doc_hi", "pages_parsed", "spans_emitted", "parse_failures",
+      "sum_conf_pm", "wall_ms")
 
     val totalPages = all.map(d => graft.parse.DocParser.splitPages(d.spans).size.toLong).sum
     m.agg(sum($"pages_parsed")).as[Long].head() shouldBe totalPages
     m.agg(sum($"parse_failures")).as[Long].head() shouldBe Oracle.expectedFailures(spec)
     val goldenSpans = all.map(d => Oracle.golden(d).spans.size.toLong).sum
     m.agg(sum($"spans_emitted")).as[Long].head() shouldBe goldenSpans
+    // confidence mass matches the sequential oracle (ocr_engine.py:690–695)
+    val confMass = all.map(d => Oracle.pageStats(d)._4).sum
+    m.agg(sum($"sum_conf_pm")).as[Long].head() shouldBe confMass
+    confMass should be > 0L
     // lineage ranges are real doc ids
     m.select("doc_lo").as[String].collect().foreach(_ should startWith("doc-"))
   }
