@@ -26,6 +26,12 @@ object SparkEntry {
   private def embTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Materialize the sequential ops oracles for the correctness-gate scales
+    * (skipped at the bench scale, same convention as `extracted`).
+    */
+  private def opsGolden(s: SparkSession, dir: String): Unit =
+    if (Corpus.sfName(dir) != "sf0.1") graft.oracle.OpsGolden.ensure(s, dir)
+
   /** Extraction over the synthesized corpus at the scale matching sfDir,
     * via the fastest oracle-equal physical mode (custom plan node). The
     * fan-out mode keeps its own DuckDB-gated query (`x_extract_spans`).
@@ -131,32 +137,54 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"), col("md5_hex"))),
 
-    // ---- dedup / similarity (non-SQL-expressible → rows-only gate) -----
-    "q_ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docsTable(s, dir), n = 3, minJaccardPm = 200)),
-    "q_minhash_near_dup" -> ((s, dir) =>
-      Dedup.minHashNearDup(docsTable(s, dir), n = 3, minJaccardPm = 200)),
-    "q_simhash_near_dup" -> ((s, dir) =>
-      Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)),
-    "q_ann_brute_topk" -> ((s, dir) =>
-      Similarity.bruteTopK(embTable(s, dir), nQueries = 20, k = 5)),
-    "q_ann_lsh_topk" -> ((s, dir) =>
-      Similarity.lshTopK(embTable(s, dir), nQueries = 20, k = 5)),
+    // ---- dedup / similarity (sequential-oracle golden parquet gate) -----
+    "q_ngram_jaccard_pairs" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Dedup.ngramJaccardPairs(docsTable(s, dir), n = 3, minJaccardPm = 200)
+    }),
+    "q_minhash_near_dup" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Dedup.minHashNearDup(docsTable(s, dir), n = 3, minJaccardPm = 200)
+    }),
+    "q_simhash_near_dup" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+    }),
+    // float scores surface as per-mille longs (driver hashing is
+    // integer-exact; the ranking itself is computed on full doubles)
+    "q_ann_brute_topk" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Similarity.bruteTopK(embTable(s, dir), nQueries = 20, k = 5)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+          floor(col("score") * 1000).cast("long").as("score_pm"))
+    }),
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Similarity.lshTopK(embTable(s, dir), nQueries = 20, k = 5)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+          floor(col("score") * 1000).cast("long").as("score_pm"))
+    }),
     // near-dups are PLANTED (perturbed copies of the first 20 vectors):
     // the driver corpus has no true embedding near-duplicates, so recall is
     // measured against a known ground truth instead of an empty set
     "q_emb_near_dup" -> ((s, dir) => {
+      opsGolden(s, dir)
       val embs = embTable(s, dir)
       Similarity.cosineNearDup(
         embs.select(col("vec_id").cast("long"), col("embedding"))
           .unionByName(Similarity.perturbed(embs, n = 20)),
         minCosinePm = 990)
+        .select(col("a"), col("b"),
+          floor(col("score") * 1000).cast("long").as("score_pm"))
     }),
     "q_media_features" -> ((s, dir) => {
+      opsGolden(s, dir)
       val sf = Corpus.sfName(dir)
       Multimodal.extractFeatures(
         Multimodal.fromCorpus(s, Corpus.ensure(s, sf))).toDF()
-        .select(col("doc_id"), col("media_ref"), col("n_bytes"), col("content_h64"))
+        .select(col("doc_id"), col("media_ref"),
+          col("n_bytes").cast("long").as("n_bytes"), col("content_h64"))
     }),
 
     // ---- classic relational ops over driver tables ---------------------
@@ -243,6 +271,22 @@ object SparkEntry {
         "FROM documents"),
     "q_doc_fingerprint" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_hex FROM documents",
+    // sequential-oracle goldens (graft.oracle.OpsOracle → OpsGolden):
+    // non-SQL-expressible dedup/similarity ops, hash-checked via parquet
+    "q_ngram_jaccard_pairs" ->
+      "SELECT a, b, n_inter, n_a, n_b, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ngram/*.parquet')",
+    "q_minhash_near_dup" ->
+      "SELECT a, b, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/minhash/*.parquet')",
+    "q_simhash_near_dup" ->
+      "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/simhash/*.parquet')",
+    "q_ann_brute_topk" ->
+      "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_brute/*.parquet')",
+    "q_ann_lsh_topk" ->
+      "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_lsh/*.parquet')",
+    "q_emb_near_dup" ->
+      "SELECT a, b, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')",
+    "q_media_features" ->
+      "SELECT doc_id, media_ref, n_bytes, content_h64 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/media/*.parquet')",
     "q_events_gap" ->
       ("SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, " +
         "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +

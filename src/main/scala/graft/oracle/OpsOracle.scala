@@ -1,0 +1,278 @@
+package graft.oracle
+
+import graft.ops.{Dedup, Similarity, Multimodal}
+import graft.corpus.{Corpus, CorpusGen}
+import org.apache.spark.sql.{SparkSession, SaveMode}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+import scala.util.hashing.MurmurHash3
+import java.nio.file.{Files, Paths}
+
+/** Sequential, single-threaded ground truths for the dedup / similarity /
+  * ANN / multimodal operators (VERDICT round 1 item 1: every driver query
+  * needs a DuckDB-checkable oracle; for non-SQL-expressible ops the oracle is
+  * a sequential Scala computation materialized as golden parquet, which the
+  * driver then reads via read_parquet()).
+  *
+  * Independence note (same standard as graft.oracle.Oracle): the sequential
+  * forms share only the LEAF definitions that ARE the operator spec — the
+  * shingle hash (Spark's xxhash64 over the joined n-gram), the minhash
+  * mix/fold, simhash64, the hyperplane family, and the float-exact cosine —
+  * while candidate generation, joins, aggregation and top-k selection are
+  * restated as plain loops with no Spark involvement.
+  */
+object OpsOracle {
+
+  // ---- shared leaf: shingle spec (tokens → n-gram → xxhash64 seed 42) -----
+
+  /** Distinct shingle hashes of a text — the sequential restatement of
+    * `Dedup.shingles` semantics: trim ASCII spaces (Spark `trim`), split on
+    * `\s+` keeping trailing empties (Spark `split` limit -1), require at
+    * least n tokens, hash each space-joined n-gram with xxhash64(seed 42).
+    */
+  def shingleSet(text: String, n: Int): Set[Long] = {
+    var s = text
+    var i0 = 0; var i1 = s.length
+    while (i0 < i1 && s.charAt(i0) == ' ') i0 += 1
+    while (i1 > i0 && s.charAt(i1 - 1) == ' ') i1 -= 1
+    s = s.substring(i0, i1)
+    val toks = s.split("\\s+", -1)
+    if (toks.length < n) return Set.empty
+    (0 to toks.length - n).iterator.map { i =>
+      val gram = toks.slice(i, i + n).mkString(" ")
+      XxHash64Function.hash(UTF8String.fromString(gram), StringType, 42L)
+    }.toSet
+  }
+
+  /** Exact jaccard in per-mille (floor), as the distributed form computes. */
+  private def jaccardPm(a: Set[Long], b: Set[Long]): Long = {
+    val inter = (a intersect b).size.toLong
+    inter * 1000L / (a.size + b.size - inter)
+  }
+
+  // ---- n-gram jaccard pairs ----------------------------------------------
+
+  /** Sequential `Dedup.ngramJaccardPairs`: df-capped candidate generation +
+    * exact jaccard verification. Returns (a, b, n_inter, n_a, n_b, jaccard_pm).
+    */
+  def ngramPairs(docs: Seq[(Long, String)], n: Int, minJaccardPm: Int,
+                 maxDf: Int = 1000): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) => id -> shingleSet(t, n) }.toMap
+    val posting = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    sets.foreach { case (id, sh) =>
+      sh.foreach(h => posting.getOrElseUpdate(h, scala.collection.mutable.ArrayBuffer.empty) += id)
+    }
+    val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
+    posting.values.foreach { ds =>
+      if (ds.size >= 2 && ds.size <= maxDf) {
+        val sorted = ds.sorted
+        for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+          candidates += ((sorted(i), sorted(j)))
+      }
+    }
+    candidates.iterator.flatMap { case (a, b) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa intersect sb).size.toLong
+      val jpm = inter * 1000L / (sa.size + sb.size - inter)
+      if (jpm >= minJaccardPm)
+        Some((a, b, inter, sa.size.toLong, sb.size.toLong, jpm))
+      else None
+    }.toSeq.sorted
+  }
+
+  // ---- minhash + LSH ------------------------------------------------------
+
+  /** Sequential `Dedup.minHashNearDup`: k-min signatures (shared fold),
+    * band buckets, candidate pairs, exact-jaccard verify.
+    */
+  def minhashPairs(docs: Seq[(Long, String)], n: Int, k: Int, bands: Int,
+                   minJaccardPm: Int): Seq[(Long, Long, Long)] = {
+    val rowsPerBand = k / bands
+    val sets = docs.map { case (id, t) => id -> shingleSet(t, n) }
+      .filter(_._2.nonEmpty).toMap
+    val buckets = scala.collection.mutable.Map.empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Long]]
+    sets.foreach { case (id, sh) =>
+      val sig = Dedup.minhashSig(sh, k)
+      for (b <- 0 until bands) {
+        val key = (b, MurmurHash3.arrayHash(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)))
+        buckets.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += id
+      }
+    }
+    val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
+    buckets.values.foreach { ds =>
+      if (ds.size >= 2) {
+        val sorted = ds.distinct.sorted
+        for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+          candidates += ((sorted(i), sorted(j)))
+      }
+    }
+    candidates.iterator.flatMap { case (a, b) =>
+      val jpm = jaccardPm(sets(a), sets(b))
+      if (jpm >= minJaccardPm) Some((a, b, jpm)) else None
+    }.toSeq.sorted
+  }
+
+  // ---- simhash ------------------------------------------------------------
+
+  /** Sequential `Dedup.simHashNearDup`: brute-force all-pairs Hamming — the
+    * banding is exhaustive by the pigeonhole principle, so brute force is the
+    * stronger (fully independent) oracle.
+    */
+  def simhashPairs(docs: Seq[(Long, String)], maxHamming: Int): Seq[(Long, Long, Int)] = {
+    val sims = docs.map { case (id, t) => id -> Dedup.simhash64(t) }.sortBy(_._1)
+    (for {
+      i <- sims.indices.iterator
+      j <- (i + 1) until sims.length
+      h = java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2)
+      if h <= maxHamming
+    } yield (sims(i)._1, sims(j)._1, h)).toSeq.sorted
+  }
+
+  // ---- ANN ----------------------------------------------------------------
+
+  /** Float-exact cosine: multiply in FLOAT precision, accumulate in double —
+    * exactly what `Similarity.cosine` compiles to over array<float> columns
+    * (zip_with multiply keeps float, aggregate widens each term to double).
+    */
+  def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) { val p: Float = a(i) * b(i); dot += p; i += 1 }
+    i = 0
+    while (i < a.length) { val p: Float = a(i) * a(i); na += p; i += 1 }
+    i = 0
+    while (i < b.length) { val p: Float = b(i) * b(i); nb += p; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def rankTopK(cands: Seq[(Long, Double)], k: Int): Seq[(Long, Int, Double)] =
+    cands.sortBy { case (n, s) => (-s, n) }.take(k)
+      .zipWithIndex.map { case ((n, s), i) => (n, i + 1, s) }
+
+  /** Sequential `Similarity.bruteTopK`: (q_id, n_id, rank, score). */
+  def bruteTopK(embs: Seq[(Long, Array[Float])], nQueries: Int, k: Int): Seq[(Long, Long, Int, Double)] =
+    embs.filter(_._1 < nQueries).sortBy(_._1).flatMap { case (q, qv) =>
+      val scored = embs.collect { case (n, nv) if n != q => (n, cosineF(qv, nv)) }
+      rankTopK(scored, k).map { case (n, r, s) => (q, n, r, s) }
+    }
+
+  /** The multi-probe bucket set of a vector (own bucket + 1-bit flips). */
+  private def probes(bucket: Int, nPlanes: Int): Set[Int] =
+    (bucket +: Array.tabulate(nPlanes)(i => bucket ^ (1 << i))).toSet
+
+  /** Sequential `Similarity.lshTopK`. */
+  def lshTopK(embs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
+              nPlanes: Int, seed: Long): Seq[(Long, Long, Int, Double)] = {
+    val dim = embs.head._2.length
+    val planes = Similarity.hyperplanesFor(dim, nPlanes, seed)
+    val bucketed = embs.map { case (id, v) => (id, v, Similarity.bucketOf(v, planes)) }
+    bucketed.filter(_._1 < nQueries).sortBy(_._1).flatMap { case (q, qv, qb) =>
+      val pbs = probes(qb, nPlanes)
+      val scored = bucketed.collect {
+        case (n, nv, nb) if n != q && pbs.contains(nb) => (n, cosineF(qv, nv))
+      }
+      rankTopK(scored, k).map { case (n, r, s) => (q, n, r, s) }
+    }
+  }
+
+  /** Sequential `Similarity.cosineNearDup`: pair (a<b) is a candidate iff
+    * b's bucket is in a's probe set (probe expansion runs on the smaller-id
+    * side in the distributed join); exact cosine, threshold in per-mille.
+    */
+  def cosineNearDup(embs: Seq[(Long, Array[Float])], minCosinePm: Int,
+                    nPlanes: Int, seed: Long): Seq[(Long, Long, Double)] = {
+    val dim = embs.head._2.length
+    val planes = Similarity.hyperplanesFor(dim, nPlanes, seed)
+    val bucketed = embs.map { case (id, v) => (id, v, Similarity.bucketOf(v, planes)) }
+      .sortBy(_._1)
+    (for {
+      i <- bucketed.indices.iterator
+      j <- (i + 1) until bucketed.length
+      (a, av, ab) = bucketed(i)
+      (b, bv, bb) = bucketed(j)
+      if probes(ab, nPlanes).contains(bb)
+      s = cosineF(av, bv)
+      if s * 1000 >= minCosinePm
+    } yield (a, b, s)).toSeq
+  }
+
+  /** Sequential `Similarity.perturbed` (shared perturbation leaf). */
+  def perturbed(embs: Seq[(Long, Array[Float])], n: Int, seed: Long = 7,
+                noise: Float = 0.002f, idOffset: Long = 1000000L): Seq[(Long, Array[Float])] =
+    embs.filter(_._1 < n).map { case (id, v) =>
+      val rng = new scala.util.Random(seed + id)
+      (id + idOffset, v.map(x => x + (rng.nextFloat() - 0.5f) * 2 * noise))
+    }
+
+  /** Sequential `Multimodal` features over the synthetic corpus: every
+    * media-bearing span → (doc_id, media_ref, n_bytes, content_h64).
+    */
+  def mediaFeatures(spec: CorpusGen.Spec): Iterator[(String, String, Long, Long)] =
+    CorpusGen.genAll(spec).flatMap { d =>
+      d.spans.filter(_.media_ref.nonEmpty).map { s =>
+        val content = Multimodal.syntheticContent(s.media_ref)
+        val h64 = (MurmurHash3.bytesHash(content).toLong << 32) |
+          (content.length.toLong & 0xffffffffL)
+        (d.doc_id, s.media_ref, content.length.toLong, h64)
+      }
+    }
+}
+
+/** Materializes the sequential ops oracles as golden parquet under
+  * data/golden_ops/<sf>/<name> (the same pattern as Corpus.ensureGolden);
+  * the driver's oracle SQL reads them via read_parquet().
+  */
+object OpsGolden {
+
+  def path(sf: String, name: String): String = s"${Corpus.Root}/golden_ops/$sf/$name"
+
+  private def exists(p: String): Boolean = Files.exists(Paths.get(p, "_SUCCESS"))
+
+  private val names = Seq("ngram", "minhash", "simhash", "ann_brute", "ann_lsh",
+    "embdup", "media")
+
+  /** Idempotently generate all ops goldens for one testdata dir. */
+  def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val sf = Corpus.sfName(sfDir)
+    if (names.forall(n => exists(path(sf, n)))) return
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+
+    def write[T <: Product : org.apache.spark.sql.Encoder](
+        name: String, rows: Seq[T], cols: Seq[String]): Unit =
+      spark.createDataset(rows).toDF(cols: _*)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path(sf, name))
+
+    write("ngram", OpsOracle.ngramPairs(docs, n = 3, minJaccardPm = 200),
+      Seq("a", "b", "n_inter", "n_a", "n_b", "jaccard_pm"))
+    write("minhash", OpsOracle.minhashPairs(docs, n = 3, k = 64, bands = 16,
+        minJaccardPm = 200),
+      Seq("a", "b", "jaccard_pm"))
+    write("simhash",
+      OpsOracle.simhashPairs(docs, maxHamming = 7)
+        .map { case (a, b, h) => (a, b, h.toLong) },
+      Seq("a", "b", "hamming"))
+    write("ann_brute",
+      OpsOracle.bruteTopK(embs, nQueries = 20, k = 5)
+        .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
+      Seq("q_id", "n_id", "rank", "score_pm"))
+    write("ann_lsh",
+      OpsOracle.lshTopK(embs, nQueries = 20, k = 5, nPlanes = 8, seed = 42)
+        .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
+      Seq("q_id", "n_id", "rank", "score_pm"))
+    write("embdup",
+      OpsOracle.cosineNearDup(embs ++ OpsOracle.perturbed(embs, n = 20),
+          minCosinePm = 990, nPlanes = 10, seed = 42)
+        .map { case (a, b, s) => (a, b, math.floor(s * 1000).toLong) },
+      Seq("a", "b", "score_pm"))
+    write("media",
+      OpsOracle.mediaFeatures(CorpusGen.specFor(sf)).toSeq,
+      Seq("doc_id", "media_ref", "n_bytes", "content_h64"))
+  }
+}

@@ -96,6 +96,51 @@ class OpsSpec extends AnyFunSuite with Matchers {
     planted.subsetOf(found) shouldBe true
   }
 
+  test("two-phase top-k: no per-query Window funnel in the physical plan") {
+    Similarity.bruteTopK(embs, nQueries = 10, k = 5)
+      .queryExecution.executedPlan.toString should not include "Window"
+    Similarity.lshTopK(embs, nQueries = 10, k = 5)
+      .queryExecution.executedPlan.toString should not include "Window"
+  }
+
+  test("MinHashSigAgg (distributed k-min fold) == sequential minhashSig per doc") {
+    val sh = Dedup.shingles(docs, 3)
+    val viaAgg = sh.as[(Long, Long)].groupByKey(_._1)
+      .agg(new Dedup.MinHashSigAgg(64).toColumn).collect().toMap
+    val seq = sh.as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, rows) => d -> Dedup.minhashSig(rows.map(_._2), 64) }
+    viaAgg.keySet shouldBe seq.keySet
+    viaAgg.foreach { case (d, sig) => sig.toSeq shouldBe seq(d).toSeq }
+  }
+
+  test("ngramJaccardPairs reports EXACT jaccard (uncapped verify step)") {
+    // brute-force sequential ground truth over full shingle sets; the df cap
+    // cannot bind at this scale (500 docs < maxDf), so candidate recall is 1
+    // and the whole output must match exactly
+    val sets = Dedup.shingles(docs, 3).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rows) => d -> rows.map(_._2).toSet }
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      inter = (sets(ids(i)) intersect sets(ids(j))).size
+      if inter > 0
+      jpm = inter.toLong * 1000 / (sets(ids(i)).size + sets(ids(j)).size - inter)
+      if jpm >= 200
+    } yield (ids(i), ids(j), jpm)).toSet
+    val got = Dedup.ngramJaccardPairs(docs, n = 3, minJaccardPm = 200)
+      .select($"a", $"b", $"jaccard_pm").as[(Long, Long, Long)].collect().toSet
+    got shouldBe expected
+    expected should not be empty
+  }
+
+  test("string ids fail fast instead of silently collapsing to NULL") {
+    val strDocs = docs.select(concat(lit("doc-"), $"doc_id").as("doc_id"), $"text")
+    val e = intercept[Exception] {
+      Dedup.simHashNearDup(strDocs, maxHamming = 7).count()
+    }
+    e.getMessage should include("not castable to long")
+  }
+
   test("multimodal plumbing: features deterministic, batch path exercised") {
     val sf = "sf0.001"
     val path = graft.corpus.Corpus.ensure(spark, sf)
