@@ -36,6 +36,13 @@ object Bench {
 
     val sf = Corpus.sfName(sfDir)
     val corpusPath = Corpus.ensure(spark, sf) // excluded from timing
+    // pre-materialize exactly what the queries would lazily ensure, so
+    // first-run golden/oracle generation never lands in the timed region
+    // (ADVICE round 1); at the bench sf0.1 the queries skip these anyway
+    if (sf != "sf0.1") {
+      Corpus.ensureGolden(spark, sf)
+      graft.oracle.OpsGolden.ensure(spark, sfDir)
+    }
 
     // headline: end-to-end extraction throughput via the fastest
     // oracle-equal physical mode (BENCH.md shoot-out: the custom plan node).
@@ -51,18 +58,38 @@ object Bench {
     val timed = Seq(extractOnce(), extractOnce()).minBy(_._3)
     val (docs, spans, extractSec) = timed
 
+    // each query is materialized via a noop-format write, which sinks EVERY
+    // output column — a bare count() lets Catalyst prune unreferenced
+    // projections and under-measures projection-heavy queries (VERDICT
+    // round 1 item 4). Failures are recorded, never silently timed as work.
+    final case class QRes(secs: Double, rows: Long, ok: Boolean)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+      val res =
+        try {
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          val secs = (System.nanoTime() - t) / 1e9
+          QRes(secs, df.count(), ok = true) // row count untimed, for sanity
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            QRes((System.nanoTime() - t) / 1e9, -1L, ok = false)
+        }
+      name -> res
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.secs }
       .mkString("{", ",", "}")
-    val total = results.values.sum + extractSec
+    val qrows = results.map { case (k, v) => "\"" + k + "\":" + v.rows }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if !v.ok => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.map(_.secs).sum + extractSec
     val dps = docs / extractSec
     val sps = spans / extractSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""query_rows":$qrows,"failed_queries":$failed,""" +
       s""""extraction":{"mode":"custom","docs":$docs,"spans":$spans,"secs":$extractSec,""" +
       s""""docs_per_sec":$dps,"spans_per_sec":$sps},"cpus":$cpus}""")
     spark.stop()

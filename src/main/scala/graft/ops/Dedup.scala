@@ -31,7 +31,14 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("content_md5"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
 
-  /** Distinct word n-gram shingle hashes per doc: (doc_id, shingle). */
+  /** Word n-gram shingle hashes per doc: (doc_id, shingle). NOT globally
+    * deduplicated — a global `.distinct()` would shuffle the whole shingle
+    * table before any aggregation. Every consumer applies set semantics
+    * where it matters (`collect_set` posting lists, `countDistinct` sizes,
+    * `array_intersect` verify), and the k-min signature fold is idempotent
+    * to duplicates, so the signature path never shuffles raw shingles at
+    * all (map-side partial aggregation into k-long buffers).
+    */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"), toks.as("toks"))
@@ -39,17 +46,18 @@ object Dedup {
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), size(col("toks")) - n),
           i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("shingle"))
-      .distinct()
   }
 
-  /** Candidate pairs from an inverted shingle index: docs sharing at least
-    * one shingle with document frequency in [2, maxDf]. The cap drops
-    * non-discriminative stop-shingles, bounding the per-shingle pair fan-out
-    * to O(maxDf^2) — the price is candidate recall: a pair whose EVERY shared
-    * shingle has df > maxDf is not generated (mass-duplicate clusters larger
-    * than maxDf need the exact `content_md5` dedup pass first).
+  /** Per-shingle pair stream over the df-capped inverted index, aggregated
+    * to capped intersection counts: (a, b, n_inter_capped). One
+    * groupBy-shingle shuffle + one groupBy-pair shuffle, no join — the pair
+    * loop runs inside the aggregated posting-list row. The df cap in
+    * [2, maxDf] drops non-discriminative stop-shingles, bounding the
+    * per-shingle fan-out to O(maxDf^2); a pair whose EVERY shared shingle
+    * has df > maxDf is invisible to this index (mass-duplicate clusters
+    * larger than maxDf need the exact `content_md5` dedup pass first).
     */
-  private def candidatePairs(sh: DataFrame, maxDf: Int): DataFrame = {
+  private def cappedInterCounts(sh: DataFrame, maxDf: Int): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     sh.groupBy("shingle")
@@ -62,23 +70,31 @@ object Dedup {
           yield (sorted(i), sorted(j))
       }
       .toDF("a", "b")
-      .distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter_capped"))
   }
 
-  /** Exact Jaccard for candidate pairs, computed over the FULL (uncapped)
-    * shingle index — the df cap above only gates candidate generation, so
-    * reported jaccard values are exact (ADVICE round 1).
+  /** Exact Jaccard for candidate pairs, recomputed over the FULL uncapped
+    * shingle index, so reported values are exact (ADVICE round 1). The
+    * index is first pruned to candidate docs (left-semi) and grouped to one
+    * sorted array per doc; the intersection then runs map-side inside
+    * codegen'd `array_intersect` after two hash joins — no exploded
+    * shingle-level join, no per-pair groupBy-count shuffle.
     */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+  private def verifyJaccard(candidatePlan: DataFrame, sh: DataFrame,
                             minJaccardPm: Int): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(sh.toDF("a", "shingle"), Seq("a"))
-      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.toDF("a", "n_a"), Seq("a"))
-      .join(counts.toDF("b", "n_b"), Seq("b"))
+    // the candidate subtree feeds BOTH the semi-join prune and the pair join;
+    // materialize it once (it is small) so it is not computed twice
+    val candidates = candidatePlan.localCheckpoint(true)
+    val ids = candidates.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val arrays = sh.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs"))
+    candidates
+      .join(arrays.toDF("a", "shs_a"), Seq("a"))
+      .join(arrays.toDF("b", "shs_b"), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_inter"),
+        size(col("shs_a")).cast("long").as("n_a"),
+        size(col("shs_b")).cast("long").as("n_b"))
       .withColumn("jaccard_pm",
         floor(col("n_inter") * lit(1000) / (col("n_a") + col("n_b") - col("n_inter"))).cast("long"))
       .where(col("jaccard_pm") >= minJaccardPm)
@@ -86,17 +102,34 @@ object Dedup {
 
   /** N-gram Jaccard near-dup pairs via an inverted shingle index.
     *
-    * Plan: shingles → posting lists (one groupBy-shingle shuffle) → df-capped
-    * per-shingle pair loop inside the aggregated row (no two-sided self-join
-    * exchange) → EXACT jaccard recomputed over the uncapped index for the
-    * surviving candidates. Terminal-eager: the (small) result is
+    * Plan: shingles → df-capped pair-stream intersection counts (no join) →
+    * PREFILTER keeping pairs whose CAPPED jaccard already clears the
+    * threshold → EXACT jaccard recomputed over the uncapped index for the
+    * few survivors. Reported values are always exact (capped_j <= true_j, so
+    * survivors can only move further above the threshold). Recall semantics:
+    * a pair qualifies through its shingles with df <= maxDf — a pair whose
+    * threshold-clearing overlap NEEDS shingles above the cap is out of this
+    * op's scope (that is the mass-boilerplate regime; run exact `content_md5`
+    * dedup / minhash first). The sequential oracle (OpsOracle.ngramPairs)
+    * mirrors exactly these semantics. On boilerplate-heavy corpora the
+    * prefilter is the difference between exact-verifying ~10^2 pairs and
+    * ~10^6 candidates. Terminal-eager: the (small) result is
     * local-checkpointed so the shingle cache can be released before return.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccardPm: Int = 500,
                         maxDf: Int = 1000): DataFrame = {
     val sh = shingles(docs, n).cache()
     try {
-      verifyJaccard(candidatePairs(sh, maxDf), sh, minJaccardPm)
+      val counts = sh.groupBy("doc_id")
+        .agg(countDistinct(col("shingle")).as("n_sh"))
+      // capped_j >= threshold  <=>  1000*i_c >= pm*(n_a + n_b - i_c)
+      val survivors = cappedInterCounts(sh, maxDf)
+        .join(counts.toDF("a", "n_a"), Seq("a"))
+        .join(counts.toDF("b", "n_b"), Seq("b"))
+        .where(col("n_inter_capped") * 1000 >=
+          lit(minJaccardPm) * (col("n_a") + col("n_b") - col("n_inter_capped")))
+        .select("a", "b")
+      verifyJaccard(survivors, sh, minJaccardPm)
         .select(col("a"), col("b"), col("n_inter"), col("n_a"), col("n_b"), col("jaccard_pm"))
         .localCheckpoint(true)
     } finally sh.unpersist(false)
@@ -138,10 +171,9 @@ object Dedup {
     * identical to `minhashSig` (elementwise min is commutative/associative).
     */
   final class MinHashSigAgg(k: Int)
-      extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+      extends Aggregator[Long, Array[Long], Array[Long]] {
     override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
-    override def reduce(sig: Array[Long], row: (Long, Long)): Array[Long] = {
-      val h = row._2
+    override def reduce(sig: Array[Long], h: Long): Array[Long] = {
       var i = 0
       while (i < k) {
         val x = mixHash(h, i)
@@ -178,9 +210,10 @@ object Dedup {
 
     val sh = shingles(docs, n).cache()
     try {
-      val buckets = sh.as[(Long, Long)]
-        .groupByKey(_._1)
-        .agg(new MinHashSigAgg(k).toColumn)
+      val sigAgg = udaf(new MinHashSigAgg(k), Encoders.scalaLong)
+      val buckets = sh.groupBy("doc_id")
+        .agg(sigAgg(col("shingle")).as("sig"))
+        .as[(Long, Array[Long])]
         .flatMap { case (doc, sig) =>
           (0 until bands).iterator.map { b =>
             val band = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)

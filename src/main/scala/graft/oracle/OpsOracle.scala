@@ -53,8 +53,10 @@ object OpsOracle {
 
   // ---- n-gram jaccard pairs ----------------------------------------------
 
-  /** Sequential `Dedup.ngramJaccardPairs`: df-capped candidate generation +
-    * exact jaccard verification. Returns (a, b, n_inter, n_a, n_b, jaccard_pm).
+  /** Sequential `Dedup.ngramJaccardPairs`, mirroring its semantics exactly:
+    * capped intersection counts from the df-capped inverted index, prefilter
+    * on the capped jaccard, exact values for the survivors.
+    * Returns (a, b, n_inter, n_a, n_b, jaccard_pm).
     */
   def ngramPairs(docs: Seq[(Long, String)], n: Int, minJaccardPm: Int,
                  maxDf: Int = 1000): Seq[(Long, Long, Long, Long, Long, Long)] = {
@@ -63,21 +65,28 @@ object OpsOracle {
     sets.foreach { case (id, sh) =>
       sh.foreach(h => posting.getOrElseUpdate(h, scala.collection.mutable.ArrayBuffer.empty) += id)
     }
-    val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
+    // capped intersection counts over shingles with df in [2, maxDf]
+    val cappedInter = scala.collection.mutable.Map.empty[(Long, Long), Long]
     posting.values.foreach { ds =>
       if (ds.size >= 2 && ds.size <= maxDf) {
         val sorted = ds.sorted
-        for (i <- sorted.indices; j <- (i + 1) until sorted.length)
-          candidates += ((sorted(i), sorted(j)))
+        for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+          val key = (sorted(i), sorted(j))
+          cappedInter(key) = cappedInter.getOrElse(key, 0L) + 1L
+        }
       }
     }
-    candidates.iterator.flatMap { case (a, b) =>
+    cappedInter.iterator.flatMap { case ((a, b), ic) =>
       val (sa, sb) = (sets(a), sets(b))
-      val inter = (sa intersect sb).size.toLong
-      val jpm = inter * 1000L / (sa.size + sb.size - inter)
-      if (jpm >= minJaccardPm)
-        Some((a, b, inter, sa.size.toLong, sb.size.toLong, jpm))
-      else None
+      // prefilter: capped_j >= threshold (exact rational form)
+      if (ic * 1000L < minJaccardPm.toLong * (sa.size + sb.size - ic)) None
+      else {
+        val inter = (sa intersect sb).size.toLong
+        val jpm = inter * 1000L / (sa.size + sb.size - inter)
+        if (jpm >= minJaccardPm)
+          Some((a, b, inter, sa.size.toLong, sb.size.toLong, jpm))
+        else None
+      }
     }.toSeq.sorted
   }
 

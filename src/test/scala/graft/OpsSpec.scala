@@ -105,8 +105,9 @@ class OpsSpec extends AnyFunSuite with Matchers {
 
   test("MinHashSigAgg (distributed k-min fold) == sequential minhashSig per doc") {
     val sh = Dedup.shingles(docs, 3)
-    val viaAgg = sh.as[(Long, Long)].groupByKey(_._1)
-      .agg(new Dedup.MinHashSigAgg(64).toColumn).collect().toMap
+    val sigAgg = udaf(new Dedup.MinHashSigAgg(64), org.apache.spark.sql.Encoders.scalaLong)
+    val viaAgg = sh.groupBy("doc_id").agg(sigAgg($"shingle").as("sig"))
+      .as[(Long, Array[Long])].collect().toMap
     val seq = sh.as[(Long, Long)].collect().groupBy(_._1)
       .map { case (d, rows) => d -> Dedup.minhashSig(rows.map(_._2), 64) }
     viaAgg.keySet shouldBe seq.keySet
