@@ -243,7 +243,7 @@ object SparkEntry {
     "x_extract_totals" ->
       "SELECT total_docs, total_spans, total_failures, avg_conf_pm FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
     "x_extract_metrics" ->
-      "SELECT total_pages, total_spans, total_failures, sum_conf_pm FROM read_parquet('/root/repo/data/golden_metrics/sf0.01/*.parquet')",
+      "SELECT total_pages, total_spans, total_failures, sum_conf_pm, price_krw FROM read_parquet('/root/repo/data/golden_metrics/sf0.01/*.parquet')",
     "q_doc_exact_dedup" ->
       "SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY md5(text)",
     "q_doc_token_stats" ->

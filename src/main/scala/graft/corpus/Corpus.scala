@@ -91,7 +91,10 @@ object Corpus {
         .agg(org.apache.spark.sql.functions.sum("pages").as("total_pages"),
           org.apache.spark.sql.functions.sum("spans").as("total_spans"),
           org.apache.spark.sql.functions.sum("failures").as("total_failures"),
-          org.apache.spark.sql.functions.sum("conf").as("sum_conf_pm"))
+          org.apache.spark.sql.functions.sum("conf").as("sum_conf_pm"),
+          org.apache.spark.sql.functions.expr(
+            s"CAST(sum(pages) * ${graft.pipeline.Extraction.PricePerPageKrw} AS BIGINT)")
+            .as("price_krw"))
         .write.mode(SaveMode.Overwrite).parquet(goldenMetricsPath(sf))
       golden.unpersist()
     }

@@ -188,6 +188,15 @@ object Extraction {
         "wall_ms")
   }
 
+  /** Per-page pricing (tasks.py:379, config.py:116: 50 KRW/page) and the
+    * parse-phase progress band (tasks.py:263: int(done/total * 90) — the
+    * reference reserves the last 10% for post-processing).
+    */
+  val PricePerPageKrw = 50L
+  def priceKrw(pages: Long): Long = pages * PricePerPageKrw
+  def progressPct(done: Long, total: Long): Int =
+    if (total <= 0) 0 else ((done.toDouble / total) * 90).toInt
+
   /** Deterministic totals over the metrics table (the driver-oracled view;
     * the per-partition rows above are the operational lineage surface, whose
     * grouping depends on the physical partitioning).
@@ -197,7 +206,8 @@ object Extraction {
       sum(col("pages_parsed")).cast("long").as("total_pages"),
       sum(col("spans_emitted")).cast("long").as("total_spans"),
       sum(col("parse_failures")).cast("long").as("total_failures"),
-      sum(col("sum_conf_pm")).cast("long").as("sum_conf_pm"))
+      sum(col("sum_conf_pm")).cast("long").as("sum_conf_pm"),
+      (sum(col("pages_parsed")) * PricePerPageKrw).cast("long").as("price_krw"))
   }
 
   /** Exploded per-span view (the comparator/driver-facing shape). */

@@ -91,6 +91,12 @@ class ResumeSpec extends AnyFunSuite with Matchers {
     val confMass = all.map(d => Oracle.pageStats(d)._4).sum
     m.agg(sum($"sum_conf_pm")).as[Long].head() shouldBe confMass
     confMass should be > 0L
+    // pricing + progress math (tasks.py:263, 379)
+    graft.pipeline.Extraction.priceKrw(totalPages) shouldBe totalPages * 50
+    graft.pipeline.Extraction.progressPct(0, 10) shouldBe 0
+    graft.pipeline.Extraction.progressPct(5, 10) shouldBe 45
+    graft.pipeline.Extraction.progressPct(10, 10) shouldBe 90
+    graft.pipeline.Extraction.progressPct(0, 0) shouldBe 0
     // lineage ranges are real doc ids
     m.select("doc_lo").as[String].collect().foreach(_ should startWith("doc-"))
   }
