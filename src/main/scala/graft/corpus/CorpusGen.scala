@@ -170,7 +170,8 @@ object CorpusGen {
           if (malformed) cells.mkString("|") else cells.mkString("| ", " | ", " |")
         }.mkString("\n")
         val ref = s"media/tbl-$i-$tblIdx.png"; tblIdx += 1
-        emit(Kind.PdfRegion, s"$ry|280|1900|$rh|1|$grid", ref)
+        val conf = 600 + rng.nextInt(390) // model path, clears the 0.4 gate
+        emit(Kind.PdfRegion, s"$ry|280|1900|$rh|1|$conf|$grid", ref)
         // masked lines fully inside the region box (layout masking path)
         if (rng.nextDouble() < 0.5) {
           val n = 1 + rng.nextInt(2)
@@ -181,22 +182,43 @@ object CorpusGen {
           }
         }
         y = ry + rh + 40
-        // every ~20th doc: an overlapping heuristic region that gets suppressed
+        // every ~20th doc: an overlapping heuristic region that gets
+        // suppressed (w*h = 1500*300 = 450k clears the 5% area gate, so the
+        // drop is attributable to IoU suppression, not the area filter)
         if (i % 20 == 3 && p == 1) {
-          emit(Kind.PdfRegion, s"${ry + 100}|300|1200|300|0|중복|영역", s"media/tbl-$i-$tblIdx.png")
+          emit(Kind.PdfRegion, s"${ry + 100}|300|1500|300|0|500|중복|영역", s"media/tbl-$i-$tblIdx.png")
           tblIdx += 1
         }
       }
 
-      // standalone heuristic (borderless) region (~15%)
+      // low-confidence bordered detection (~8%): conf < 0.4 → the model-path
+      // confidence filter drops it (layout_analyzer.py:209); no masked lines
+      // planted inside (an undetected region masks nothing)
+      if (rng.nextDouble() < 0.08) {
+        val conf = 150 + rng.nextInt(250)
+        val ref = s"media/tbl-$i-$tblIdx.png"; tblIdx += 1
+        emit(Kind.PdfRegion, s"$y|300|1600|350|1|$conf|저신뢰|표", ref)
+        y += 60 // region dropped; reserve minimal vertical space
+      }
+
+      // standalone heuristic (borderless) region (~15%): w*h >= 510k always
+      // clears the 5% area gate (435k)
       if (rng.nextDouble() < 0.15) {
         val rh = 300 + rng.nextInt(200)
         val grid = (0 until 2 + rng.nextInt(2)).map { _ =>
           Seq(pick(rng, cellPool), pick(rng, cellPool)).mkString("|")
         }.mkString("\n")
         val ref = s"media/tbl-$i-$tblIdx.png"; tblIdx += 1
-        emit(Kind.PdfRegion, s"$y|300|1700|$rh|0|$grid", ref)
+        emit(Kind.PdfRegion, s"$y|300|1700|$rh|0|700|$grid", ref)
         y += rh + 40
+      }
+
+      // tiny heuristic region (~6%): 500*200 = 100k px^2 < 5% of the page →
+      // dropped by the heuristic-path area filter (layout_analyzer.py:280)
+      if (rng.nextDouble() < 0.06) {
+        val ref = s"media/tbl-$i-$tblIdx.png"; tblIdx += 1
+        emit(Kind.PdfRegion, s"$y|300|500|200|0|700|소형|영역", ref)
+        y += 40
       }
 
       // borderless cluster of aligned lines (~20%): 2-3 rows x 2-3 cols

@@ -35,10 +35,12 @@ final case class Line(
   def y2: Int = y + h
 }
 
-/** A table region lifted from a `pdf_region` span payload. */
+/** A table region lifted from a `pdf_region` span payload. `confPm` is the
+  * detector confidence in per-mille (layout_analyzer.py:205: YOLO box conf).
+  */
 final case class Region(
     y: Int, x: Int, w: Int, h: Int,
-    bordered: Boolean, md: String, mediaRef: String, offset: Int) {
+    bordered: Boolean, confPm: Int, md: String, mediaRef: String, offset: Int) {
   def box: Box = Box(x, y, x + w, y + h)
 }
 

@@ -62,10 +62,19 @@ object PageParser {
           lines += Line(p(0).toInt, p(1).toInt, p(2).toInt, p(3).toInt,
             p(4).toInt, p(5).toInt, p(6).toInt, p(7), s.offset)
         case Kind.PdfRegion =>
-          val p = s.text.split("\\|", 6)
-          require(p.length == 6, s"bad pdf_region: ${s.text}")
-          regions += Region(p(0).toInt, p(1).toInt, p(2).toInt, p(3).toInt,
-            p(4) == "1", p(5), s.media_ref, s.offset)
+          val p = s.text.split("\\|", 7)
+          require(p.length == 7, s"bad pdf_region: ${s.text}")
+          val r = Region(p(0).toInt, p(1).toInt, p(2).toInt, p(3).toInt,
+            p(4) == "1", p(5).toInt, p(6), s.media_ref, s.offset)
+          // detection-stage filters: bordered (model path) requires
+          // conf >= 0.4 (layout_analyzer.py:209); borderless (heuristic
+          // path) requires area >= 5% of the page — strict integer form
+          // 20*w*h > pageArea matches the Python float comparison for
+          // every integer area (layout_analyzer.py:262, 280)
+          val keep =
+            if (r.bordered) r.confPm >= 400
+            else 20L * r.w * r.h > Page.Width.toLong * Page.Height
+          if (keep) regions += r
         case Kind.Media =>
           medias += MediaSpan(s.text, s.media_ref, s.offset)
         case Kind.HtmlBlock =>
@@ -252,4 +261,13 @@ object DocParser {
   /** Full sequential parse of one document. */
   def parseDoc(doc: Doc): Extracted =
     assemble(doc.doc_id, splitPages(doc.spans).map { case (n, s) => PageParser.parse(n, s) })
+
+  /** Page-range sequential parse (pdf_processor.iter_pages(start, end)
+    * analog) — the oracle counterpart of the pipeline's pageRange filter.
+    */
+  def parseDocRange(doc: Doc, start: Int, end: Int): Extracted =
+    assemble(doc.doc_id,
+      splitPages(doc.spans).collect {
+        case (n, s) if n >= start && n <= end => PageParser.parse(n, s)
+      })
 }

@@ -67,12 +67,18 @@ object Extraction {
     * measured 2× cost and high variance at sf0.1). Assembly hashes by doc_id
     * anyway, so page contiguity buys nothing here.
     */
-  def parsePages(docs: Dataset[Doc], numPartitions: Int): Dataset[PageRes] = {
+  def parsePages(docs: Dataset[Doc], numPartitions: Int,
+                 pageRange: Option[(Int, Int)] = None): Dataset[PageRes] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tasks = docs.flatMap { d =>
+    val allTasks = docs.flatMap { d =>
       DocParser.splitPages(d.spans).map { case (n, s) => (d.doc_id, n, s) }
     }.toDF("doc_id", "page_no", "page_spans")
+    // page-range predicate (pdf_processor.iter_pages(start, end) analog,
+    // SURVEY §2.2) applies BEFORE the shuffle and the expensive parse —
+    // out-of-range pages are never repartitioned or parsed
+    val tasks = pageRange.fold(allTasks) { case (lo, hi) =>
+        allTasks.where(col("page_no").between(lo, hi)) }
       .repartition(numPartitions, col("doc_id"), col("page_no"))
       .as[(String, Int, Seq[InSpan])]
 

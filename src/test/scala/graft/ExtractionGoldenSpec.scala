@@ -91,6 +91,44 @@ class ExtractionGoldenSpec extends AnyFunSuite with Matchers {
     all.count(_.text.contains("중복")) shouldBe 0
   }
 
+  test("detection filters: low-conf bordered and sub-5%-area regions are dropped") {
+    val raw = CorpusGen.genAll(spec).flatMap(_.spans).toSeq
+    // the corpus plants both drop cases...
+    raw.count(s => s.kind == Kind.PdfRegion && s.text.contains("저신뢰")) should be > 0
+    raw.count(s => s.kind == Kind.PdfRegion && s.text.contains("소형")) should be > 0
+    // ...and neither ever surfaces in the extracted output
+    val all = golden.values.flatMap(_.spans)
+    all.exists(_.text.contains("저신뢰")) shouldBe false
+    all.exists(_.text.contains("소형")) shouldBe false
+    // kept regions do surface (the filters do not over-drop)
+    all.exists(_.kind == Kind.Table) shouldBe true
+    all.exists(_.kind == Kind.InvisibleTable) shouldBe true
+  }
+
+  test("page-range filter: pipeline range == oracle range, pre-parse predicate") {
+    val (lo, hi) = (5, 7) // some docs have < 5 pages -> range excludes them
+    val expected = CorpusGen.genAll(spec)
+      .map(d => graft.parse.DocParser.parseDocRange(d, lo, hi))
+      .filter(_.spans.nonEmpty)
+      .map(e => e.doc_id -> ((e.spans, e.markdown))).toMap
+    val out = Extraction.assemble(
+        Extraction.parsePages(docs, 8, pageRange = Some((lo, hi))))
+      .select($"doc_id", $"spans", $"markdown")
+      .as[(String, Seq[OutSpan], String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    out.keySet shouldBe expected.keySet
+    for ((id, (spans, md)) <- expected) {
+      withClue(s"doc $id: ") { out(id)._1 shouldBe spans; out(id)._2 shouldBe md }
+    }
+    // the range genuinely excludes pages: the 64-page mega-doc keeps
+    // exactly hi-lo+1 page headers, and in-range page numbering survives
+    val megaMd = out(CorpusGen.docId(0))._2
+    "## 페이지 ".r.findAllIn(megaMd).length shouldBe (hi - lo + 1)
+    megaMd should include(s"## 페이지 $lo")
+    megaMd should not include s"## 페이지 ${hi + 1}"
+    expected should not be empty
+  }
+
   test("error pages: poisoned lines become single error spans, never abort") {
     val errs = golden.values.flatMap(_.spans).filter(_.kind == Kind.Error)
     // ~0.5% of ~1000 pages — the corpus should have planted at least one
