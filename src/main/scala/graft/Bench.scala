@@ -63,14 +63,19 @@ object Bench {
     // projections and under-measures projection-heavy queries (VERDICT
     // round 1 item 4). Failures are recorded, never silently timed as work.
     final case class QRes(secs: Double, rows: Long, ok: Boolean)
+    var obsId = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t = System.nanoTime()
       val res =
         try {
           val df = fn(spark, sfDir)
-          df.write.format("noop").mode("overwrite").save()
+          // row count rides the SAME execution via observe() — no second run
+          obsId += 1
+          val obs = new org.apache.spark.sql.Observation(s"rows_$obsId")
+          df.observe(obs, count(lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
           val secs = (System.nanoTime() - t) / 1e9
-          QRes(secs, df.count(), ok = true) // row count untimed, for sanity
+          QRes(secs, obs.get("rows").asInstanceOf[Long], ok = true)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

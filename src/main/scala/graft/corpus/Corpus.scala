@@ -54,10 +54,13 @@ object Corpus {
         !exists(goldenHtmlMdPath(sf))) {
       import spark.implicits._
       val spec = CorpusGen.specFor(sf)
-      val golden = spark.range(0, spec.docs.toLong, 1,
+      // ONE parse pass per doc yields both the golden surfaces and the
+      // page-level stats for the metrics oracle
+      val goldenAndStats = spark.range(0, spec.docs.toLong, 1,
           math.min(spec.docs, spark.sparkContext.defaultParallelism * 2))
-        .map(i => Oracle.golden(CorpusGen.genDoc(i, spec)))
+        .map(i => Oracle.goldenAndStats(CorpusGen.genDoc(i, spec)))
         .persist()
+      val golden = goldenAndStats.map(_._1)
       golden.flatMap(e => e.spans.map(s => (e.doc_id, s.kind, s.text, s.media_ref, s.order)))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
         .write.mode(SaveMode.Overwrite).parquet(spansPath)
@@ -83,10 +86,8 @@ object Corpus {
           org.apache.spark.sql.functions.expr(
             "CAST(floor(sum(conf) / count(1)) AS BIGINT)").as("avg_conf_pm"))
         .write.mode(SaveMode.Overwrite).parquet(goldenTotalsPath(sf))
-      // page-granular metrics totals via the sequential oracle
-      spark.range(0, spec.docs.toLong, 1,
-          math.min(spec.docs, spark.sparkContext.defaultParallelism * 2))
-        .map(i => Oracle.pageStats(CorpusGen.genDoc(i, spec)))
+      // page-granular metrics totals via the sequential oracle (same pass)
+      goldenAndStats.map(_._2)
         .toDF("pages", "spans", "failures", "conf")
         .agg(org.apache.spark.sql.functions.sum("pages").as("total_pages"),
           org.apache.spark.sql.functions.sum("spans").as("total_spans"),
@@ -96,7 +97,7 @@ object Corpus {
             s"CAST(sum(pages) * ${graft.pipeline.Extraction.PricePerPageKrw} AS BIGINT)")
             .as("price_krw"))
         .write.mode(SaveMode.Overwrite).parquet(goldenMetricsPath(sf))
-      golden.unpersist()
+      goldenAndStats.unpersist()
     }
     spansPath
   }

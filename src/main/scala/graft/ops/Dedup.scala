@@ -81,23 +81,27 @@ object Dedup {
     * shingle-level join, no per-pair groupBy-count shuffle.
     */
   private def verifyJaccard(candidatePlan: DataFrame, sh: DataFrame,
-                            minJaccardPm: Int): DataFrame = {
+                            minJaccardPm: Int)(select: DataFrame => DataFrame): DataFrame = {
     // the candidate subtree feeds BOTH the semi-join prune and the pair join;
-    // materialize it once (it is small) so it is not computed twice
+    // materialize it once (it is small) so it is not computed twice, and
+    // release its blocks once the (also-small) result is checkpointed
     val candidates = candidatePlan.localCheckpoint(true)
-    val ids = candidates.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-    val arrays = sh.join(ids, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs"))
-    candidates
-      .join(arrays.toDF("a", "shs_a"), Seq("a"))
-      .join(arrays.toDF("b", "shs_b"), Seq("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_inter"),
-        size(col("shs_a")).cast("long").as("n_a"),
-        size(col("shs_b")).cast("long").as("n_b"))
-      .withColumn("jaccard_pm",
-        floor(col("n_inter") * lit(1000) / (col("n_a") + col("n_b") - col("n_inter"))).cast("long"))
-      .where(col("jaccard_pm") >= minJaccardPm)
+    try {
+      val ids = candidates.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+      val arrays = sh.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs"))
+      select(candidates
+        .join(arrays.toDF("a", "shs_a"), Seq("a"))
+        .join(arrays.toDF("b", "shs_b"), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_inter"),
+          size(col("shs_a")).cast("long").as("n_a"),
+          size(col("shs_b")).cast("long").as("n_b"))
+        .withColumn("jaccard_pm",
+          floor(col("n_inter") * lit(1000) / (col("n_a") + col("n_b") - col("n_inter"))).cast("long"))
+        .where(col("jaccard_pm") >= minJaccardPm))
+        .localCheckpoint(true)
+    } finally candidates.unpersist(false)
   }
 
   /** N-gram Jaccard near-dup pairs via an inverted shingle index.
@@ -129,9 +133,8 @@ object Dedup {
         .where(col("n_inter_capped") * 1000 >=
           lit(minJaccardPm) * (col("n_a") + col("n_b") - col("n_inter_capped")))
         .select("a", "b")
-      verifyJaccard(survivors, sh, minJaccardPm)
-        .select(col("a"), col("b"), col("n_inter"), col("n_a"), col("n_b"), col("jaccard_pm"))
-        .localCheckpoint(true)
+      verifyJaccard(survivors, sh, minJaccardPm)(
+        _.select(col("a"), col("b"), col("n_inter"), col("n_a"), col("n_b"), col("jaccard_pm")))
     } finally sh.unpersist(false)
   }
 
@@ -236,9 +239,8 @@ object Dedup {
         .toDF("a", "b")
         .distinct()
 
-      verifyJaccard(candidates, sh, minJaccardPm)
-        .select("a", "b", "jaccard_pm")
-        .localCheckpoint(true)
+      verifyJaccard(candidates, sh, minJaccardPm)(
+        _.select("a", "b", "jaccard_pm"))
     } finally sh.unpersist(false)
   }
 

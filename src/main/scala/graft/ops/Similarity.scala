@@ -41,11 +41,20 @@ object Similarity {
     val spark = scored.sparkSession
     import spark.implicits._
     // ranks WORSE elements as greater (lower score, then larger n_id), so
-    // the max-heap head is always the eviction candidate
+    // the max-heap head is always the eviction candidate. NaN scores (e.g.
+    // a zero-norm embedding) rank WORST — consistent with the phase-2
+    // ascending sort on the negated score (NaN sorts last) and the
+    // sequential oracle's total ordering.
     val worseOrd: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
       def compare(x: (Double, Long), y: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(y._1, x._1)
-        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+        val xn = x._1.isNaN; val yn = y._1.isNaN
+        if (xn || yn) {
+          if (xn && yn) java.lang.Long.compare(x._2, y._2)
+          else if (xn) 1 else -1
+        } else {
+          val c = java.lang.Double.compare(y._1, x._1)
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+        }
       }
     }
     val partial = scored.select(col("q_id").cast("long"), col("n_id").cast("long"),

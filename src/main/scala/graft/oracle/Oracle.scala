@@ -15,7 +15,14 @@ import graft.corpus.CorpusGen
   */
 object Oracle {
 
-  def golden(doc: Doc): Extracted = {
+  def golden(doc: Doc): Extracted = goldenAndStats(doc)._1
+
+  /** One parse pass per doc yielding the golden Extracted AND the page-level
+    * stats (pages, spans, failures, sum page conf) — the golden tables and
+    * the metrics oracle share it so corpus-wide golden generation parses
+    * each page exactly once.
+    */
+  def goldenAndStats(doc: Doc): (Extracted, (Long, Long, Long, Long)) = {
     // independent sequential restatement of split + parse + assembly
     val pages = DocParser.splitPages(doc.spans)
     val results = pages.map { case (n, s) => PageParser.parse(n, s) }.sortBy(_.pageNo)
@@ -31,19 +38,17 @@ object Oracle {
     // doc avg confidence (tasks.py:365–368): mean of page confs, per-mille floor
     val conf = if (results.isEmpty) 0L
                else results.map(_.confPm.toLong).sum / results.length
-    Extracted(doc.doc_id, out.result(), md, html, conf)
+    val stats = (results.size.toLong,
+      results.map(_.spans.size.toLong).sum,
+      results.count(_.parseFailed).toLong,
+      results.map(_.confPm.toLong).sum)
+    (Extracted(doc.doc_id, out.result(), md, html, conf), stats)
   }
 
   /** Sequential page-level stats for the metrics oracle: (pages, spans,
     * failures, sum of page confidences in per-mille) for one document.
     */
-  def pageStats(doc: Doc): (Long, Long, Long, Long) = {
-    val results = DocParser.splitPages(doc.spans).map { case (n, s) => PageParser.parse(n, s) }
-    (results.size.toLong,
-     results.map(_.spans.size.toLong).sum,
-     results.count(_.parseFailed).toLong,
-     results.map(_.confPm.toLong).sum)
-  }
+  def pageStats(doc: Doc): (Long, Long, Long, Long) = goldenAndStats(doc)._2
 
   /** Golden corpus for a scale factor, lazily. */
   def goldenCorpus(spec: CorpusGen.Spec): Iterator[Extracted] =

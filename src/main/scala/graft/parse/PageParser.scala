@@ -264,6 +264,9 @@ object DocParser {
 
   /** Page-range sequential parse (pdf_processor.iter_pages(start, end)
     * analog) — the oracle counterpart of the pipeline's pageRange filter.
+    * Contract note: a doc with NO pages in range yields an EMPTY Extracted
+    * here, while the pipeline emits no row for it at all — comparators must
+    * filter empty docs before pairing (as ExtractionGoldenSpec does).
     */
   def parseDocRange(doc: Doc, start: Int, end: Int): Extracted =
     assemble(doc.doc_id,

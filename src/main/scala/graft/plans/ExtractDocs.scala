@@ -110,7 +110,8 @@ final case class ExtractDocsExec(output: Seq[Attribute], child: SparkPlan)
           require(!arr.isNullAt(i),
             s"ExtractDocs child contract: null span element at $i (doc $docId)")
           val s = arr.getStruct(i, 4)
-          require(!s.isNullAt(0) && !s.isNullAt(1) && !s.isNullAt(2),
+          require(!s.isNullAt(0) && !s.isNullAt(1) && !s.isNullAt(2) &&
+              !s.isNullAt(3),
             s"ExtractDocs child contract: null span field at $i (doc $docId)")
           spans(i) = InSpan(
             s.getUTF8String(0).toString,
