@@ -118,11 +118,14 @@ object SparkEntry {
       .select(col("content_md5"), col("n_docs").cast("long").as("n_docs"),
         col("keep_id").cast("long").as("keep_id"))),
     "q_doc_token_stats" -> ((s, dir) => {
-      val t = TextOps.tokenStats(docsTable(s, dir))
-      t.select(col("doc_id").cast("long").as("doc_id"),
-        col("n_chars").cast("long").as("n_chars"),
-        col("n_tokens").cast("long").as("n_tokens"),
-        col("n_nonspace").cast("long").as("n_nonspace"))
+      val docs = docsTable(s, dir)
+      TextOps.tokenStats(docs)
+        .join(TextOps.bpeTokenCount(docs), Seq("doc_id"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_nonspace").cast("long").as("n_nonspace"),
+          col("n_bpe_tokens").cast("long").as("n_bpe_tokens"))
     }),
     "q_doc_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"), col("pred_lang"))),
@@ -249,7 +252,8 @@ object SparkEntry {
     "q_doc_token_stats" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
-        "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace FROM documents"),
+        "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace, " +
+        "CAST(len(regexp_extract_all(text, '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents"),
     "q_doc_langid" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE " +
         "WHEN regexp_matches(text, '[가-힣]') THEN 'ko' " +

@@ -24,13 +24,17 @@ object TextOps {
       tokenCount(col("text")).as("n_tokens"),
       length(regexp_replace(col("text"), "\\s+", "")).as("n_nonspace"))
 
-  /** BPE-ish regex token count (GPT-2 style word/number/punct pieces). */
+  /** BPE-ish piece pattern (GPT-2 style): letter runs, digit runs, and
+    * single non-letter/digit/space marks. Expressed as a MATCH pattern (no
+    * lookarounds) so Java regex and DuckDB's RE2 agree exactly.
+    */
+  val BpePiece = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"
+
+  /** BPE-ish regex token count over the piece pattern. */
   def bpeTokenCount(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(filter(
-        split(col("text"), "(?=\\s)|(?<=[\\p{L}])(?=[^\\p{L}\\s])|(?<=[0-9])(?=[^0-9\\s])"),
-        c => length(trim(c)) > 0)).as("n_bpe_tokens"))
+      size(regexp_extract_all(col("text"), lit(BpePiece), lit(0))).as("n_bpe_tokens"))
 
   /** Rule-based language ID (n-gram/script heuristic): deterministic CASE
     * cascade — script ranges first, then stopword hits.
