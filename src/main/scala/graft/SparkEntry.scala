@@ -168,6 +168,12 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
           floor(col("score") * 1000).cast("long").as("score_pm"))
     }),
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Similarity.ivfTopK(embTable(s, dir), nQueries = 20, k = 5)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+          floor(col("score") * 1000).cast("long").as("score_pm"))
+    }),
     // near-dups are PLANTED (perturbed copies of the first 20 vectors):
     // the driver corpus has no true embedding near-duplicates, so recall is
     // measured against a known ground truth instead of an empty set
@@ -287,6 +293,8 @@ object SparkEntry {
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_brute/*.parquet')",
     "q_ann_lsh_topk" ->
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_lsh/*.parquet')",
+    "q_ann_ivf_topk" ->
+      "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_ivf/*.parquet')",
     "q_emb_near_dup" ->
       "SELECT a, b, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')",
     "q_media_features" ->

@@ -158,6 +158,64 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Cell id of a vector under an IVF codebook: the centroid with the
+    * highest float-exact cosine (ties → lowest centroid index).
+    */
+  def ivfCellOf(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = graft.oracle.OpsOracle.cosineF(v, centroids(c))
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-bucketed ANN top-k — the inverted-file scale path alongside the
+    * hyperplane-LSH one. The coarse codebook is DETERMINISTIC (the
+    * `nCells` lowest-id vectors — a training-free quantizer, so the oracle
+    * and any re-partitioning reproduce it bit-exactly; swap in k-means
+    * centroids for a data-tuned codebook without changing the plan shape).
+    * Corpus vectors are assigned to their nearest cell; each query probes
+    * its `nProbe` nearest cells (shuffle on cell id, broadcast queries);
+    * exact cosine inside probed cells; two-phase top-k merge.
+    */
+  def ivfTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
+              nCells: Int = 32, nProbe: Int = 4): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val typed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids = typed.filter(t => t._1 >= 0 && t._1 < nCells)
+      .collect().sortBy(_._1).map(_._2)
+    require(centroids.nonEmpty, "ivfTopK needs vec_ids 0..nCells-1 present")
+    val bCent = spark.sparkContext.broadcast(centroids)
+
+    val celled = typed
+      .map { case (id, v) => (id, v, ivfCellOf(v, bCent.value)) }
+      .toDF("vec_id", "embedding", "cell")
+    val queryCells = celled.where(col("vec_id") < nQueries)
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (id, v, _) =>
+        val cents = bCent.value
+        val ranked = cents.indices
+          .map(c => (c, graft.oracle.OpsOracle.cosineF(v, cents(c))))
+          .sortBy { case (c, s) => (-s, c) }
+          .take(math.min(nProbe, cents.length))
+        ranked.map { case (c, _) => (id, v, c) }
+      }
+      .toDF("q_id", "q_emb", "cell")
+
+    val scored = celled.join(queryCells, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .groupBy("q_id", "n_id").agg(max("score").as("score")) // multi-probe dedup
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets with 1-bit
     * multi-probe on one side (recall ≈ 1 for true near-dups: a miss needs
     * ≥2 of nPlanes hyperplanes to split a near-parallel pair). Pairs are

