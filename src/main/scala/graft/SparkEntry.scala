@@ -149,6 +149,14 @@ object SparkEntry {
       opsGolden(s, dir)
       Dedup.minHashNearDup(docsTable(s, dir), n = 3, minJaccardPm = 200)
     }),
+    // near-dup pairs → connected components → canonical-representative pick:
+    // the row set a dedup pipeline actually consumes (WHERE is_keep = 1)
+    "q_dedup_clusters" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      Dedup.dedupClusters(docs,
+        Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200))
+    }),
     "q_simhash_near_dup" -> ((s, dir) => {
       opsGolden(s, dir)
       Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)
@@ -289,6 +297,8 @@ object SparkEntry {
       "SELECT a, b, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/minhash/*.parquet')",
     "q_simhash_near_dup" ->
       "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/simhash/*.parquet')",
+    "q_dedup_clusters" ->
+      "SELECT doc_id, cluster_id, n_members, is_keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/clusters/*.parquet')",
     "q_ann_brute_topk" ->
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_brute/*.parquet')",
     "q_ann_lsh_topk" ->

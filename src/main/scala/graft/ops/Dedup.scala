@@ -244,6 +244,70 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  // ---- Cluster assignment (connected components) --------------------------
+
+  /** Connected components over an undirected pair list, as (node, cluster_id)
+    * with cluster_id = the component's minimum node id. Distributed min-label
+    * propagation: each round every node takes the min of its own label and
+    * its neighbors' labels (one shuffle join + one groupBy per round),
+    * terminating when a round changes nothing. Rounds = graph diameter;
+    * near-dup graphs are dense quasi-cliques (diameter 2–3 in practice), so
+    * this is the right shape at corpus scale — a long-chain-heavy graph would
+    * want the large-star/small-star halving variant instead. Every round
+    * `localCheckpoint`s the label table (lineage truncation — an iterative
+    * DataFrame loop otherwise compounds the plan until planning itself is the
+    * bottleneck) and unpersists the previous round's blocks.
+    *
+    * Only nodes that appear in `pairs` are returned; callers treat absent
+    * nodes as singletons (see [[dedupClusters]]).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val half = pairs.select(idLong(col("a"), "a").as("src"), idLong(col("b"), "b").as("dst"))
+    // both directions, materialized once — reused every round
+    val edges = half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    try {
+      // label(v) = min(v, min neighbor): already one propagation round
+      var labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("src"), col("mn")).as("lbl"))
+        .localCheckpoint(true)
+      var converged = false
+      while (!converged) {
+        // min label among neighbors, joined back to each node
+        val viaNbr = edges.join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+          .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nbr_lbl"))
+        val next = labels.join(viaNbr, Seq("node"))
+          .select(col("node"), least(col("lbl"), col("nbr_lbl")).as("lbl"),
+            (col("nbr_lbl") < col("lbl")).as("changed"))
+          .localCheckpoint(true)
+        converged = next.where(col("changed")).isEmpty
+        labels.unpersist(false)
+        labels = next.select(col("node"), col("lbl"))
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    } finally edges.unpersist(false)
+  }
+
+  /** Full dedup cluster assignment: every document gets a cluster_id (the
+    * min doc_id of its near-dup component; singletons map to themselves),
+    * the component size, and an is_keep flag marking the canonical
+    * representative — the row set a dedup pipeline actually consumes
+    * (`WHERE is_keep = 1` to dedup, `n_members` for duplication stats).
+    * One left join against the (small) component table + one groupBy for
+    * sizes; AQE broadcasts both when they fit.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val assigned = docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members").cast("long").as("n_members"),
+        (col("doc_id") === col("cluster_id")).cast("long").as("is_keep"))
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens. */

@@ -122,6 +122,36 @@ object OpsOracle {
     }.toSeq.sorted
   }
 
+  // ---- cluster assignment -------------------------------------------------
+
+  /** Sequential `Dedup.dedupClusters`: union-find with path compression over
+    * the near-dup pairs, roots kept at the minimum member id (so the
+    * component label IS the min doc_id, matching the distributed min-label
+    * propagation), singletons mapped to themselves.
+    * Returns (doc_id, cluster_id, n_members, is_keep).
+    */
+  def clusterAssign(docIds: Seq[Long],
+                    pairs: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+    }
+    val cluster = docIds.map(id => id -> find(id)).toMap
+    val sizes = cluster.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    docIds.sorted.map { id =>
+      val c = cluster(id)
+      (id, c, sizes(c), if (id == c) 1L else 0L)
+    }
+  }
+
   // ---- simhash ------------------------------------------------------------
 
   /** Sequential `Dedup.simHashNearDup`: brute-force all-pairs Hamming — the
@@ -261,8 +291,8 @@ object OpsGolden {
 
   private def exists(p: String): Boolean = Files.exists(Paths.get(p, "_SUCCESS"))
 
-  private val names = Seq("ngram", "minhash", "simhash", "ann_brute", "ann_lsh",
-    "ann_ivf", "embdup", "media")
+  private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
+    "ann_lsh", "ann_ivf", "embdup", "media")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -285,6 +315,11 @@ object OpsGolden {
     write("minhash", OpsOracle.minhashPairs(docs, n = 3, k = 64, bands = 16,
         minJaccardPm = 200),
       Seq("a", "b", "jaccard_pm"))
+    write("clusters",
+      OpsOracle.clusterAssign(docs.map(_._1),
+        OpsOracle.minhashPairs(docs, n = 3, k = 64, bands = 16, minJaccardPm = 200)
+          .map { case (a, b, _) => (a, b) }),
+      Seq("doc_id", "cluster_id", "n_members", "is_keep"))
     write("simhash",
       OpsOracle.simhashPairs(docs, maxHamming = 7)
         .map { case (a, b, h) => (a, b, h.toLong) },

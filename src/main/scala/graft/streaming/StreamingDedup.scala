@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Stateful streaming exact-dedup: admit a document into the corpus only if
+  * its content has never been seen in ANY earlier micro-batch (ingest-time
+  * dedup — the streaming complement of `ops.Dedup.exact`).
+  *
+  * `groupByKey(content-hash)` + `flatMapGroupsWithState` keeps one tiny state
+  * entry (the keeper's doc_id) per distinct content hash in the streaming
+  * state store. Scale notes: state is hash-partitioned across
+  * `spark.sql.shuffle.partitions` state-store partitions and the per-key
+  * payload is 16 bytes of key + one long, so 10^9 distinct documents is
+  * ~10s of GB of state — use the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass`) rather than the
+  * in-memory default at that size, and `GroupStateTimeout.ProcessingTimeTimeout`
+  * if the dedup horizon is bounded (e.g. 30-day crawl windows). Keying by a
+  * 128-bit content hash instead of the full text keeps shuffle and state
+  * rows fixed-width (collision probability ~n^2/2^128 — negligible at 10^12).
+  */
+object StreamingDedup {
+
+  final case class DocIn(doc_id: Long, text: String)
+  final case class Admitted(content_md5: String, doc_id: Long, text: String)
+  // public: the state Encoder's generated code instantiates it reflectively
+  final case class Seen(keepId: Long)
+
+  /** 128-bit content key (hex md5 of UTF-8 text, same key as `Dedup.exact`). */
+  def contentMd5(text: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** First-seen filter over a (possibly streaming) Dataset: one output row
+    * per distinct content, the first batch's minimum doc_id winning; later
+    * occurrences (same batch or any later batch) are dropped via state.
+    */
+  def firstSeen(docs: Dataset[DocIn]): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => contentMd5(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[DocIn], state: GroupState[Seen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            var keep: DocIn = null
+            while (rows.hasNext) {
+              val d = rows.next()
+              if (keep == null || d.doc_id < keep.doc_id) keep = d
+            }
+            state.update(Seen(keep.doc_id))
+            Iterator.single(Admitted(key, keep.doc_id, keep.text))
+          })
+  }
+
+  /** Input schema of the streamed documents table. */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType)))
+
+  /** AvailableNow dedup ingest: drain `inputPath`, append only first-seen
+    * documents to `outPath` parquet. The streaming checkpoint persists BOTH
+    * source offsets and the seen-content state, so a re-run with the same
+    * checkpoint admits nothing twice even across restarts, and newly added
+    * files are deduped against everything admitted before.
+    */
+  def ingestDedup(spark: SparkSession, inputPath: String, outPath: String,
+                  checkpoint: String, maxFilesPerTrigger: Int = 1): Unit = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputPath)
+      .as[DocIn]
+    val q = firstSeen(stream).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outPath)
+      .start()
+    q.awaitTermination()
+  }
+}

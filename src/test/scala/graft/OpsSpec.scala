@@ -154,6 +154,34 @@ class OpsSpec extends AnyFunSuite with Matchers {
     expected should not be empty
   }
 
+  test("connected components: long chain converges to one min-labelled cluster") {
+    // a 10-node path graph needs several propagation rounds (diameter 9) —
+    // proves the loop iterates to a fixed point, not just one hop
+    val chain = (1L to 9L).map(i => (i, i + 1)) :+ (20L, 21L)
+    val comp = Dedup.connectedComponents(chain.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    (1L to 10L).foreach(v => comp(v) shouldBe 1L)
+    comp(20L) shouldBe 20L
+    comp(21L) shouldBe 20L
+  }
+
+  test("dedup cluster assignment matches sequential union-find") {
+    val pairs = Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200)
+    val got = Dedup.dedupClusters(docs, pairs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ids = docs.select($"doc_id".cast("long")).as[Long].collect().toSeq
+    val seqPairs = pairs.select($"a", $"b").as[(Long, Long)].collect().toSeq
+    val expected = graft.oracle.OpsOracle.clusterAssign(ids, seqPairs).toSet
+    got shouldBe expected
+    // clusters partition the corpus: every doc exactly once, one keeper
+    // per cluster, and n_members consistent with the actual member count
+    got.map(_._1) shouldBe ids.toSet
+    got.count(_._4 == 1L) shouldBe got.map(_._2).size
+    got.groupBy(_._2).foreach { case (_, ms) =>
+      ms.map(_._3) shouldBe Set(ms.size.toLong)
+    }
+  }
+
   test("string ids fail fast instead of silently collapsing to NULL") {
     val strDocs = docs.select(concat(lit("doc-"), $"doc_id").as("doc_id"), $"text")
     val e = intercept[Exception] {

@@ -43,4 +43,35 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     TableIO.readCommitted(spark, s"$tmp/out").get
       .groupBy("doc_id").count().filter($"count" > 1).count() shouldBe 0
   }
+
+  test("stateful streaming dedup: first-seen wins across micro-batches and restarts") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.DocIn
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+
+    // three files → three micro-batches (maxFilesPerTrigger=1):
+    //   f0: docs 1,2 distinct; 3 duplicates 1's text (same batch as nothing)
+    //   f1: 4 duplicates 1 (cross-batch dup), 5 new
+    //   f2: 6 duplicates 5, 7 new
+    def writeFile(i: Int, rows: Seq[DocIn]): Unit =
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/f-$i")
+    writeFile(0, Seq(DocIn(1, "alpha text"), DocIn(2, "beta text"), DocIn(3, "alpha text")))
+    writeFile(1, Seq(DocIn(4, "alpha text"), DocIn(5, "gamma text")))
+    writeFile(2, Seq(DocIn(6, "gamma text"), DocIn(7, "delta text")))
+
+    StreamingDedup.ingestDedup(spark, s"$tmp/in/f-*", s"$tmp/out", s"$tmp/ckpt")
+    val admitted = spark.read.parquet(s"$tmp/out")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    admitted shouldBe Map(1L -> "alpha text", 2L -> "beta text",
+      5L -> "gamma text", 7L -> "delta text")
+
+    // restart with the same checkpoint + a new file: dup of already-admitted
+    // content stays suppressed (state survived), new content is admitted
+    writeFile(3, Seq(DocIn(8, "beta text"), DocIn(9, "epsilon text")))
+    StreamingDedup.ingestDedup(spark, s"$tmp/in/f-*", s"$tmp/out", s"$tmp/ckpt")
+    val after = spark.read.parquet(s"$tmp/out")
+      .select($"doc_id").as[Long].collect().toSet
+    after shouldBe Set(1L, 2L, 5L, 7L, 9L)
+  }
 }
