@@ -139,6 +139,15 @@ object SparkEntry {
         col("punct_pm"), col("stopword_pm"))),
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"), col("md5_hex"))),
+    // Gopher-style repetition quality signals (duplicate tokens/bigrams)
+    "q_doc_repetition" -> ((s, dir) => TextOps.repetition(docsTable(s, dir))
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens"),
+        col("n_distinct_tokens"), col("top_token_pm"), col("dup_bigram_pm"))),
+    // deterministic content-keyed train/val/test split (dup-leak-proof)
+    "q_doc_split" -> ((s, dir) => TextOps.hashSplit(docsTable(s, dir))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("split_bucket"), col("split"))),
+    "q_source_stats" -> ((s, dir) => TextOps.sourceStats(docsTable(s, dir))),
 
     // ---- dedup / similarity (sequential-oracle golden parquet gate) -----
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
@@ -289,6 +298,28 @@ object SparkEntry {
         "FROM documents"),
     "q_doc_fingerprint" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_hex FROM documents",
+    "q_doc_repetition" ->
+      ("WITH spine AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), " +
+        "tc AS (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS tok FROM spine) GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS top_c FROM tc GROUP BY 1), " +
+        "bi AS (SELECT doc_id, len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS n_dbi FROM spine) " +
+        "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, CAST(len(s.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct_tokens, " +
+        "CAST(floor(COALESCE(a.top_c, 0) * 1000 / greatest(len(s.toks), 1)) AS BIGINT) AS top_token_pm, " +
+        "CAST(floor((greatest(len(s.toks) - 1, 0) - COALESCE(b.n_dbi, 0)) * 1000 / greatest(len(s.toks) - 1, 1)) AS BIGINT) AS dup_bigram_pm " +
+        "FROM spine s LEFT JOIN agg a USING (doc_id) LEFT JOIN bi b USING (doc_id)"),
+    "q_doc_split" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 AS split_bucket, " +
+        "CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 950 THEN 'train' " +
+        "WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 975 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"),
+    "q_source_stats" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens, " +
+        "CAST(floor(sum(length(text)) / count(*)) AS BIGINT) AS avg_chars FROM documents GROUP BY source"),
     // sequential-oracle goldens (graft.oracle.OpsOracle → OpsGolden):
     // non-SQL-expressible dedup/similarity ops, hash-checked via parquet
     "q_ngram_jaccard_pairs" ->

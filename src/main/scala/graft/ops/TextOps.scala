@@ -72,6 +72,66 @@ object TextOps {
       floor(stop * lit(1000) / greatest(tokens, lit(1))).cast("long").as("stopword_pm"))
   }
 
+  /** Repetition signals (Gopher-style quality filters): duplicate-token and
+    * duplicate-bigram rates per document. Zero shuffle — the top-token count
+    * is a sorted-run scan and the bigram set a `zip_with`, all higher-order
+    * functions over the in-row token array, so at corpus scale this is pure
+    * map work directly over the scan (no explode, no per-token groupBy).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    val withToks = docs.select(col("doc_id"), toks.as("toks"))
+    val n = size(col("toks"))
+    // longest equal-run in the sorted token array == max token frequency
+    val topC = aggregate(
+      sort_array(col("toks")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val nBi = greatest(n - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), nBi), slice(col("toks"), lit(2), nBi),
+      (a, b) => concat(a, lit(" "), b))
+    withToks.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+      floor(topC * lit(1000) / greatest(n, lit(1))).cast("long").as("top_token_pm"),
+      floor((nBi - size(array_distinct(bigrams))) * lit(1000) /
+        greatest(nBi, lit(1))).cast("long").as("dup_bigram_pm"))
+  }
+
+  /** Deterministic content-keyed train/val/test split: bucket in [0,1000) from
+    * the first 32 bits of md5(text), so the assignment is stable across runs,
+    * clusters and engines, and exact duplicates always land in the same split
+    * (no train/test leakage from dups). Pure projection — zero shuffle.
+    */
+  def hashSplit(docs: DataFrame, trainPm: Int = 950, valPm: Int = 975): DataFrame = {
+    val bucket = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    docs.select(col("doc_id"), bucket.as("split_bucket"),
+      when(bucket < trainPm, "train")
+        .when(bucket < valPm, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-source corpus composition stats (one hash-shuffle with map-side
+    * combine; source cardinality is tiny relative to docs).
+    */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(length(col("text"))).cast("long").as("sum_chars"),
+      sum(tokenCount(col("text"))).cast("long").as("sum_tokens"),
+      floor(sum(length(col("text"))) / count(lit(1))).cast("long").as("avg_chars"))
+
   /** Document fingerprinting: md5 (portable) + a 64-bit Spark hash. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text").cast("binary")).as("md5_hex"),

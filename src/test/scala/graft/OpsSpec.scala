@@ -205,6 +205,22 @@ class OpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("repetition / split / source stats invariants") {
+    val rep = TextOps.repetition(docs)
+    rep.where($"n_distinct_tokens" > $"n_tokens").count() shouldBe 0
+    rep.where($"top_token_pm" > 1000 || $"dup_bigram_pm" > 1000).count() shouldBe 0
+    // a fully-repeated doc: top_token_pm = 1000, all bigrams duplicate
+    val loop = Seq((1L, "x x x x x x")).toDF("doc_id", "text")
+    TextOps.repetition(loop).select($"top_token_pm", $"dup_bigram_pm")
+      .as[(Long, Long)].head() shouldBe ((1000L, 800L))
+    val split = TextOps.hashSplit(docs)
+    split.where($"split_bucket" < 0 || $"split_bucket" >= 1000).count() shouldBe 0
+    // identical content always lands in the same split (dup-leak-proof)
+    val dup = Seq((1L, "same words here"), (2L, "same words here")).toDF("doc_id", "text")
+    TextOps.hashSplit(dup).select($"split_bucket").distinct().count() shouldBe 1
+    TextOps.sourceStats(docs).agg(sum($"n_docs")).as[Long].head() shouldBe docs.count()
+  }
+
   test("token stats / quality are consistent") {
     val q = TextOps.quality(docs)
     q.where($"punct_pm" > 1000 || $"stopword_pm" > 1000).count() shouldBe 0
