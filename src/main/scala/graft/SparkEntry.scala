@@ -148,6 +148,8 @@ object SparkEntry {
       .select(col("doc_id").cast("long").as("doc_id"),
         col("split_bucket"), col("split"))),
     "q_source_stats" -> ((s, dir) => TextOps.sourceStats(docsTable(s, dir))),
+    // corpus vocabulary profile: top terms by document frequency
+    "q_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docsTable(s, dir))),
 
     // ---- dedup / similarity (sequential-oracle golden parquet gate) -----
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
@@ -320,6 +322,10 @@ object SparkEntry {
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
         "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens, " +
         "CAST(floor(sum(length(text)) / count(*)) AS BIGINT) AS avg_chars FROM documents GROUP BY source"),
+    "q_vocab_topk" ->
+      ("SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents WHERE length(trim(text)) > 0) " +
+        "GROUP BY tok ORDER BY df DESC, tok LIMIT 100"),
     // sequential-oracle goldens (graft.oracle.OpsOracle → OpsGolden):
     // non-SQL-expressible dedup/similarity ops, hash-checked via parquet
     "q_ngram_jaccard_pairs" ->

@@ -122,6 +122,20 @@ object TextOps {
         .otherwise("test").as("split"))
   }
 
+  /** Corpus vocabulary: top-k terms by document frequency (ties broken by
+    * term). explode → one hash-shuffle on term with partial aggregation;
+    * count(distinct doc_id) expands to the standard two-phase distinct
+    * aggregate; top-k runs as TakeOrderedAndProject (no global sort).
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct(col("doc_id")).cast("long").as("df"),
+        count(lit(1)).cast("long").as("tf"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(k)
+
   /** Per-source corpus composition stats (one hash-shuffle with map-side
     * combine; source cardinality is tiny relative to docs).
     */
