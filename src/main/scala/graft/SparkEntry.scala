@@ -229,6 +229,25 @@ object SparkEntry {
           col("event_id").cast("long").as("event_id"),
           col("gap_us").cast("long").as("gap_us"))
     }),
+    // backward as-of join: each error event matched to the user's latest
+    // preceding click (DuckDB native ASOF JOIN is the oracle)
+    "q_events_asof" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_type"))
+      val errors = e.where(col("event_type") === "error").drop("event_type")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      graft.ops.AsOf.backward(errors, clicks, "user_id", "ts_us", "ts_us",
+        Seq("event_id", "ts_us"))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("ts_us"),
+          col("asof.event_id").cast("long").as("click_event_id"),
+          col("asof.ts_us").cast("long").as("click_ts_us"))
+    }),
+    // per-label embedding centroids (integer micro-units: order-independent)
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(embTable(s, dir))),
     // broadcast dimension join + deterministic top-k (SURVEY §2.3/§2.6)
     "q_top_customers" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -350,6 +369,18 @@ object SparkEntry {
       ("SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, " +
         "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +
         "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS gap_us FROM events"),
+    "q_events_asof" ->
+      ("WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') " +
+        "SELECT CAST(e.event_id AS BIGINT) AS event_id, CAST(e.user_id AS BIGINT) AS user_id, " +
+        "CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, CAST(c.event_id AS BIGINT) AS click_event_id, " +
+        "CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us " +
+        "FROM errors e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts"),
+    "q_label_centroids" ->
+      ("SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim, " +
+        "CAST(floor(sum(floor(CAST(v AS DOUBLE) * 1000000)) / count(*)) AS BIGINT) AS centroid_um " +
+        "FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim FROM embeddings) " +
+        "GROUP BY 1, 2"),
     "q_top_customers" ->
       ("SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment, revenue_cents, n_orders FROM (" +
         "SELECT o_custkey, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents, " +

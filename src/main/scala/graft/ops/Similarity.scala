@@ -248,6 +248,22 @@ object Similarity {
       .select("a", "b", "score")
   }
 
+  /** Per-label embedding centroids in integer micro-units: each float
+    * component is floored to micros FIRST (float→double widening is exact, so
+    * both engines floor the same value), then summed as longs — making the
+    * aggregation order-independent and bit-exact across engines, unlike a
+    * float mean. posexplode → one (label, dim)-keyed shuffle with map-side
+    * combine; output cardinality = labels × dim.
+    */
+  def labelCentroids(embs: DataFrame): DataFrame =
+    embs.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("sum_um"),
+        count(lit(1)).as("n"))
+      .select(col("label").cast("long").as("label"),
+        col("dim").cast("long").as("dim"),
+        floor(col("sum_um") / col("n")).cast("long").as("centroid_um"))
+
   /** Deterministically perturbed copies of the first `n` vectors (planted
     * near-duplicates for recall measurement; ids offset by 1,000,000).
     */

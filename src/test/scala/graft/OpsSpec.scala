@@ -205,6 +205,30 @@ class OpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("as-of backward join: latest at-or-before match, equal-ts match, null when none") {
+    val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 100L, 20L), (1L, 60L, 21L), (1L, 40L, 22L), (2L, 30L, 23L))
+      .toDF("k", "ts", "rid")
+    val got = AsOf.backward(left, right, "k", "ts", "ts", Seq("rid", "ts"))
+      .select($"lid", $"asof.rid").as[(Long, Option[Long])].collect().toMap
+    got shouldBe Map(10L -> Some(20L), 11L -> Some(22L), 12L -> None)
+  }
+
+  test("label centroids: micro-unit aggregation matches a sequential fold") {
+    val got = Similarity.labelCentroids(embs)
+      .as[(Long, Long, Long)].collect().map { case (l, d, c) => (l, d) -> c }.toMap
+    val local = embs.select($"label".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val expected = local.groupBy(_._1).flatMap { case (l, vs) =>
+      val dim = vs.head._2.length
+      (0 until dim).map { d =>
+        val sums = vs.map(v => math.floor(v._2(d).toDouble * 1e6).toLong).sum
+        (l, d.toLong) -> math.floor(sums.toDouble / vs.length).toLong
+      }
+    }
+    got shouldBe expected
+  }
+
   test("repetition / split / source stats invariants") {
     val rep = TextOps.repetition(docs)
     rep.where($"n_distinct_tokens" > $"n_tokens").count() shouldBe 0
