@@ -229,6 +229,17 @@ object SparkEntry {
           col("event_id").cast("long").as("event_id"),
           col("gap_us").cast("long").as("gap_us"))
     }),
+    // gap-based sessionization (30-min inactivity threshold)
+    "q_user_sessions" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      graft.ops.Sessionize.byGap(e, "user_id", "ts_us", "event_id",
+          gapUs = 1800L * 1000000L)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("session_no").cast("long").as("session_no"))
+    }),
     // backward as-of join: each error event matched to the user's latest
     // preceding click (DuckDB native ASOF JOIN is the oracle)
     "q_events_asof" -> ((s, dir) => {
@@ -369,6 +380,13 @@ object SparkEntry {
       ("SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, " +
         "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +
         "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS gap_us FROM events"),
+    "q_user_sessions" ->
+      ("WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us FROM events) " +
+        "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, " +
+        "CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no " +
+        "FROM g"),
     "q_events_asof" ->
       ("WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
         "errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') " +

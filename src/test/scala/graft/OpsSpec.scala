@@ -214,6 +214,29 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe Map(10L -> Some(20L), 11L -> Some(22L), 12L -> None)
   }
 
+  test("sessionization: both window functions share one exchange; numbering sane") {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"))
+    val sess = Sessionize.byGap(e, "user_id", "ts_us", "event_id",
+      gapUs = 1800L * 1000000L)
+    // lag and the running sum use the same (key, order) window → Catalyst
+    // plans one exchange (+ one sort) for both, not one per function
+    sess.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange")) shouldBe 1
+    val rows = sess.select($"user_id".cast("long"), $"ts_us", $"session_no")
+      .as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).values.foreach { es =>
+      val ordered = es.sortBy(_._2)
+      ordered.head._3 shouldBe 1L
+      // non-decreasing, steps of at most 1
+      ordered.sliding(2).foreach {
+        case Array(a, b) => (b._3 - a._3) should (be >= 0L and be <= 1L)
+        case _ =>
+      }
+    }
+  }
+
   test("label centroids: micro-unit aggregation matches a sequential fold") {
     val got = Similarity.labelCentroids(embs)
       .as[(Long, Long, Long)].collect().map { case (l, d, c) => (l, d) -> c }.toMap
