@@ -87,6 +87,26 @@ object TableIO {
     Some(snapshotId)
   }
 
+  /** Time-travel scan (Iceberg `VERSION AS OF` analog): union of the
+    * committed snapshot chain up to and including `snapshotId`, walking the
+    * manifest parent lineage backwards — directory order is presentation,
+    * the parent chain is the source of truth. None if the id is unknown or
+    * uncommitted.
+    */
+  def readAsOf(spark: SparkSession, root: String,
+               snapshotId: String): Option[DataFrame] = {
+    val byId = committedSnapshots(root).map(s => s.id -> s).toMap
+    var chain = List.empty[Snapshot]
+    var cur = byId.get(snapshotId)
+    while (cur.isDefined) {
+      chain = cur.get :: chain
+      cur = cur.get.parent.flatMap(byId.get)
+    }
+    val dirs = chain.map(_.dir.resolve("data").toString)
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   /** All committed metrics rows. */
   def readMetrics(spark: SparkSession, root: String): Option[DataFrame] = {
     val dirs = committedSnapshots(root).map(_.dir.resolve("metrics").toString)

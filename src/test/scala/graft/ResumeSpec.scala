@@ -55,6 +55,14 @@ class ResumeSpec extends AnyFunSuite with Matchers {
 
     // a third run over the same input is a no-op (idempotent)
     TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "run3", 4) shouldBe None
+
+    // time travel: AS OF snapshot 1 sees only run 1's docs; AS OF snapshot 2
+    // sees the full table; unknown ids resolve to nothing
+    TableIO.readAsOf(spark, s"$tmp/out", s1.get).get
+      .select("doc_id").as[String].collect().sorted shouldBe
+      first.map(_.doc_id).sorted.toArray
+    TableIO.readAsOf(spark, s"$tmp/out", s2.get).get.count() shouldBe all.length
+    TableIO.readAsOf(spark, s"$tmp/out", "no-such-snapshot") shouldBe None
   }
 
   test("uncommitted snapshot (no manifest) is invisible to readers") {
