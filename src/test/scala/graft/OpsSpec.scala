@@ -237,6 +237,42 @@ class OpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("as-of and sessionization match sequential references on random data") {
+    val rng = new scala.util.Random(42)
+    for (round <- 1 to 3) withClue(s"round $round: ") {
+      val n = 150
+      val left = (0 until n).map(i =>
+        (rng.nextInt(8).toLong, rng.nextInt(500).toLong, i.toLong))
+      val right0 = (0 until n).map(i =>
+        (rng.nextInt(8).toLong, rng.nextInt(500).toLong, (1000 + i).toLong))
+      // right side unique per (key, ts) — the operator's precondition
+      val right = right0.groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+
+      val gotAsof = AsOf.backward(left.toDF("k", "ts", "lid"),
+          right.toDF("k", "ts", "rid"), "k", "ts", "ts", Seq("rid"))
+        .select($"lid", $"asof.rid").as[(Long, Option[Long])].collect().toMap
+      val expAsof = left.map { case (k, ts, lid) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= ts)
+        lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      gotAsof shouldBe expAsof
+
+      val gotSess = Sessionize.byGap(left.toDF("k", "ts", "id"),
+          "k", "ts", "id", gapUs = 50L)
+        .select($"id", $"session_no").as[(Long, Long)].collect().toMap
+      val expSess = left.groupBy(_._1).values.flatMap { es =>
+        var s = 0L
+        var prev = Long.MinValue
+        es.sortBy(e => (e._2, e._3)).map { e =>
+          if (prev == Long.MinValue || e._2 - prev > 50L) s += 1
+          prev = e._2
+          e._3 -> s
+        }
+      }.toMap
+      gotSess shouldBe expSess
+    }
+  }
+
   test("label centroids: micro-unit aggregation matches a sequential fold") {
     val got = Similarity.labelCentroids(embs)
       .as[(Long, Long, Long)].collect().map { case (l, d, c) => (l, d) -> c }.toMap
