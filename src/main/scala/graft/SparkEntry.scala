@@ -240,6 +240,24 @@ object SparkEntry {
           col("event_id").cast("long").as("event_id"),
           col("session_no").cast("long").as("session_no"))
     }),
+    // keyless point-in-interval range join (binned): error events falling
+    // inside user 0's activity-session windows
+    "q_events_in_windows" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_type"))
+      val windows = graft.ops.Sessionize.byGap(
+          e.where(col("user_id") === 0)
+            .select(col("user_id"), col("event_id"), col("ts_us")),
+          "user_id", "ts_us", "event_id", gapUs = 1800L * 1000000L)
+        .groupBy(col("session_no"))
+        .agg(min(col("ts_us")).as("w_start"), max(col("ts_us")).as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(
+          e.where(col("event_type") === "error").select(col("event_id"), col("ts_us")),
+          "ts_us", windows, "w_start", "w_end", binWidth = 3600L * 1000000L)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("session_no").cast("long").as("window_id"), col("ts_us"))
+    }),
     // backward as-of join: each error event matched to the user's latest
     // preceding click (DuckDB native ASOF JOIN is the oracle)
     "q_events_asof" -> ((s, dir) => {
@@ -387,6 +405,15 @@ object SparkEntry {
         "CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) OVER " +
         "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no " +
         "FROM g"),
+    "q_events_in_windows" ->
+      ("WITH u0 AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE user_id = 0), " +
+        "g AS (SELECT event_id, ts_us, ts_us - lag(ts_us) OVER (ORDER BY ts_us, event_id) AS gap_us FROM u0), " +
+        "sess AS (SELECT event_id, ts_us, sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) OVER " +
+        "(ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM g), " +
+        "w AS (SELECT session_no, min(ts_us) AS w_start, max(ts_us) AS w_end FROM sess GROUP BY 1), " +
+        "err AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error') " +
+        "SELECT CAST(e.event_id AS BIGINT) AS event_id, CAST(w.session_no AS BIGINT) AS window_id, " +
+        "CAST(e.ts_us AS BIGINT) AS ts_us FROM err e JOIN w ON e.ts_us BETWEEN w.w_start AND w.w_end"),
     "q_events_asof" ->
       ("WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
         "errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') " +

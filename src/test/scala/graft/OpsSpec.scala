@@ -273,6 +273,25 @@ class OpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("range join: binned result equals nested-loop reference at several bin widths") {
+    val rng = new scala.util.Random(7)
+    val pts = (0 until 300).map(i => (i.toLong, rng.nextInt(10000).toLong))
+    val ivs = (0 until 60).map { i =>
+      val lo = rng.nextInt(10000).toLong
+      (1000L + i, lo, lo + rng.nextInt(800).toLong)
+    }
+    val exp = for {
+      (pid, p) <- pts; (iid, lo, hi) <- ivs if p >= lo && p <= hi
+    } yield (pid, iid)
+    for (bw <- Seq(64L, 500L, 5000L)) withClue(s"binWidth $bw: ") {
+      val got = RangeJoin.pointInInterval(pts.toDF("pid", "p"), "p",
+          ivs.toDF("iid", "lo", "hi"), "lo", "hi", bw)
+        .select($"pid", $"iid").as[(Long, Long)].collect()
+      got.length shouldBe exp.length // each pair meets in exactly one bin
+      got.toSet shouldBe exp.toSet
+    }
+  }
+
   test("label centroids: micro-unit aggregation matches a sequential fold") {
     val got = Similarity.labelCentroids(embs)
       .as[(Long, Long, Long)].collect().map { case (l, d, c) => (l, d) -> c }.toMap
