@@ -150,6 +150,11 @@ object SparkEntry {
     "q_source_stats" -> ((s, dir) => TextOps.sourceStats(docsTable(s, dir))),
     // corpus vocabulary profile: top terms by document frequency
     "q_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docsTable(s, dir))),
+    "q_source_length_quantiles" -> ((s, dir) =>
+      TextOps.lengthQuantiles(docsTable(s, dir))),
+    "q_doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docsTable(s, dir))
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_emails"),
+        col("n_urls"), col("scrubbed_md5"))),
 
     // ---- dedup / similarity (sequential-oracle golden parquet gate) -----
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
@@ -398,6 +403,17 @@ object SparkEntry {
       ("SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, " +
         "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +
         "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS gap_us FROM events"),
+    "q_source_length_quantiles" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(list_sort(list(length(text)))[CAST(floor(0.5*(count(*)-1)) AS BIGINT)+1] AS BIGINT) AS median_chars, " +
+        "CAST(list_sort(list(length(text)))[CAST(floor(0.9*(count(*)-1)) AS BIGINT)+1] AS BIGINT) AS p90_chars " +
+        "FROM documents GROUP BY source"),
+    "q_doc_pii_scrub" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls, " +
+        "md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), 'https?://[^\\s]+', '<URL>', 'g')) AS scrubbed_md5 " +
+        "FROM documents"),
     "q_user_sessions" ->
       ("WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
         "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us FROM events) " +

@@ -146,6 +146,47 @@ object TextOps {
       sum(tokenCount(col("text"))).cast("long").as("sum_tokens"),
       floor(sum(length(col("text"))) / count(lit(1))).cast("long").as("avg_chars"))
 
+  /** Per-source document-length quantile profile as DISCRETE quantiles: the
+    * element at sorted rank floor(q·(n−1)). Interpolating percentiles
+    * (`percentile`/`quantile_cont`) associate their floating arithmetic
+    * differently per engine and disagree in the last ulp — a discrete
+    * quantile is an actual data value, so it is exactly reproducible. The
+    * sorted multiset is collected per group — fine for profile queries over
+    * bounded group counts; at unbounded cardinality switch to
+    * `percentile_approx` (and accept approximate semantics).
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    def at(q: Double) = element_at(col("sorted"),
+      (floor(lit(q) * (col("n_docs") - 1)) + 1).cast("int"))
+    docs.select(col("source"), length(col("text")).cast("long").as("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sort_array(collect_list(col("n_chars"))).as("sorted"))
+      .select(col("source"), col("n_docs"),
+        at(0.5).as("median_chars"), at(0.9).as("p90_chars"))
+  }
+
+  /** Email-address pattern (no lookarounds — Java regex and RE2 agree). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** URL pattern. */
+  val UrlRe = "https?://[^\\s]+"
+
+  /** PII counts + scrubbed-content fingerprint: emails replaced first, then
+    * URLs (order matters when an email-shaped substring sits inside a URL —
+    * fixed here so every engine agrees), with the scrubbed text surfaced as
+    * an md5 so the transform itself is oracle-checkable without shipping the
+    * full text twice.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
+      md5(scrubbed.cast("binary")).as("scrubbed_md5"))
+  }
+
   /** Document fingerprinting: md5 (portable) + a 64-bit Spark hash. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text").cast("binary")).as("md5_hex"),

@@ -323,6 +323,40 @@ class OpsSpec extends AnyFunSuite with Matchers {
     TextOps.sourceStats(docs).agg(sum($"n_docs")).as[Long].head() shouldBe docs.count()
   }
 
+  test("pii scrub: counts and ordered replacement on constructed rows") {
+    val d = Seq(
+      (1L, "contact me at a.b@example.com or https://ex.co/x?y=1 now"),
+      (2L, "no pii here"),
+      (3L, "https://u@h.io/p and c@d.org e@f.net")).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(d).as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    got(1L) shouldBe ((1L, 1L))
+    got(2L) shouldBe ((0L, 0L))
+    // the email inside the URL is counted and scrubbed (emails first)
+    got(3L) shouldBe ((3L, 1L))
+    // scrub is a no-op on pii-free text: md5 equals the plain fingerprint
+    val plain = TextOps.fingerprint(d.where($"doc_id" === 2))
+      .select($"md5_hex").as[String].head()
+    TextOps.piiScrub(d.where($"doc_id" === 2))
+      .select($"scrubbed_md5").as[String].head() shouldBe plain
+  }
+
+  test("length quantiles: discrete rank selection matches a local sort") {
+    val got = TextOps.lengthQuantiles(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val local = docs.select($"source",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    def pct(sorted: Array[Long], q: Double): Long =
+      sorted(math.floor(q * (sorted.length - 1)).toInt)
+    local.foreach { case (src, vs) =>
+      val sorted = vs.map(_._2).sorted
+      got(src) shouldBe ((sorted.length.toLong,
+        pct(sorted, 0.5), pct(sorted, 0.9)))
+    }
+  }
+
   test("token stats / quality are consistent") {
     val q = TextOps.quality(docs)
     q.where($"punct_pm" > 1000 || $"stopword_pm" > 1000).count() shouldBe 0
