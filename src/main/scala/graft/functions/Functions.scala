@@ -32,14 +32,41 @@ case class FixTyposExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a text as a native expression (same codegen story as
+  * [[FixTyposExpr]]: the algorithm lives in `graft.ops.Dedup.simhash64`, the
+  * generated code emits one static call, and the whole dedup banding plan
+  * stays inside whole-stage codegen with no Encoder round-trip).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.ops.Dedup.simhash64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Dedup.simhash64($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Functions {
   /** Column-level API: `ds.select(fix_typos($"text"))`. */
   def fix_typos(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       FixTyposExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** Column-level API: `ds.select(simhash64($"text"))`. */
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SimHash64Expr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** Register for the SQL surface on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fix_typos", exprs => FixTyposExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+  }
 }

@@ -335,19 +335,18 @@ object Dedup {
     * BEFORE the cross-band dedup so the distinct sees only surviving pairs.
     */
   def simHashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val banded = docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        val sim = simhash64(t)
-        (0 until nBands).map { b =>
-          (id, sim, b, (sim >>> (b * width)) & ((1L << width) - 1))
-        }
-      }
-      .toDF("doc_id", "sim", "band", "key")
+    // native simhash64 expression + band keys in column arithmetic: the
+    // whole candidate-generation subtree stays in whole-stage codegen with
+    // no Encoder round-trip through a typed flatMap
+    val banded = docs
+      .select(idLong(col("doc_id"), "doc_id").as("doc_id"),
+        graft.functions.Functions.simhash64(col("text")).as("sim"))
+      .select(col("doc_id"), col("sim"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("key", expr(s"shiftrightunsigned(sim, band * $width)")
+        .bitwiseAND(lit((1L << width) - 1)))
     val a = banded.select(col("doc_id").as("a"), col("sim").as("sim_a"), col("band"), col("key"))
     val b = banded.select(col("doc_id").as("b"), col("sim").as("sim_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))

@@ -38,7 +38,7 @@ object PushDocIdFilterThroughExtract extends Rule[LogicalPlan] with PredicateHel
 
 /** The single spark-submit registration point for everything this library
   * adds to a session — the extraction strategy, the pushdown rule, and the
-  * `fix_typos` SQL function:
+  * the `fix_typos`/`simhash64` SQL functions:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   * [[ExtractDocs.over]] / [[graft.functions.Functions.register]] install the
   * same pieces at runtime for sessions built without the conf.
@@ -52,5 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.FixTyposExpr].getName, "fix_typos"),
       exprs => graft.functions.FixTyposExpr(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SimHash64Expr].getName, "simhash64"),
+      exprs => graft.functions.SimHash64Expr(exprs.head)))
   }
 }

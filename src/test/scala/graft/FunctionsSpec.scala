@@ -34,4 +34,17 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     plan should include("*(1) Project [fix_typos(")
     df.as[String].collect() shouldBe Array("제1조", "제2조", "제3조")
   }
+
+  test("simhash64 expression: codegen, SQL surface, and kernel equality") {
+    Functions.register(spark)
+    val df = spark.range(3).select(Functions.simhash64(
+      concat(lit("doc text number "), $"id".cast("string"))).as("h"))
+    df.queryExecution.executedPlan.toString should include("*(1) Project [simhash64(")
+    df.as[Long].collect() shouldBe (0 until 3)
+      .map(i => graft.ops.Dedup.simhash64(s"doc text number $i")).toArray
+    spark.sql("SELECT simhash64('a b c') AS h").as[Long].head() shouldBe
+      graft.ops.Dedup.simhash64("a b c")
+    spark.sql("SELECT simhash64(CAST(NULL AS STRING)) AS h")
+      .head().isNullAt(0) shouldBe true
+  }
 }
