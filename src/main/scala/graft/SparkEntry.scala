@@ -282,6 +282,9 @@ object SparkEntry {
     // per-label embedding centroids (integer micro-units: order-independent)
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(embTable(s, dir))),
+    // int8 scalar quantization (scale + code checksums, engine-exact)
+    "q_emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(embTable(s, dir))),
     // broadcast dimension join + deterministic top-k (SURVEY §2.3/§2.6)
     "q_top_customers" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -437,6 +440,13 @@ object SparkEntry {
         "CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, CAST(c.event_id AS BIGINT) AS click_event_id, " +
         "CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us " +
         "FROM errors e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts"),
+    "q_emb_quantize" ->
+      ("WITH s AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(x))) AS scale FROM embeddings) " +
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
+        "CAST(floor(CAST(scale AS DOUBLE) * 1000000) AS BIGINT) AS scale_um, " +
+        "CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE) * 127 + 0.5) AS BIGINT))) AS BIGINT) AS qsum, " +
+        "CAST(list_sum(list_transform(embedding, x -> (CAST(floor(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE) * 127 + 0.5) AS BIGINT)) ** 2)) AS BIGINT) AS qnorm " +
+        "FROM s"),
     "q_label_centroids" ->
       ("SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim, " +
         "CAST(floor(sum(floor(CAST(v AS DOUBLE) * 1000000)) / count(*)) AS BIGINT) AS centroid_um " +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.Random
 
@@ -263,6 +263,29 @@ object Similarity {
       .select(col("label").cast("long").as("label"),
         col("dim").cast("long").as("dim"),
         floor(col("sum_um") / col("n")).cast("long").as("centroid_um"))
+
+  /** Symmetric int8 scalar quantization per vector (the 4-byte→1-byte
+    * compression step of a 100 TB embedding store): scale = max |component|,
+    * q_i = floor(x/scale·127 + 0.5) ∈ [−127, 127]. All arithmetic is pinned
+    * to double with an explicit evaluation order so any engine reproduces the
+    * exact codes; the query surface reports the scale in micro-units plus
+    * sum/sum-of-squares checksums of the codes (pins every q_i without
+    * shipping the code array through the comparator). Pure map work — zero
+    * shuffle. Vectors must be non-zero (scale > 0).
+    */
+  def quantizeInt8(embs: DataFrame): DataFrame = {
+    def q(x: Column, s: Column): Column =
+      floor(x.cast("double") / s.cast("double") * 127 + 0.5).cast("long")
+    embs
+      .withColumn("scale", array_max(transform(col("embedding"), x => abs(x))))
+      .select(col("vec_id").cast("long").as("vec_id"),
+        floor(col("scale").cast("double") * 1e6).cast("long").as("scale_um"),
+        aggregate(transform(col("embedding"), x => q(x, col("scale"))),
+          lit(0L), (a, b) => a + b).as("qsum"),
+        aggregate(transform(col("embedding"), x => {
+          val v = q(x, col("scale")); v * v
+        }), lit(0L), (a, b) => a + b).as("qnorm"))
+  }
 
   /** Deterministically perturbed copies of the first `n` vectors (planted
     * near-duplicates for recall measurement; ids offset by 1,000,000).

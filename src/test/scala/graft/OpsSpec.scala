@@ -307,6 +307,20 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("int8 quantization matches sequential double arithmetic; codes bounded") {
+    val got = Similarity.quantizeInt8(embs).as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val local = embs.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    local.foreach { case (id, v) =>
+      val scale = v.map(x => math.abs(x)).max.toDouble
+      val qs = v.map(x => math.floor(x.toDouble / scale * 127 + 0.5).toLong)
+      qs.foreach(q => math.abs(q) should be <= 127L)
+      got(id) shouldBe ((math.floor(scale * 1e6).toLong,
+        qs.sum, qs.map(q => q * q).sum))
+    }
+  }
+
   test("repetition / split / source stats invariants") {
     val rep = TextOps.repetition(docs)
     rep.where($"n_distinct_tokens" > $"n_tokens").count() shouldBe 0
