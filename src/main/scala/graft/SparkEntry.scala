@@ -156,6 +156,22 @@ object SparkEntry {
       .select(col("doc_id").cast("long").as("doc_id"), col("n_emails"),
         col("n_urls"), col("scrubbed_md5"))),
 
+    // composed curation manifest: exact-dedup keepers → length gate →
+    // deterministic split (what a training pipeline actually emits)
+    "q_curated_corpus" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val keepers = Dedup.exact(docs)
+        .select(col("keep_id").cast("long").as("doc_id"))
+      val stats = TextOps.tokenStats(docs)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      val split = TextOps.hashSplit(docs)
+        .select(col("doc_id").cast("long").as("doc_id"), col("split"))
+      stats.join(keepers, Seq("doc_id"), "left_semi")
+        .where(col("n_tokens") >= 30)
+        .join(split, Seq("doc_id"))
+    }),
+
     // ---- dedup / similarity (sequential-oracle golden parquet gate) -----
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
       opsGolden(s, dir)
@@ -191,6 +207,13 @@ object SparkEntry {
       Similarity.lshTopK(embTable(s, dir), nQueries = 20, k = 5)
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
           floor(col("score") * 1000).cast("long").as("score_pm"))
+    }),
+    // compressed-search path: top-k over int8 codes, integer dot scores
+    "q_ann_q8_topk" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Similarity.quantizedTopK(embTable(s, dir), nQueries = 20, k = 5)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+          col("score").cast("long").as("score_int"))
     }),
     "q_ann_ivf_topk" -> ((s, dir) => {
       opsGolden(s, dir)
@@ -382,6 +405,14 @@ object SparkEntry {
       ("SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf " +
         "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents WHERE length(trim(text)) > 0) " +
         "GROUP BY tok ORDER BY df DESC, tok LIMIT 100"),
+    "q_curated_corpus" ->
+      ("WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+        "d AS (SELECT doc_id, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, " +
+        "('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 AS b FROM documents) " +
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens, " +
+        "CASE WHEN b < 950 THEN 'train' WHEN b < 975 THEN 'val' ELSE 'test' END AS split " +
+        "FROM d JOIN keepers k ON d.doc_id = k.doc_id WHERE d.n_tokens >= 30"),
     // sequential-oracle goldens (graft.oracle.OpsOracle → OpsGolden):
     // non-SQL-expressible dedup/similarity ops, hash-checked via parquet
     "q_ngram_jaccard_pairs" ->
@@ -398,6 +429,8 @@ object SparkEntry {
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_lsh/*.parquet')",
     "q_ann_ivf_topk" ->
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_ivf/*.parquet')",
+    "q_ann_q8_topk" ->
+      "SELECT q_id, n_id, rank, score_int FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_q8/*.parquet')",
     "q_emb_near_dup" ->
       "SELECT a, b, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')",
     "q_media_features" ->

@@ -94,6 +94,32 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Int8 code arrays via the same pinned arithmetic as [[quantizeInt8]]. */
+  def quantizeCodes(embs: DataFrame): DataFrame =
+    embs.withColumn("scale", array_max(transform(col("embedding"), x => abs(x))))
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") / col("scale").cast("double") * 127 + 0.5)
+            .cast("long")).as("codes"))
+
+  /** Brute-force top-k over int8-quantized codes — the compressed-search
+    * path: scores are INTEGER dot products of the code arrays (exact, and
+    * engine-reproducible, unlike float cosine at reduced precision), ranked
+    * through the same broadcast + two-phase top-k as [[bruteTopK]]. Note the
+    * ranking is by unnormalized dot product of symmetric-quantized codes —
+    * the standard int8-recall tradeoff measured in OpsSpec.
+    */
+  def quantizedTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val codes = quantizeCodes(embs)
+    val queries = codes.select(col("vec_id").as("q_id"), col("codes").as("q_codes"))
+      .where(col("vec_id") < nQueries)
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        aggregate(zip_with(col("q_codes"), col("codes"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x).cast("double").as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic random hyperplanes (seeded). */
   private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
     val rng = new Random(seed)

@@ -238,6 +238,30 @@ object OpsOracle {
     }
   }
 
+  /** Sequential int8 codes (shared arithmetic with `Similarity.quantizeCodes`). */
+  def q8Codes(v: Array[Float]): Array[Long] = {
+    val scale = v.map(x => math.abs(x)).max.toDouble
+    v.map(x => math.floor(x.toDouble / scale * 127 + 0.5).toLong)
+  }
+
+  /** Sequential `Similarity.quantizedTopK`: integer dot products of codes,
+    * rank by (score desc, n_id). Returns (q_id, n_id, rank, score_int).
+    */
+  def quantizedTopK(embs: Seq[(Long, Array[Float])], nQueries: Int,
+                    k: Int): Seq[(Long, Long, Int, Long)] = {
+    val codes = embs.map { case (id, v) => (id, q8Codes(v)) }
+    codes.filter(_._1 < nQueries).sortBy(_._1).flatMap { case (q, qc) =>
+      val scored = codes.collect { case (n, nc) if n != q =>
+        var s = 0L; var i = 0
+        val len = math.min(qc.length, nc.length)
+        while (i < len) { s += qc(i) * nc(i); i += 1 }
+        (n, s)
+      }
+      scored.sortBy { case (n, s) => (-s, n) }.take(k)
+        .zipWithIndex.map { case ((n, s), i) => (q, n, i + 1, s) }
+    }
+  }
+
   /** Sequential `Similarity.cosineNearDup`: pair (a<b) is a candidate iff
     * b's bucket is in a's probe set (probe expansion runs on the smaller-id
     * side in the distributed join); exact cosine, threshold in per-mille.
@@ -292,7 +316,7 @@ object OpsGolden {
   private def exists(p: String): Boolean = Files.exists(Paths.get(p, "_SUCCESS"))
 
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
-    "ann_lsh", "ann_ivf", "embdup", "media")
+    "ann_lsh", "ann_ivf", "ann_q8", "embdup", "media")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -336,6 +360,10 @@ object OpsGolden {
       OpsOracle.ivfTopK(embs, nQueries = 20, k = 5, nCells = 32, nProbe = 4)
         .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
       Seq("q_id", "n_id", "rank", "score_pm"))
+    write("ann_q8",
+      OpsOracle.quantizedTopK(embs, nQueries = 20, k = 5)
+        .map { case (q, n, r, s) => (q, n, r.toLong, s) },
+      Seq("q_id", "n_id", "rank", "score_int"))
     write("embdup",
       OpsOracle.cosineNearDup(embs ++ OpsOracle.perturbed(embs, n = 20),
           minCosinePm = 990, nPlanes = 10, seed = 42)

@@ -307,6 +307,22 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("quantized top-k matches sequential integer ranking; decent float recall") {
+    val got = Similarity.quantizedTopK(embs, nQueries = 10, k = 5)
+      .select($"q_id", $"n_id", $"rank".cast("long"), $"score".cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val local = embs.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val exp = graft.oracle.OpsOracle.quantizedTopK(local, nQueries = 10, k = 5)
+      .map { case (q, n, r, s) => (q, n, r.toLong, s) }.toSet
+    got shouldBe exp
+    // int8 codes keep most of the float ranking (the compression tradeoff)
+    val brute = Similarity.bruteTopK(embs, nQueries = 10, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val overlap = got.map(t => (t._1, t._2)).count(brute.contains)
+    overlap.toDouble / brute.size should be >= 0.5
+  }
+
   test("int8 quantization matches sequential double arithmetic; codes bounded") {
     val got = Similarity.quantizeInt8(embs).as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
