@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -19,6 +20,12 @@ import graft.parse.Typo
   */
 case class FixTyposExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  // analysis-time type validation: a non-string argument must fail with a
+  // clear error, not a per-row ClassCastException / codegen compile failure
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
   override def prettyName: String = "fix_typos"
 
   override def nullSafeEval(input: Any): Any =
@@ -39,6 +46,10 @@ case class FixTyposExpr(child: Expression) extends UnaryExpression {
   */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =

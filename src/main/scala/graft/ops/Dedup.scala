@@ -26,6 +26,17 @@ object Dedup {
         raise_error(concat(lit(s"$name not castable to long: "), c.cast("string")))
           .cast("long")))
 
+  /** Free the storage blocks behind a localCheckpoint'd Dataset. A plain
+    * `Dataset.unpersist` only clears CacheManager entries and is a NO-OP for
+    * checkpoint RDDs, whose blocks otherwise linger until the ContextCleaner
+    * collects the dereferenced RDD. Only call this once nothing still
+    * depends on the checkpoint — it has no lineage to recompute from.
+    */
+  private[ops] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
+
   /** Exact dedup via content hash: one hash-shuffle, keeps lowest doc_id. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text").cast("binary")).as("content_md5"))
@@ -40,7 +51,7 @@ object Dedup {
     * all (map-side partial aggregation into k-long buffers).
     */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = TextOps.splitToks(col("text"))
     docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), explode(
@@ -101,7 +112,7 @@ object Dedup {
           floor(col("n_inter") * lit(1000) / (col("n_a") + col("n_b") - col("n_inter"))).cast("long"))
         .where(col("jaccard_pm") >= minJaccardPm))
         .localCheckpoint(true)
-    } finally candidates.unpersist(false)
+    } finally releaseCheckpoint(candidates) // result is checkpointed above
   }
 
   /** N-gram Jaccard near-dup pairs via an inverted shingle index.
@@ -256,7 +267,8 @@ object Dedup {
     * want the large-star/small-star halving variant instead. Every round
     * `localCheckpoint`s the label table (lineage truncation — an iterative
     * DataFrame loop otherwise compounds the plan until planning itself is the
-    * bottleneck) and unpersists the previous round's blocks.
+    * bottleneck) and explicitly frees the previous round's checkpoint blocks
+    * (see [[releaseCheckpoint]] — `Dataset.unpersist` would be a no-op).
     *
     * Only nodes that appear in `pairs` are returned; callers treat absent
     * nodes as singletons (see [[dedupClusters]]).
@@ -281,11 +293,11 @@ object Dedup {
             (col("nbr_lbl") < col("lbl")).as("changed"))
           .localCheckpoint(true)
         converged = next.where(col("changed")).isEmpty
-        labels.unpersist(false)
+        releaseCheckpoint(labels) // next is materialized; old round not needed
         labels = next.select(col("node"), col("lbl"))
       }
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-    } finally edges.unpersist(false)
+    } finally releaseCheckpoint(edges) // result depends only on final labels
   }
 
   /** Full dedup cluster assignment: every document gets a cluster_id (the
@@ -298,10 +310,16 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs)
+    // materialized once (two long columns per doc): this subtree feeds BOTH
+    // the size aggregate and the final join — lazy, the scan + component
+    // join would execute twice. The checkpoint stays referenced by the
+    // returned plan; its blocks are freed by the ContextCleaner once the
+    // caller drops the result.
     val assigned = docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(true)
     val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
     assigned.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("n_members").cast("long").as("n_members"),

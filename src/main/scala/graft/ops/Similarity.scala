@@ -98,9 +98,7 @@ object Similarity {
   def quantizeCodes(embs: DataFrame): DataFrame =
     embs.withColumn("scale", array_max(transform(col("embedding"), x => abs(x))))
       .select(col("vec_id").cast("long").as("vec_id"),
-        transform(col("embedding"), x =>
-          floor(x.cast("double") / col("scale").cast("double") * 127 + 0.5)
-            .cast("long")).as("codes"))
+        transform(col("embedding"), x => q8(x, col("scale"))).as("codes"))
 
   /** Brute-force top-k over int8-quantized codes — the compressed-search
     * path: scores are INTEGER dot products of the code arrays (exact, and
@@ -299,17 +297,23 @@ object Similarity {
     * shipping the code array through the comparator). Pure map work — zero
     * shuffle. Vectors must be non-zero (scale > 0).
     */
+  /** THE pinned int8 code arithmetic — single definition shared by
+    * [[quantizeInt8]] and [[quantizeCodes]] (mirrored by the oracle's
+    * `q8Codes`); any change here must change all three together or the
+    * checksums stop pinning the codes the search path ranks.
+    */
+  private def q8(x: Column, s: Column): Column =
+    floor(x.cast("double") / s.cast("double") * 127 + 0.5).cast("long")
+
   def quantizeInt8(embs: DataFrame): DataFrame = {
-    def q(x: Column, s: Column): Column =
-      floor(x.cast("double") / s.cast("double") * 127 + 0.5).cast("long")
     embs
       .withColumn("scale", array_max(transform(col("embedding"), x => abs(x))))
       .select(col("vec_id").cast("long").as("vec_id"),
         floor(col("scale").cast("double") * 1e6).cast("long").as("scale_um"),
-        aggregate(transform(col("embedding"), x => q(x, col("scale"))),
+        aggregate(transform(col("embedding"), x => q8(x, col("scale"))),
           lit(0L), (a, b) => a + b).as("qsum"),
         aggregate(transform(col("embedding"), x => {
-          val v = q(x, col("scale")); v * v
+          val v = q8(x, col("scale")); v * v
         }), lit(0L), (a, b) => a + b).as("qnorm"))
   }
 

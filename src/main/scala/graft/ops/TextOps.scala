@@ -11,10 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** THE whitespace tokenization (trim, split on `\s+`) — single definition;
+    * several DuckDB oracles (token stats, repetition, vocab, source stats,
+    * curation) and `Dedup.shingles` depend on every use agreeing, so change
+    * it only here. Note `splitToks` of a blank text yields `[""]` (Spark
+    * split semantics); use [[toksOrEmpty]] where an empty array is needed.
+    */
+  private[ops] def splitToks(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Tokens with the blank-text guard: `[]` instead of `[""]`. */
+  private[ops] def toksOrEmpty(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(splitToks(text))
+
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(size(splitToks(text)))
 
   /** Token statistics per doc. */
   def tokenStats(docs: DataFrame): DataFrame =
@@ -79,10 +92,8 @@ object TextOps {
     * map work directly over the scan (no explode, no per-token groupBy).
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val toks = when(length(trim(col("text"))) === 0,
-        array().cast("array<string>"))
-      .otherwise(split(trim(col("text")), "\\s+"))
-    val withToks = docs.select(col("doc_id"), toks.as("toks"))
+    val withToks = docs.select(col("doc_id"),
+      toksOrEmpty(col("text")).as("toks"))
     val n = size(col("toks"))
     // longest equal-run in the sorted token array == max token frequency
     val topC = aggregate(
@@ -129,7 +140,7 @@ object TextOps {
     */
   def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
     docs.where(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), explode(splitToks(col("text"))).as("tok"))
       .groupBy("tok")
       .agg(countDistinct(col("doc_id")).cast("long").as("df"),
         count(lit(1)).cast("long").as("tf"))

@@ -336,13 +336,13 @@ object OpsGolden {
 
     write("ngram", OpsOracle.ngramPairs(docs, n = 3, minJaccardPm = 200),
       Seq("a", "b", "n_inter", "n_a", "n_b", "jaccard_pm"))
-    write("minhash", OpsOracle.minhashPairs(docs, n = 3, k = 64, bands = 16,
-        minJaccardPm = 200),
-      Seq("a", "b", "jaccard_pm"))
+    // computed once, feeds both the pair golden and the cluster golden
+    val mhPairs = OpsOracle.minhashPairs(docs, n = 3, k = 64, bands = 16,
+      minJaccardPm = 200)
+    write("minhash", mhPairs, Seq("a", "b", "jaccard_pm"))
     write("clusters",
       OpsOracle.clusterAssign(docs.map(_._1),
-        OpsOracle.minhashPairs(docs, n = 3, k = 64, bands = 16, minJaccardPm = 200)
-          .map { case (a, b, _) => (a, b) }),
+        mhPairs.map { case (a, b, _) => (a, b) }),
       Seq("doc_id", "cluster_id", "n_members", "is_keep"))
     write("simhash",
       OpsOracle.simhashPairs(docs, maxHamming = 7)

@@ -98,7 +98,10 @@ object TableIO {
     val byId = committedSnapshots(root).map(s => s.id -> s).toMap
     var chain = List.empty[Snapshot]
     var cur = byId.get(snapshotId)
-    while (cur.isDefined) {
+    // seen-guard: a corrupted/hand-edited manifest whose parent chain loops
+    // must terminate the walk, not hang the driver
+    val seen = scala.collection.mutable.Set.empty[String]
+    while (cur.isDefined && seen.add(cur.get.id)) {
       chain = cur.get :: chain
       cur = cur.get.parent.flatMap(byId.get)
     }

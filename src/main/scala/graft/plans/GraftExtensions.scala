@@ -38,7 +38,7 @@ object PushDocIdFilterThroughExtract extends Rule[LogicalPlan] with PredicateHel
 
 /** The single spark-submit registration point for everything this library
   * adds to a session — the extraction strategy, the pushdown rule, and the
-  * the `fix_typos`/`simhash64` SQL functions:
+  * `fix_typos`/`simhash64` SQL functions:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   * [[ExtractDocs.over]] / [[graft.functions.Functions.register]] install the
   * same pieces at runtime for sessions built without the conf.

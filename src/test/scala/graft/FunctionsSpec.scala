@@ -47,4 +47,12 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT simhash64(CAST(NULL AS STRING)) AS h")
       .head().isNullAt(0) shouldBe true
   }
+
+  test("non-string arguments fail at analysis time with a clear type error") {
+    Functions.register(spark)
+    val e1 = intercept[Exception](spark.sql("SELECT simhash64(1)").collect())
+    e1.getMessage should include("STRING")
+    val e2 = intercept[Exception](spark.sql("SELECT fix_typos(1)").collect())
+    e2.getMessage should include("STRING")
+  }
 }
