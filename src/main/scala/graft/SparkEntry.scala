@@ -117,16 +117,16 @@ object SparkEntry {
     "q_doc_exact_dedup" -> ((s, dir) => Dedup.exact(docsTable(s, dir))
       .select(col("content_md5"), col("n_docs").cast("long").as("n_docs"),
         col("keep_id").cast("long").as("keep_id"))),
-    "q_doc_token_stats" -> ((s, dir) => {
-      val docs = docsTable(s, dir)
-      TextOps.tokenStats(docs)
-        .join(TextOps.bpeTokenCount(docs), Seq("doc_id"))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          col("n_chars").cast("long").as("n_chars"),
-          col("n_tokens").cast("long").as("n_tokens"),
-          col("n_nonspace").cast("long").as("n_nonspace"),
-          col("n_bpe_tokens").cast("long").as("n_bpe_tokens"))
-    }),
+    // all four counters in ONE narrow select — a tokenStats⋈bpeTokenCount
+    // join would scan the table twice and shuffle it on doc_id for nothing
+    "q_doc_token_stats" -> ((s, dir) =>
+      docsTable(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), TextOps.WsPlus, "")).cast("long").as("n_nonspace"),
+        size(regexp_extract_all(col("text"), lit(TextOps.BpePiece), lit(0)))
+          .cast("long").as("n_bpe_tokens"))),
     "q_doc_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"), col("pred_lang"))),
     "q_doc_quality" -> ((s, dir) => TextOps.quality(docsTable(s, dir))
@@ -355,9 +355,9 @@ object SparkEntry {
       "SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY md5(text)",
     "q_doc_token_stats" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
-        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
-        "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace, " +
-        "CAST(len(regexp_extract_all(text, '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents"),
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS n_tokens, " +
+        "CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS BIGINT) AS n_nonspace, " +
+        "CAST(len(regexp_extract_all(text, '[\\p{L}]+|[0-9]+|[^\\p{L}0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_bpe_tokens FROM documents"),
     "q_doc_langid" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE " +
         "WHEN regexp_matches(text, '[가-힣]') THEN 'ko' " +
@@ -373,15 +373,15 @@ object SparkEntry {
         "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct, " +
         "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
         "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopword, " +
-        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS n_tokens, " +
         "CAST(floor(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1000 / greatest(length(text), 1)) AS BIGINT) AS punct_pm, " +
-        "CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','in','is'))) * 1000 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)) AS BIGINT) AS stopword_pm " +
+        "CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','in','is'))) * 1000 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END, 1)) AS BIGINT) AS stopword_pm " +
         "FROM documents"),
     "q_doc_fingerprint" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_hex FROM documents",
     "q_doc_repetition" ->
       ("WITH spine AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
-        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), " +
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +
         "tc AS (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS tok FROM spine) GROUP BY 1, 2), " +
         "agg AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS top_c FROM tc GROUP BY 1), " +
         "bi AS (SELECT doc_id, len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS n_dbi FROM spine) " +
@@ -399,16 +399,16 @@ object SparkEntry {
     "q_source_stats" ->
       ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
-        "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens, " +
+        "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT) AS sum_tokens, " +
         "CAST(floor(sum(length(text)) / count(*)) AS BIGINT) AS avg_chars FROM documents GROUP BY source"),
     "q_vocab_topk" ->
       ("SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf " +
-        "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents WHERE length(trim(text)) > 0) " +
+        "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok FROM documents WHERE length(trim(text)) > 0) " +
         "GROUP BY tok ORDER BY df DESC, tok LIMIT 100"),
     "q_curated_corpus" ->
       ("WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
         "d AS (SELECT doc_id, " +
-        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens, " +
         "('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 AS b FROM documents) " +
         "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens, " +
         "CASE WHEN b < 950 THEN 'train' WHEN b < 975 THEN 'val' ELSE 'test' END AS split " +
@@ -447,8 +447,8 @@ object SparkEntry {
     "q_doc_pii_scrub" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
-        "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls, " +
-        "md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), 'https?://[^\\s]+', '<URL>', 'g')) AS scrubbed_md5 " +
+        "CAST(len(regexp_extract_all(text, 'https?://[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_urls, " +
+        "md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), 'https?://[^ \\t\\n\\x0B\\f\\r]+', '<URL>', 'g')) AS scrubbed_md5 " +
         "FROM documents"),
     "q_user_sessions" ->
       ("WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) - lag(epoch_us(ts)) OVER " +

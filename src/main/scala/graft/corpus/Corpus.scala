@@ -33,12 +33,26 @@ object Corpus {
       .map(i => CorpusGen.genDoc(i, spec))
   }
 
-  /** Ensure the input corpus parquet exists; returns its path. */
+  /** Bump whenever the generated payload format changes (e.g. the round-2
+    * pdf_region 6→7 field change): a corpus parquet written by an older
+    * generator is regenerated instead of being silently parsed against the
+    * new expectations while the goldens (always produced by the CURRENT
+    * generator) move on — that mismatch fails every extraction gate with no
+    * diagnostic pointing at the stale cache.
+    */
+  val FormatVersion = 2
+  private def formatMarker(path: String) =
+    Paths.get(path, s"_FORMAT_v$FormatVersion")
+
+  /** Ensure the input corpus parquet exists AND matches the current
+    * generator format; returns its path.
+    */
   def ensure(spark: SparkSession, sf: String): String = synchronized {
     val path = corpusPath(sf)
-    if (!exists(path)) {
+    if (!exists(path) || !Files.exists(formatMarker(path))) {
       generate(spark, CorpusGen.specFor(sf))
         .write.mode(SaveMode.Overwrite).parquet(path)
+      Files.write(formatMarker(path), Array.empty[Byte])
     }
     path
   }

@@ -355,6 +355,11 @@ object Dedup {
   def simHashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
+    // width == 64 (maxHamming == 0) would make the mask (1L << 64) - 1 == 0
+    // under Java's mod-64 shift and collapse every doc into one bucket — an
+    // all-pairs cross join. Exact-duplicate detection belongs to `exact`.
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming must be in [1, 15] (got $maxHamming); use Dedup.exact for exact duplicates")
     // native simhash64 expression + band keys in column arithmetic: the
     // whole candidate-generation subtree stays in whole-stage codegen with
     // no Encoder round-trip through a typed flatMap

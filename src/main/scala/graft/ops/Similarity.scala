@@ -220,9 +220,15 @@ object Similarity {
     val celled = typed
       .map { case (id, v) => (id, v, ivfCellOf(v, bCent.value)) }
       .toDF("vec_id", "embedding", "cell")
-    val queryCells = celled.where(col("vec_id") < nQueries)
-      .as[(Long, Array[Float], Int)]
-      .flatMap { case (id, v, _) =>
+    // query branch filters BEFORE the typed map: a where() above the cell
+    // assignment cannot push through MapElements, so the whole corpus would
+    // run ivfCellOf a second time just to select nQueries rows (and the
+    // computed cell was discarded anyway — queries rank their own probes)
+    val queryCells = embs
+      .select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
+      .where(col("vec_id") < nQueries)
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
         val cents = bCent.value
         val ranked = cents.indices
           .map(c => (c, graft.oracle.OpsOracle.cosineF(v, cents(c))))

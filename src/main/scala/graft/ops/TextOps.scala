@@ -17,7 +17,14 @@ object TextOps {
     * it only here. Note `splitToks` of a blank text yields `[""]` (Spark
     * split semantics); use [[toksOrEmpty]] where an empty array is needed.
     */
-  private[ops] def splitToks(text: Column): Column = split(trim(text), "\\s+")
+  /** Explicit ASCII-whitespace class: Java's `\s` includes vertical tab
+    * (\x0B) but RE2's — DuckDB's — does not, so every cross-engine regex
+    * spells the class out instead of using `\s`.
+    */
+  val WsClass = " \\t\\n\\x0B\\f\\r"
+  val WsPlus = s"[$WsClass]+"
+
+  private[ops] def splitToks(text: Column): Column = split(trim(text), WsPlus)
 
   /** Tokens with the blank-text guard: `[]` instead of `[""]`. */
   private[ops] def toksOrEmpty(text: Column): Column =
@@ -35,13 +42,13 @@ object TextOps {
       col("doc_id"),
       length(col("text")).as("n_chars"),
       tokenCount(col("text")).as("n_tokens"),
-      length(regexp_replace(col("text"), "\\s+", "")).as("n_nonspace"))
+      length(regexp_replace(col("text"), WsPlus, "")).as("n_nonspace"))
 
   /** BPE-ish piece pattern (GPT-2 style): letter runs, digit runs, and
     * single non-letter/digit/space marks. Expressed as a MATCH pattern (no
     * lookarounds) so Java regex and DuckDB's RE2 agree exactly.
     */
-  val BpePiece = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"
+  val BpePiece = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9" + WsClass + "]"
 
   /** BPE-ish regex token count over the piece pattern. */
   def bpeTokenCount(docs: DataFrame): DataFrame =
@@ -181,7 +188,7 @@ object TextOps {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** URL pattern. */
-  val UrlRe = "https?://[^\\s]+"
+  val UrlRe = "https?://[^" + WsClass + "]+"
 
   /** PII counts + scrubbed-content fingerprint: emails replaced first, then
     * URLs (order matters when an email-shaped substring sits inside a URL —

@@ -37,7 +37,8 @@ object OpsOracle {
     while (i0 < i1 && s.charAt(i0) == ' ') i0 += 1
     while (i1 > i0 && s.charAt(i1 - 1) == ' ') i1 -= 1
     s = s.substring(i0, i1)
-    val toks = s.split("\\s+", -1)
+    // same explicit class as TextOps.WsPlus (== Java \s — no behavior change)
+    val toks = s.split("[ \\t\\n\\x0B\\f\\r]+", -1)
     if (toks.length < n) return Set.empty
     (0 to toks.length - n).iterator.map { i =>
       val gram = toks.slice(i, i + n).mkString(" ")

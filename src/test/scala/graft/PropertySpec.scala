@@ -42,8 +42,8 @@ class PropertySpec extends AnyFunSuite with Matchers {
       case Kind.PdfRegion => for {
         y <- Gen.chooseNum(0, 3000); x <- Gen.chooseNum(0, 2000)
         w <- Gen.chooseNum(10, 2000); h <- Gen.chooseNum(10, 800)
-        b <- Gen.oneOf("0", "1"); md <- genText
-      } yield s"$y|$x|$w|$h|$b|$md"
+        b <- Gen.oneOf("0", "1"); c <- Gen.chooseNum(0, 1000); md <- genText
+      } yield s"$y|$x|$w|$h|$b|$c|$md" // 7-field round-2 region payload
       case Kind.HtmlBlock => for {
         d <- Gen.chooseNum(0, 9); l <- Gen.chooseNum(0, 200); raw <- genText
       } yield s"$d|p|$l|$raw"
