@@ -139,6 +139,13 @@ object SparkEntry {
         col("punct_pm"), col("stopword_pm"))),
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"), col("md5_hex"))),
+    // unicode canonicalization via the native NFC expression
+    "q_doc_nfc" -> ((s, dir) => docsTable(s, dir).select(
+      col("doc_id").cast("long").as("doc_id"),
+      md5(graft.functions.Functions.nfc_normalize(col("text")).cast("binary"))
+        .as("nfc_md5"),
+      (graft.functions.Functions.nfc_normalize(col("text")) === col("text"))
+        .cast("long").as("already_nfc"))),
     // Gopher-style repetition quality signals (duplicate tokens/bigrams)
     "q_doc_repetition" -> ((s, dir) => TextOps.repetition(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens"),
@@ -379,6 +386,9 @@ object SparkEntry {
         "FROM documents"),
     "q_doc_fingerprint" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_hex FROM documents",
+    "q_doc_nfc" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(nfc_normalize(text)) AS nfc_md5, " +
+        "CAST(nfc_normalize(text) = text AS BIGINT) AS already_nfc FROM documents"),
     "q_doc_repetition" ->
       ("WITH spine AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

@@ -62,6 +62,33 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a native expression — the canonical-form
+  * cleaning step of a web-scale text pipeline (decomposed accents / Hangul
+  * jamo otherwise defeat every hash-keyed dedup and fingerprint). Same
+  * codegen story as the siblings: one static JDK call inside generated code;
+  * DuckDB's `nfc_normalize` is the cross-engine oracle.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(java.text.Normalizer.normalize($c.toString(), " +
+        "java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Functions {
   /** Column-level API: `ds.select(fix_typos($"text"))`. */
   def fix_typos(c: Column): Column =
@@ -73,11 +100,18 @@ object Functions {
     org.apache.spark.sql.GraftColumnBridge.column(
       SimHash64Expr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** Column-level API: `ds.select(nfc_normalize($"text"))`. */
+  def nfc_normalize(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NfcNormalizeExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** Register for the SQL surface on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fix_typos", exprs => FixTyposExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalizeExpr(exprs.head), "scala_udf")
   }
 }

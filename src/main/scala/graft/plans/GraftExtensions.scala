@@ -57,5 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.SimHash64Expr].getName, "simhash64"),
       exprs => graft.functions.SimHash64Expr(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NfcNormalizeExpr].getName, "nfc_normalize"),
+      exprs => graft.functions.NfcNormalizeExpr(exprs.head)))
   }
 }

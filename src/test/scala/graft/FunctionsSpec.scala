@@ -48,6 +48,18 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .head().isNullAt(0) shouldBe true
   }
 
+  test("nfc_normalize: composes decomposed forms, codegen, SQL surface") {
+    Functions.register(spark)
+    // decomposed e + COMBINING ACUTE → é; decomposed Hangul jamo → 한
+    val df = spark.range(1).select(Functions.nfc_normalize(
+      concat(lit("é "), lit("한"), $"id".cast("string"))).as("n"))
+    df.queryExecution.executedPlan.toString should include("*(1) Project [nfc_normalize(")
+    df.as[String].head() shouldBe "é 한0"
+    spark.sql("SELECT nfc_normalize('abc') AS n").as[String].head() shouldBe "abc"
+    spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS n")
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("non-string arguments fail at analysis time with a clear type error") {
     Functions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT simhash64(1)").collect())
