@@ -71,7 +71,17 @@ object Dedup {
   private def cappedInterCounts(sh: DataFrame, maxDf: Int): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    sh.groupBy("shingle")
+    // df cap enforced BEFORE any posting list materializes: countDistinct is
+    // a bounded two-phase aggregate, so a stop-shingle present in 10^8 docs
+    // is dropped by the semi-join without its posting list ever being built
+    // (collect_set first would OOM the one reducer owning that key on
+    // exactly the boilerplate-heavy corpora dedup targets)
+    val keep = sh.groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df").between(2, maxDf))
+      .select("shingle")
+    sh.join(keep, Seq("shingle"), "left_semi")
+      .groupBy("shingle")
       .agg(collect_set(col("doc_id")).as("ds"))
       .where(size(col("ds")).between(2, maxDf))
       .select(col("ds")).as[Seq[Long]]
@@ -216,7 +226,7 @@ object Dedup {
     * bucket join → exact-jaccard verify.
     */
   def minHashNearDup(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
-                     minJaccardPm: Int = 500): DataFrame = {
+                     minJaccardPm: Int = 500, maxBucket: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k % bands == 0, "bands must divide k")
@@ -236,9 +246,20 @@ object Dedup {
         }
         .toDF("band", "bucket", "doc_id")
       // pair docs sharing a band bucket; sorting makes (a, b) canonical
-      // before the cross-bucket distinct. Bucket cardinality is small by
-      // construction (near-dups only), so the local pair loop is bounded.
-      val candidates = buckets.groupBy("band", "bucket")
+      // before the cross-bucket distinct. A mass-duplicate cluster of size m
+      // puts ALL m docs in the same bucket in every band (identical
+      // signatures), which would mean an unbounded collect_set and an O(m^2)
+      // pair loop — the maxBucket cap drops such buckets BEFORE any posting
+      // list materializes (count is map-side combinable). Clusters beyond
+      // the cap are the exact-duplicate regime: run `exact` first, same
+      // contract as ngramJaccardPairs' maxDf. Mirrored by the sequential
+      // oracle (OpsOracle.minhashPairs).
+      val keepB = buckets.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("m"))
+        .where(col("m").between(2, maxBucket))
+        .select("band", "bucket")
+      val candidates = buckets.join(keepB, Seq("band", "bucket"), "left_semi")
+        .groupBy("band", "bucket")
         .agg(collect_set(col("doc_id")).as("ds"))
         .where(size(col("ds")) >= 2)
         .select(col("ds")).as[Seq[Long]]
@@ -272,26 +293,38 @@ object Dedup {
     *
     * Only nodes that appear in `pairs` are returned; callers treat absent
     * nodes as singletons (see [[dedupClusters]]).
+    *
+    * `reliableCheckpointDir`: localCheckpoint blocks have NO lineage, so on
+    * a real multi-executor cluster one lost executor (preemption, OOM)
+    * during any round kills the whole loop unrecoverably. Pass a DFS
+    * directory to persist each round's state as a reliable checkpoint
+    * instead — the fault-tolerant mode for long-running corpus-scale runs;
+    * the local default is the fast path for single-JVM work.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+                          reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = reliableCheckpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
     val half = pairs.select(idLong(col("a"), "a").as("src"), idLong(col("b"), "b").as("dst"))
     // both directions, materialized once — reused every round
-    val edges = half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val edges = ckpt(
+      half.unionByName(half.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     try {
       // label(v) = min(v, min neighbor): already one propagation round
-      var labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
-        .select(col("src").as("node"), least(col("src"), col("mn")).as("lbl"))
-        .localCheckpoint(true)
+      var labels = ckpt(edges.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("src"), col("mn")).as("lbl")))
       var converged = false
       while (!converged) {
         // min label among neighbors, joined back to each node
         val viaNbr = edges.join(labels.select(col("node").as("dst"), col("lbl")), "dst")
           .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nbr_lbl"))
-        val next = labels.join(viaNbr, Seq("node"))
+        val next = ckpt(labels.join(viaNbr, Seq("node"))
           .select(col("node"), least(col("lbl"), col("nbr_lbl")).as("lbl"),
-            (col("nbr_lbl") < col("lbl")).as("changed"))
-          .localCheckpoint(true)
+            (col("nbr_lbl") < col("lbl")).as("changed")))
         converged = next.where(col("changed")).isEmpty
         releaseCheckpoint(labels) // next is materialized; old round not needed
         labels = next.select(col("node"), col("lbl"))
@@ -352,7 +385,8 @@ object Dedup {
     * verify true Hamming distance. No cross join. The Hamming filter runs
     * BEFORE the cross-band dedup so the distinct sees only surviving pairs.
     */
-  def simHashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashNearDup(docs: DataFrame, maxHamming: Int = 3,
+                     maxBucket: Int = 10000): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
     // width == 64 (maxHamming == 0) would make the mask (1L << 64) - 1 == 0
@@ -370,8 +404,18 @@ object Dedup {
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("key", expr(s"shiftrightunsigned(sim, band * $width)")
         .bitwiseAND(lit((1L << width) - 1)))
-    val a = banded.select(col("doc_id").as("a"), col("sim").as("sim_a"), col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("b"), col("sim").as("sim_b"), col("band"), col("key"))
+    // hot-bucket bound: m docs sharing a band key meet pairwise inside ONE
+    // sort-merge-join task (AQE cannot split a single join key), so a
+    // mass-duplicate cluster would emit O(m^2) rows per band. Buckets over
+    // maxBucket are dropped (that is the exact-duplicate regime — run
+    // `exact` first); singleton buckets are pruned too since they cannot
+    // produce a pair, shrinking the join input.
+    val keepK = banded.groupBy("band", "key").agg(count(lit(1)).as("m"))
+      .where(col("m").between(2, maxBucket))
+      .select("band", "key")
+    val pruned = banded.join(keepK, Seq("band", "key"), "left_semi")
+    val a = pruned.select(col("doc_id").as("a"), col("sim").as("sim_a"), col("band"), col("key"))
+    val b = pruned.select(col("doc_id").as("b"), col("sim").as("sim_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),

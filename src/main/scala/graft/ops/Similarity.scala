@@ -14,6 +14,15 @@ import scala.util.Random
   * bucket key), multi-probe raises recall. Dot products run inside codegen'd
   * higher-order functions (`zip_with`/`aggregate`) — no UDF.
   *
+  * SIZE THE BUCKET SPACE TO THE CLUSTER: the LSH/IVF joins shuffle on a key
+  * with 2^nPlanes (resp. nCells) distinct values, which is both the
+  * parallelism ceiling and the per-task candidate width. The defaults here
+  * are correctness-gate-scale settings; at corpus scale pick
+  * 2^nPlanes ≳ 4× executor-core count (and nCells likewise, e.g. √N cells
+  * for N vectors) so no reducer owns a macroscopic corpus fraction —
+  * anisotropic embedding distributions concentrate mass in few sign
+  * patterns, so err on more planes plus multi-probe rather than fewer.
+  *
   * Top-k is TWO-PHASE (VERDICT round 1 item 2): a per-partition k-heap
   * bounds every task's state to nQueries×k rows, then a tiny final merge per
   * query — no `Window.partitionBy(q_id)` funnel that would sort the whole
@@ -57,9 +66,8 @@ object Similarity {
         }
       }
     }
-    val partial = scored.select(col("q_id").cast("long"), col("n_id").cast("long"),
-        col("score").cast("double")).as[(Long, Long, Double)]
-      .mapPartitions { it =>
+    def heapPass(ds: Dataset[(Long, Long, Double)]): Dataset[(Long, Long, Double)] =
+      ds.mapPartitions { it =>
         val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
         it.foreach { case (q, n, s) =>
           val h = heaps.getOrElseUpdate(q,
@@ -69,8 +77,16 @@ object Similarity {
         }
         heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
       }
+    val partial1 = heapPass(scored.select(col("q_id").cast("long"),
+      col("n_id").cast("long"), col("score").cast("double")).as[(Long, Long, Double)])
+    // second heap level: at 100 TB scan widths, partitions×k survivors per
+    // query is no longer tiny (~10^6 partitions → 5·10^6 rows landing in ONE
+    // merge group). Repartitioning the (small) partials by query and heaping
+    // again leaves exactly k rows per query, so the final merge group is k
+    // rows regardless of input width; the extra exchange moves only partials.
+    val partial = heapPass(partial1.repartition(partial1("_1")))
       .toDF("q_id", "n_id", "score")
-    // final per-query merge over ≤ numPartitions×k rows: sort key
+    // final per-query merge over ≤ k rows per query: sort key
     // (-score, n_id) ascending == (score desc, n_id asc)
     partial
       .groupBy(col("q_id"))
@@ -204,7 +220,9 @@ object Similarity {
     * centroids for a data-tuned codebook without changing the plan shape).
     * Corpus vectors are assigned to their nearest cell; each query probes
     * its `nProbe` nearest cells (shuffle on cell id, broadcast queries);
-    * exact cosine inside probed cells; two-phase top-k merge.
+    * exact cosine inside probed cells; two-phase top-k merge. nCells is the
+    * parallelism ceiling of the cell join — scale it with the corpus (see
+    * object doc), the default fits the correctness-gate scale.
     */
   def ivfTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
               nCells: Int = 32, nProbe: Int = 4): DataFrame = {

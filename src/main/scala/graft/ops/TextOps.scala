@@ -168,20 +168,33 @@ object TextOps {
     * element at sorted rank floor(q·(n−1)). Interpolating percentiles
     * (`percentile`/`quantile_cont`) associate their floating arithmetic
     * differently per engine and disagree in the last ulp — a discrete
-    * quantile is an actual data value, so it is exactly reproducible. The
-    * sorted multiset is collected per group — fine for profile queries over
-    * bounded group counts; at unbounded cardinality switch to
-    * `percentile_approx` (and accept approximate semantics).
+    * quantile is an actual data value, so it is exactly reproducible.
+    *
+    * Rank selection runs through a per-source WINDOW sort: the sort spills
+    * via the external sorter instead of holding the whole group in one
+    * `collect_list` aggregation buffer (which would OOM — and overflow the
+    * 2^31 array-element limit — at billions of docs per source). One task
+    * per source remains the throughput ceiling, acceptable for a profile
+    * over a bounded source set; switch to `percentile_approx` when even a
+    * spilled per-source sort is too hot.
     */
   def lengthQuantiles(docs: DataFrame): DataFrame = {
-    def at(q: Double) = element_at(col("sorted"),
-      (floor(lit(q) * (col("n_docs") - 1)) + 1).cast("int"))
-    docs.select(col("source"), length(col("text")).cast("long").as("n_chars"))
-      .groupBy("source")
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sort_array(collect_list(col("n_chars"))).as("sorted"))
+    import org.apache.spark.sql.expressions.Window
+    def rankOf(q: Double) = floor(lit(q) * (col("n_docs") - 1)) + 1
+    val lens = docs.select(col("source"),
+      length(col("text")).cast("long").as("n_chars"))
+    val counted = lens.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    lens
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars"))))
+      .join(counted, Seq("source"))
+      .where(col("rn") === rankOf(0.5) || col("rn") === rankOf(0.9))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(max(when(col("rn") === rankOf(0.5), col("n_chars"))).as("median_chars"),
+        max(when(col("rn") === rankOf(0.9), col("n_chars"))).as("p90_chars"))
       .select(col("source"), col("n_docs"),
-        at(0.5).as("median_chars"), at(0.9).as("p90_chars"))
+        col("median_chars"), col("p90_chars"))
   }
 
   /** Email-address pattern (no lookarounds — Java regex and RE2 agree). */

@@ -97,7 +97,7 @@ object OpsOracle {
     * band buckets, candidate pairs, exact-jaccard verify.
     */
   def minhashPairs(docs: Seq[(Long, String)], n: Int, k: Int, bands: Int,
-                   minJaccardPm: Int): Seq[(Long, Long, Long)] = {
+                   minJaccardPm: Int, maxBucket: Int = 1000): Seq[(Long, Long, Long)] = {
     val rowsPerBand = k / bands
     val sets = docs.map { case (id, t) => id -> shingleSet(t, n) }
       .filter(_._2.nonEmpty).toMap
@@ -111,7 +111,8 @@ object OpsOracle {
     }
     val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
     buckets.values.foreach { ds =>
-      if (ds.size >= 2) {
+      // mirrors the distributed maxBucket cap (mass-dup regime excluded)
+      if (ds.size >= 2 && ds.size <= maxBucket) {
         val sorted = ds.distinct.sorted
         for (i <- sorted.indices; j <- (i + 1) until sorted.length)
           candidates += ((sorted(i), sorted(j)))

@@ -37,20 +37,38 @@ object StreamingDedup {
   /** First-seen filter over a (possibly streaming) Dataset: one output row
     * per distinct content, the first batch's minimum doc_id winning; later
     * occurrences (same batch or any later batch) are dropped via state.
+    *
+    * `ttl` bounds the dedup horizon: with e.g. `Some("30 days")` a content
+    * hash unseen for that long is evicted (processing-time timeout), so
+    * state is O(distinct docs within the horizon) instead of growing
+    * monotonically forever — mandatory for an unbounded crawl (and pair it
+    * with the RocksDB state store provider; see class doc). `None` keeps
+    * exact forever-dedup for bounded ingests.
     */
-  def firstSeen(docs: Dataset[DocIn]): Dataset[Admitted] = {
+  def firstSeen(docs: Dataset[DocIn],
+                ttl: Option[String] = None): Dataset[Admitted] = {
     import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs.groupByKey(d => contentMd5(d.text))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (key: String, rows: Iterator[DocIn], state: GroupState[Seen]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed: forget this content hash
+            Iterator.empty
+          } else if (state.exists) {
+            // seen: refresh the horizon (sliding TTL since last occurrence)
+            ttl.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else {
             var keep: DocIn = null
             while (rows.hasNext) {
               val d = rows.next()
               if (keep == null || d.doc_id < keep.doc_id) keep = d
             }
             state.update(Seen(keep.doc_id))
+            ttl.foreach(state.setTimeoutDuration)
             Iterator.single(Admitted(key, keep.doc_id, keep.text))
           })
   }

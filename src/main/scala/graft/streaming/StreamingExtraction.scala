@@ -53,6 +53,14 @@ object StreamingExtraction {
         val staging = s"$checkpoint/staging-batch-$batchId"
         docs.write.mode("overwrite").parquet(staging)
         TableIO.runAndCommit(spark, staging, outRoot, s"$runId-b$batchId")
+        // the snapshot owns the data now — a leaked staging copy per batch
+        // would duplicate the entire input over a long-running ingest
+        def deleteRec(f: java.io.File): Unit = {
+          val children = f.listFiles()
+          if (children != null) children.foreach(deleteRec)
+          f.delete(); ()
+        }
+        deleteRec(new java.io.File(staging))
         batches += 1
         ()
       }
