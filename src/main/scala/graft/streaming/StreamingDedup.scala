@@ -43,7 +43,10 @@ object StreamingDedup {
     * state is O(distinct docs within the horizon) instead of growing
     * monotonically forever — mandatory for an unbounded crawl (and pair it
     * with the RocksDB state store provider; see class doc). `None` keeps
-    * exact forever-dedup for bounded ingests.
+    * exact forever-dedup for bounded ingests. NOTE: use the TTL only with a
+    * continuous/processing-time trigger — `Trigger.AvailableNow` does not
+    * terminate while processing-time timers are pending, so a TTL'd
+    * drain-and-stop run hangs in awaitTermination.
     */
   def firstSeen(docs: Dataset[DocIn],
                 ttl: Option[String] = None): Dataset[Admitted] = {
@@ -85,14 +88,15 @@ object StreamingDedup {
     * files are deduped against everything admitted before.
     */
   def ingestDedup(spark: SparkSession, inputPath: String, outPath: String,
-                  checkpoint: String, maxFilesPerTrigger: Int = 1): Unit = {
+                  checkpoint: String, maxFilesPerTrigger: Int = 1,
+                  ttl: Option[String] = None): Unit = {
     import spark.implicits._
     val stream = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputPath)
       .as[DocIn]
-    val q = firstSeen(stream).writeStream
+    val q = firstSeen(stream, ttl).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
