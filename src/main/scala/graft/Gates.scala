@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.pipeline.TableIO
+import graft.streaming.StreamingDedup
+import java.nio.file.{Files, Paths, Path}
+import java.util.Comparator
+
+/** Driver-visible end-to-end gates for the surfaces that were previously
+  * ScalaTest-only (VERDICT round 2 item 1): streaming dedup ingest, the
+  * resume/exactly-once commit path, and snapshot time travel. Each gate runs
+  * its pipeline into a scratch dir under `data/gates/<sf>/` and returns the
+  * READ-BACK result, so the driver's DuckDB oracle checks what the pipeline
+  * actually persisted, not an in-memory plan.
+  *
+  * Determinism contract: every phase is drained as ONE AvailableNow
+  * micro-batch (maxFilesPerTrigger ≫ files present), so "first seen" within
+  * a phase resolves to the phase's minimum doc_id — expressible in ANSI SQL.
+  * Cross-phase state (the interesting part — dedup across batches, resume
+  * across commits) is exercised by running TWO phases through one checkpoint.
+  */
+object Gates {
+
+  private def clean(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    ()
+  }
+
+  /** Two-phase streaming first-seen dedup over the documents table: phase 1
+    * ingests the even doc_ids, phase 2 the odd ones through the SAME
+    * checkpoint (new query instance — a restart), so phase-2 duplicates of
+    * phase-1 content are suppressed by recovered state. Returns the admitted
+    * rows read back from the sink parquet.
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = s"${Corpus.Root}/gates/${Corpus.sfName(sfDir)}/stream_dedup"
+    clean(work)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$work/in/f-0")
+    StreamingDedup.ingestDedup(spark, s"$work/in/f-*", s"$work/out",
+      s"$work/ckpt", maxFilesPerTrigger = 100000)
+    docs.where(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$work/in/f-1")
+    StreamingDedup.ingestDedup(spark, s"$work/in/f-*", s"$work/out",
+      s"$work/ckpt", maxFilesPerTrigger = 100000)
+    spark.read.parquet(s"$work/out")
+      .select(col("content_md5"), col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+  }
+
+  /** Phase-1 predicate for the resume gate: even generator index, readable
+    * off the last digit of `doc-%09d`. Mirrored in the oracle SQL.
+    */
+  private def evenDoc = substring(col("doc_id"), 13, 1)
+    .isin("0", "2", "4", "6", "8")
+
+  /** Build (once per JVM per sf) a two-snapshot committed table: snapshot 1
+    * extracts the even-index half of the corpus, snapshot 2 resumes over the
+    * FULL corpus — the committed-doc left-anti skip must extract exactly the
+    * odd half, or the union double-counts / drops docs and the span hash
+    * breaks. Returns the table root.
+    */
+  def resumeTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val sf = Corpus.sfName(sfDir)
+    resumeCache.getOrElseUpdate(sf, {
+      val corpusPath = Corpus.ensure(spark, sf)
+      if (sf != "sf0.1") Corpus.ensureGolden(spark, sf)
+      val work = s"${Corpus.Root}/gates/$sf/resume"
+      clean(work)
+      spark.read.parquet(corpusPath).where(evenDoc)
+        .write.parquet(s"$work/phase1")
+      TableIO.runAndCommit(spark, s"$work/phase1", s"$work/table", "gate-r1")
+      TableIO.runAndCommit(spark, corpusPath, s"$work/table", "gate-r2")
+      s"$work/table"
+    })
+  }
+  private val resumeCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** Full committed scan after the resumed second run — must equal the
+    * golden span set exactly (each doc extracted exactly once).
+    */
+  def resumeExtract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Extraction.explodeSpans(
+      TableIO.readCommitted(spark, resumeTable(spark, sfDir)).get)
+
+  /** Time-travel scan of the FIRST snapshot (Iceberg VERSION AS OF analog)
+    * after both commits exist — must see only the phase-1 docs.
+    */
+  def snapshotAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = resumeTable(spark, sfDir)
+    val first = TableIO.committedSnapshots(root).head.id
+    graft.pipeline.Extraction.explodeSpans(
+      TableIO.readAsOf(spark, root, first).get)
+  }
+
+  /** Bucketed co-located join gate: both sides written with matching
+    * bucketing (the zero-exchange SMJ layout — BucketingSpec pins the plan
+    * shape; this gate pins the RESULT through the driver oracle). Revenue is
+    * summed in per-row integer cents so the aggregate is order-independent
+    * and engine-exact.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS gate_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS gate_customer_bkt")
+    // a previous JVM's managed-table dirs are invisible to this session's
+    // in-memory catalog — DROP TABLE won't clear them, saveAsTable refuses
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq("gate_orders_bkt", "gate_customer_bkt").foreach { t =>
+      val p = Paths.get(warehouse, t)
+      if (Files.exists(p)) clean(p.toString) // leaves an empty dir
+      if (Files.exists(p)) Files.delete(p)
+    }
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("gate_orders_bkt")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("gate_customer_bkt")
+    spark.table("gate_orders_bkt")
+      .join(spark.table("gate_customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("revenue_cents"))
+  }
+}

@@ -102,16 +102,31 @@ object SparkEntry {
         sum(size(filter(col("spans"), x => x.getField("kind") === "error")))
           .cast("long").as("total_failures"),
         floor(sum(col("conf_pm")) / count(lit(1))).cast("long").as("avg_conf_pm"))),
-    // deterministic totals over the per-partition metrics/lineage table
-    // (pages parsed, spans emitted, failures, confidence mass)
+    // deterministic corpus totals (pages parsed, spans emitted, failures,
+    // confidence mass, price) riding the extraction job via observe() —
+    // ONE job parses, assembles and accumulates the metrics (no second pass)
     "x_extract_metrics" -> ((s, dir) => {
       val sf = Corpus.sfName(dir)
       if (sf != "sf0.1") Corpus.ensureGolden(s, sf)
       val parsed = Extraction.parsePages(
         Extraction.readInput(s, Corpus.ensure(s, sf)),
         s.sparkContext.defaultParallelism * 2)
-      Extraction.metricsTotals(Extraction.metrics(parsed, "verify", "verify"))
+      Extraction.metricsTotalsObserved(parsed)
     }),
+
+    // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
+    // two-phase AvailableNow dedup ingest through ONE checkpoint (restart
+    // between phases); result = the sink parquet read back
+    "q_stream_dedup" -> ((s, dir) => Gates.streamDedup(s, dir)),
+    // snapshot-1 commit over half the corpus, then a RESUMED full-corpus
+    // run (committed-doc left-anti skip) — the committed union must equal
+    // the golden span set exactly (exactly-once per doc_id)
+    "q_resume_extract" -> ((s, dir) => Gates.resumeExtract(s, dir)),
+    // Iceberg VERSION-AS-OF analog: time-travel scan of snapshot 1 only
+    "q_snapshot_asof" -> ((s, dir) => Gates.snapshotAsOf(s, dir)),
+    // co-located bucketed join (zero-exchange layout; plan pinned in
+    // BucketingSpec, result pinned here)
+    "q_bucketed_join" -> ((s, dir) => Gates.bucketedJoin(s, dir)),
 
     // ---- text analysis over the documents table ------------------------
     "q_doc_exact_dedup" -> ((s, dir) => Dedup.exact(docsTable(s, dir))
@@ -358,6 +373,20 @@ object SparkEntry {
       "SELECT total_docs, total_spans, total_failures, avg_conf_pm FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
     "x_extract_metrics" ->
       "SELECT total_pages, total_spans, total_failures, sum_conf_pm, price_krw FROM read_parquet('/root/repo/data/golden_metrics/sf0.01/*.parquet')",
+    "q_stream_dedup" ->
+      ("WITH p1 AS (SELECT md5(text) AS content_md5, min(doc_id) AS doc_id FROM documents WHERE doc_id % 2 = 0 GROUP BY md5(text)), " +
+        "p2 AS (SELECT md5(text) AS content_md5, min(doc_id) AS doc_id FROM documents WHERE doc_id % 2 = 1 AND md5(text) NOT IN (SELECT content_md5 FROM p1) GROUP BY md5(text)), " +
+        "u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2) " +
+        "SELECT u.content_md5, CAST(u.doc_id AS BIGINT) AS doc_id, d.text FROM u JOIN documents d ON u.doc_id = d.doc_id"),
+    "q_resume_extract" ->
+      "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
+    "q_snapshot_asof" ->
+      ("SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet') " +
+        "WHERE substr(doc_id, 13, 1) IN ('0','2','4','6','8')"),
+    "q_bucketed_join" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
     "q_doc_exact_dedup" ->
       "SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY md5(text)",
     "q_doc_token_stats" ->

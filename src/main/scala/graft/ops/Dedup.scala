@@ -26,16 +26,28 @@ object Dedup {
         raise_error(concat(lit(s"$name not castable to long: "), c.cast("string")))
           .cast("long")))
 
-  /** Free the storage blocks behind a localCheckpoint'd Dataset. A plain
+  /** Free the storage behind a checkpointed Dataset. A plain
     * `Dataset.unpersist` only clears CacheManager entries and is a NO-OP for
-    * checkpoint RDDs, whose blocks otherwise linger until the ContextCleaner
-    * collects the dereferenced RDD. Only call this once nothing still
-    * depends on the checkpoint — it has no lineage to recompute from.
+    * checkpoint RDDs: local checkpoints hold executor storage blocks until
+    * the ContextCleaner collects the dereferenced RDD, and RELIABLE
+    * checkpoints leave their files on the DFS forever
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to false)
+    * — an iterative loop would leak one directory per round. Only call this
+    * once nothing still depends on the checkpoint — local blocks have no
+    * lineage to recompute from and the files are deleted.
     */
-  private[ops] def releaseCheckpoint(df: DataFrame): Unit =
+  private[ops] def releaseCheckpoint(df: DataFrame): Unit = {
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
     df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(hadoopConf).delete(p, true)
+        }
+        lr.rdd.unpersist(false)
     }
+    ()
+  }
 
   /** Exact dedup via content hash: one hash-shuffle, keeps lowest doc_id. */
   def exact(docs: DataFrame): DataFrame =
@@ -303,12 +315,22 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame,
                           reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // setCheckpointDir mutates GLOBAL SparkContext state — remember the
+    // caller's dir and restore it on exit. Released rounds delete their
+    // checkpoint files ([[releaseCheckpoint]]); only the final labels'
+    // directory outlives this call (the returned plan reads from it) and is
+    // the caller's to reclaim with the rest of `reliableCheckpointDir`.
+    val priorCkptDir = sc.getCheckpointDir
     val ckpt: DataFrame => DataFrame = reliableCheckpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir)
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
+    def restoreCkptDir(): Unit =
+      if (reliableCheckpointDir.isDefined && priorCkptDir != sc.getCheckpointDir)
+        sc.setCheckpointDir(priorCkptDir.orNull)
     val half = pairs.select(idLong(col("a"), "a").as("src"), idLong(col("b"), "b").as("dst"))
     // both directions, materialized once — reused every round
     val edges = ckpt(
@@ -330,7 +352,10 @@ object Dedup {
         labels = next.select(col("node"), col("lbl"))
       }
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-    } finally releaseCheckpoint(edges) // result depends only on final labels
+    } finally {
+      releaseCheckpoint(edges) // result depends only on final labels
+      restoreCkptDir()
+    }
   }
 
   /** Full dedup cluster assignment: every document gets a cluster_id (the

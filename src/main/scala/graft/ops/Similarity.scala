@@ -144,6 +144,27 @@ object Similarity {
   private[graft] def hyperplanesFor(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] =
     hyperplanes(dim, nPlanes, seed)
 
+  /** Per-JVM memo of the (deterministic, seeded) hyperplane family, keyed by
+    * (dim, nPlanes, seed). Executors regenerate the planes from the seed on
+    * first use — a few KB of Gaussians — so no driver-side dimension probe
+    * (the old `.first()` head job) and no broadcast round-trip is needed:
+    * the dimension is read off each vector's own length.
+    */
+  private object PlaneCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+    def get(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] =
+      cache.computeIfAbsent((dim, nPlanes, seed),
+        k => hyperplanes(k._1, k._2, k._3))
+  }
+
+  /** Plane lookup honoring an explicit caller-supplied dim (0 = derive from
+    * the vector — the no-driver-job default).
+    */
+  @inline private def planesFor(v: Array[Float], dim: Int, nPlanes: Int,
+                                seed: Long): Array[Array[Double]] =
+    PlaneCache.get(if (dim > 0) dim else v.length, nPlanes, seed)
+
   /** Sign-pattern bucket id of a vector under the hyperplane family. */
   def bucketOf(v: Array[Float], planes: Array[Array[Double]]): Int = {
     var bucket = 0
@@ -159,12 +180,6 @@ object Similarity {
     bucket
   }
 
-  /** Embedding dimension: explicit when the caller knows it, otherwise one
-    * tiny head probe (schema arrays are unsized).
-    */
-  private def dimOf(embs: DataFrame, dim: Int): Int =
-    if (dim > 0) dim else embs.select(size(col("embedding"))).first().getInt(0)
-
   /** LSH-bucketed ANN top-k: hyperplane sign buckets with multi-probe
     * (flip each single bit) on the query side; exact cosine within buckets.
     * Returns the same schema as bruteTopK; recall measured in tests.
@@ -173,12 +188,9 @@ object Similarity {
               nPlanes: Int = 8, seed: Long = 42, dim: Int = 0): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val planes = hyperplanes(dimOf(embs, dim), nPlanes, seed)
-    val bPlanes = spark.sparkContext.broadcast(planes)
-
     val bucketed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, bucketOf(v, bPlanes.value)) }
+      .map { case (id, v) => (id, v, bucketOf(v, planesFor(v, dim, nPlanes, seed))) }
       .toDF("vec_id", "embedding", "bucket")
 
     // multi-probe query expansion: own bucket + all 1-bit flips
@@ -275,11 +287,9 @@ object Similarity {
                     nPlanes: Int = 10, seed: Long = 42, dim: Int = 0): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val bPlanes = spark.sparkContext.broadcast(
-      hyperplanes(dimOf(embs, dim), nPlanes, seed))
     val bucketed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, bucketOf(v, bPlanes.value)) }
+      .map { case (id, v) => (id, v, bucketOf(v, planesFor(v, dim, nPlanes, seed))) }
     val a = bucketed
       .flatMap { case (id, v, bkt) =>
         (bkt +: Array.tabulate(nPlanes)(i => bkt ^ (1 << i))).distinct

@@ -170,29 +170,35 @@ object TextOps {
     * differently per engine and disagree in the last ulp — a discrete
     * quantile is an actual data value, so it is exactly reproducible.
     *
-    * Rank selection runs through a per-source WINDOW sort: the sort spills
-    * via the external sorter instead of holding the whole group in one
-    * `collect_list` aggregation buffer (which would OOM — and overflow the
-    * 2^31 array-element limit — at billions of docs per source). One task
-    * per source remains the throughput ceiling, acceptable for a profile
-    * over a bounded source set; switch to `percentile_approx` when even a
-    * spilled per-source sort is too hot.
+    * Two-level rank-select: lengths are first RUN-LENGTH COMPRESSED with a
+    * (source, n_chars)-keyed count — one hash shuffle with full map-side
+    * combine over the doc table — and the rank is then located in the
+    * cumulative counts of the compressed runs. The only per-source serial
+    * work is a window sum over |distinct length values| rows, which is
+    * bounded by the length domain (≤ max doc length), NOT by the document
+    * count: a billion-doc source compresses to at most a few million run
+    * rows, where the previous formulation sorted all 10^9 docs in one task.
     */
   def lengthQuantiles(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def rankOf(q: Double) = floor(lit(q) * (col("n_docs") - 1)) + 1
     val lens = docs.select(col("source"),
       length(col("text")).cast("long").as("n_chars"))
-    val counted = lens.groupBy("source")
-      .agg(count(lit(1)).cast("long").as("n_docs"))
-    lens
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("source").orderBy(col("n_chars"))))
-      .join(counted, Seq("source"))
-      .where(col("rn") === rankOf(0.5) || col("rn") === rankOf(0.9))
+    val rle = lens.groupBy("source", "n_chars")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    // per-source totals: |sources| rows — broadcast back to the runs
+    val counted = rle.groupBy("source")
+      .agg(sum(col("cnt")).cast("long").as("n_docs"))
+    val cum = rle.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy("source").orderBy(col("n_chars"))))
+    def rankOf(q: Double) = floor(lit(q) * (col("n_docs") - 1)) + 1
+    // the value at rank r is the run whose cumulative interval covers r
+    def covers(q: Double) =
+      rankOf(q) > col("cum") - col("cnt") && rankOf(q) <= col("cum")
+    cum.join(broadcast(counted), Seq("source"))
+      .where(covers(0.5) || covers(0.9))
       .groupBy(col("source"), col("n_docs"))
-      .agg(max(when(col("rn") === rankOf(0.5), col("n_chars"))).as("median_chars"),
-        max(when(col("rn") === rankOf(0.9), col("n_chars"))).as("p90_chars"))
+      .agg(max(when(covers(0.5), col("n_chars"))).as("median_chars"),
+        max(when(covers(0.9), col("n_chars"))).as("p90_chars"))
       .select(col("source"), col("n_docs"),
         col("median_chars"), col("p90_chars"))
   }

@@ -156,17 +156,35 @@ object OpsOracle {
 
   // ---- simhash ------------------------------------------------------------
 
-  /** Sequential `Dedup.simHashNearDup`: brute-force all-pairs Hamming — the
-    * banding is exhaustive by the pigeonhole principle, so brute force is the
-    * stronger (fully independent) oracle.
+  /** Sequential `Dedup.simHashNearDup`: brute-force all-pairs Hamming (the
+    * banding is exhaustive by the pigeonhole principle, so the distance
+    * check stays fully independent of the distributed plan) PLUS the
+    * distributed op's `maxBucket` hot-bucket contract, mirrored the same way
+    * `minhashPairs` mirrors its cap: a pair survives only if it shares at
+    * least one band key whose bucket holds ≤ maxBucket docs (over-cap
+    * buckets are the exact-duplicate regime — run `Dedup.exact` first).
     */
-  def simhashPairs(docs: Seq[(Long, String)], maxHamming: Int): Seq[(Long, Long, Int)] = {
+  def simhashPairs(docs: Seq[(Long, String)], maxHamming: Int,
+                   maxBucket: Int = 10000): Seq[(Long, Long, Int)] = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
     val sims = docs.map { case (id, t) => id -> Dedup.simhash64(t) }.sortBy(_._1)
+    def bandKeys(sim: Long): Seq[(Int, Long)] =
+      (0 until nBands).map(b => (b, (sim >>> (b * width)) & mask))
+    val bucketSize = scala.collection.mutable.Map.empty[(Int, Long), Int]
+    sims.foreach { case (_, sim) =>
+      bandKeys(sim).foreach(k => bucketSize(k) = bucketSize.getOrElse(k, 0) + 1)
+    }
+    def meetsInKeptBucket(s1: Long, s2: Long): Boolean =
+      bandKeys(s1).exists { case (b, k) =>
+        ((s2 >>> (b * width)) & mask) == k && bucketSize((b, k)) <= maxBucket
+      }
     (for {
       i <- sims.indices.iterator
       j <- (i + 1) until sims.length
       h = java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2)
-      if h <= maxHamming
+      if h <= maxHamming && meetsInKeptBucket(sims(i)._2, sims(j)._2)
     } yield (sims(i)._1, sims(j)._1, h)).toSeq.sorted
   }
 

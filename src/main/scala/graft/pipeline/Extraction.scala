@@ -172,9 +172,10 @@ object Extraction {
   }
 
   /** Per-partition lineage + extraction metrics (FIXTURES.md §3) from a parsed
-    * page dataset. At sandbox scale we aggregate the (persisted) parse output;
-    * on a real cluster the same rows would ride the job via accumulators or
-    * `observe()` so nothing is recomputed.
+    * page dataset — the OPERATIONAL lineage surface (one row per task, doc
+    * ranges included), aggregated from the persisted parse output inside
+    * `TableIO.runAndCommit`. The corpus-total metrics ride the extraction job
+    * itself via [[metricsTotalsObserved]] (no second pass).
     */
   def metrics(parsed: Dataset[PageRes], runId: String, snapshotId: String): DataFrame = {
     parsed.toDF()
@@ -214,6 +215,36 @@ object Extraction {
       sum(col("parse_failures")).cast("long").as("total_failures"),
       sum(col("sum_conf_pm")).cast("long").as("sum_conf_pm"),
       (sum(col("pages_parsed")) * PricePerPageKrw).cast("long").as("price_krw"))
+  }
+
+  /** Deterministic corpus totals computed WITH `observe()` on the parse
+    * stage of a single extraction job: the page-level aggregates accumulate
+    * as the job's own tasks stream past (a `CollectMetrics` node over the
+    * parsed pages — map-side, zero extra shuffle, zero recompute), while the
+    * job's real action is the assembled document output (written to the
+    * `noop` sink here; a caller with a data sink gets the metrics for free
+    * on its own write). Returns a one-row DataFrame with the exact
+    * [[metricsTotals]] schema. At 100 TB this is the difference between one
+    * pass and two over every parsed page.
+    */
+  def metricsTotalsObserved(parsed: Dataset[PageRes]): DataFrame = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val observed = parsed.toDF().observe(obs,
+      count(lit(1)).cast("long").as("total_pages"),
+      sum(size(col("spans"))).cast("long").as("total_spans"),
+      sum(when(col("failed"), 1L).otherwise(0L)).cast("long").as("total_failures"),
+      sum(col("conf_pm").cast("long")).cast("long").as("sum_conf_pm"))
+    assemble(observed.as[PageRes])
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    // sums observe as null on an empty input — surface 0 like metricsTotals
+    def l(k: String): Long = Option(m(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    Seq((l("total_pages"), l("total_spans"), l("total_failures"),
+        l("sum_conf_pm"), l("total_pages") * PricePerPageKrw))
+      .toDF("total_pages", "total_spans", "total_failures", "sum_conf_pm",
+        "price_krw")
   }
 
   /** Exploded per-span view (the comparator/driver-facing shape). */

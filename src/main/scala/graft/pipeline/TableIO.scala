@@ -52,8 +52,18 @@ object TableIO {
     * snapshot id, or None if nothing was left to process.
     */
   def runAndCommit(spark: SparkSession, inputPath: String, outRoot: String,
-                   runId: String, numPartitions: Int = 0): Option[String] = {
-    val docs = Extraction.readInput(spark, inputPath)
+                   runId: String, numPartitions: Int = 0): Option[String] =
+    commitDocs(spark, Extraction.readInput(spark, inputPath), outRoot, runId,
+      numPartitions)
+
+  /** Extract + commit an in-memory document Dataset (the streaming
+    * `foreachBatch` entry point — the micro-batch plan flows straight into
+    * the parse without a staging materialization, halving batch write I/O
+    * and removing any staging-dir cleanup concern on DFS).
+    */
+  def commitDocs(spark: SparkSession, docs: org.apache.spark.sql.Dataset[graft.model.Doc],
+                 outRoot: String, runId: String,
+                 numPartitions: Int = 0): Option[String] = {
     val remaining = readCommitted(spark, outRoot) match {
       case Some(done) =>
         docs.join(done.select("doc_id"), Seq("doc_id"), "left_anti")

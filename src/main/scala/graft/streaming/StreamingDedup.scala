@@ -90,19 +90,69 @@ object StreamingDedup {
   def ingestDedup(spark: SparkSession, inputPath: String, outPath: String,
                   checkpoint: String, maxFilesPerTrigger: Int = 1,
                   ttl: Option[String] = None): Unit = {
+    // AvailableNow does not terminate while processing-time timers are
+    // pending, so a TTL'd drain-and-stop run would hang in awaitTermination
+    // — the TTL belongs to the continuous entry point below.
+    require(ttl.isEmpty,
+      "TTL requires a processing-time trigger — use ingestDedupContinuous")
+    val q = dedupStream(spark, inputPath, outPath, checkpoint,
+      maxFilesPerTrigger, ttl = None)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Continuous (tailing) dedup ingest with an optional state TTL — the
+    * long-running-crawl mode. Runs on a processing-time trigger (so
+    * `GroupStateTimeout.ProcessingTimeTimeout` timers actually fire and
+    * expired content hashes are evicted), and stops once no micro-batch has
+    * processed data for `idleStopMs` (a drain-then-stop loop for bounded
+    * runs; pass `Long.MaxValue` to tail forever). Returns the number of
+    * non-empty micro-batches.
+    */
+  def ingestDedupContinuous(spark: SparkSession, inputPath: String, outPath: String,
+                            checkpoint: String, maxFilesPerTrigger: Int = 1,
+                            ttl: Option[String] = None,
+                            triggerMs: Long = 500L,
+                            idleStopMs: Long = 10000L): Long = {
+    val q = dedupStream(spark, inputPath, outPath, checkpoint,
+      maxFilesPerTrigger, ttl)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+    var nonEmpty = 0L
+    var lastBatch = -1L
+    var lastData = System.nanoTime()
+    try {
+      while (q.isActive && (System.nanoTime() - lastData) / 1000000L < idleStopMs) {
+        q.processAllAvailable() // drain what is currently visible
+        val p = q.lastProgress
+        if (p != null && p.batchId > lastBatch && p.numInputRows > 0) {
+          nonEmpty += 1
+          lastBatch = p.batchId
+          lastData = System.nanoTime()
+        }
+        Thread.sleep(100)
+      }
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+    nonEmpty
+  }
+
+  private def dedupStream(spark: SparkSession, inputPath: String, outPath: String,
+                          checkpoint: String, maxFilesPerTrigger: Int,
+                          ttl: Option[String]) = {
     import spark.implicits._
     val stream = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputPath)
       .as[DocIn]
-    val q = firstSeen(stream, ttl).writeStream
-      .trigger(Trigger.AvailableNow())
+    firstSeen(stream, ttl).writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .format("parquet")
       .option("path", outPath)
-      .start()
-    q.awaitTermination()
   }
 }

@@ -46,21 +46,13 @@ object StreamingExtraction {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the micro-batch plan feeds TableIO's commit path DIRECTLY, so the
+        // resume/commit semantics (committed-doc skip, atomic manifest) are
+        // identical in batch and streaming modes with no staging
+        // materialization — the former staging parquet copy doubled the
+        // write I/O per batch and needed a per-filesystem cleanup
         val docs = batch.select("doc_id", "spans").as[graft.model.Doc]
-        // stage the micro-batch through a temp parquet dir so TableIO's
-        // resume/commit path (committed-doc skip, atomic manifest) applies
-        // identically in batch and streaming modes
-        val staging = s"$checkpoint/staging-batch-$batchId"
-        docs.write.mode("overwrite").parquet(staging)
-        TableIO.runAndCommit(spark, staging, outRoot, s"$runId-b$batchId")
-        // the snapshot owns the data now — a leaked staging copy per batch
-        // would duplicate the entire input over a long-running ingest
-        def deleteRec(f: java.io.File): Unit = {
-          val children = f.listFiles()
-          if (children != null) children.foreach(deleteRec)
-          f.delete(); ()
-        }
-        deleteRec(new java.io.File(staging))
+        TableIO.commitDocs(spark, docs, outRoot, s"$runId-b$batchId")
         batches += 1
         ()
       }
