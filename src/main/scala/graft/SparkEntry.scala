@@ -211,6 +211,15 @@ object SparkEntry {
       Dedup.dedupClusters(docs,
         Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200))
     }),
+    // same cluster contract through the alternating large-star/small-star
+    // component algorithm (O(log² n) rounds — the long-chain-graph scale
+    // path); gated by the SAME union-find golden as q_dedup_clusters
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      Dedup.dedupClusters(docs,
+        Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200), star = true)
+    }),
     "q_simhash_near_dup" -> ((s, dir) => {
       opsGolden(s, dir)
       Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)
@@ -461,6 +470,8 @@ object SparkEntry {
     "q_simhash_near_dup" ->
       "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/simhash/*.parquet')",
     "q_dedup_clusters" ->
+      "SELECT doc_id, cluster_id, n_members, is_keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/clusters/*.parquet')",
+    "q_dedup_clusters_star" ->
       "SELECT doc_id, cluster_id, n_members, is_keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/clusters/*.parquet')",
     "q_ann_brute_topk" ->
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_brute/*.parquet')",

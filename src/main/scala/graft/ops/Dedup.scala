@@ -296,8 +296,9 @@ object Dedup {
     * its neighbors' labels (one shuffle join + one groupBy per round),
     * terminating when a round changes nothing. Rounds = graph diameter;
     * near-dup graphs are dense quasi-cliques (diameter 2–3 in practice), so
-    * this is the right shape at corpus scale — a long-chain-heavy graph would
-    * want the large-star/small-star halving variant instead. Every round
+    * this is the right shape at corpus scale — a long-chain-heavy graph wants
+    * [[connectedComponentsStar]], whose round count is O(log² n) regardless
+    * of diameter. Every round
     * `localCheckpoint`s the label table (lineage truncation — an iterative
     * DataFrame loop otherwise compounds the plan until planning itself is the
     * bottleneck) and explicitly frees the previous round's checkpoint blocks
@@ -358,6 +359,86 @@ object Dedup {
     }
   }
 
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * O(log² n)-round alternative to [[connectedComponents]]' min-label
+    * propagation for LONG-CHAIN graphs, where propagation needs
+    * diameter-many rounds but star contraction halves chain length every
+    * round. Same output contract: (doc_id, cluster_id = component min) for
+    * every node appearing in `pairs`.
+    *
+    * Edges are kept oriented large→small (u > v). Per round:
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    min(Γ(u) ∪ {u}) — one groupBy(min) + one join back, both on the
+    *    same key (one shuffle each).
+    *  - small-star: within each node's smaller neighborhood, everything
+    *    re-attaches to the minimum — same plan shape.
+    * Rounds localCheckpoint (or reliably checkpoint, same contract as
+    * [[connectedComponents]]) and release the previous round's storage.
+    * Convergence = a round changes no edge (left-anti probe); at the fixed
+    * point the edge set is a star forest rooted at component minima.
+    */
+  def connectedComponentsStar(pairs: DataFrame,
+                              reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val priorCkptDir = sc.getCheckpointDir
+    val ckpt: DataFrame => DataFrame = reliableCheckpointDir match {
+      case Some(dir) =>
+        sc.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    def restoreCkptDir(): Unit =
+      if (reliableCheckpointDir.isDefined && priorCkptDir != sc.getCheckpointDir)
+        sc.setCheckpointDir(priorCkptDir.orNull)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      // both orientations: Γ(u) for every endpoint
+      val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min(col("v")).as("mn"))
+      und.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is oriented u > v, so grouping by u sees the SMALLER neighborhood
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = e.join(mins, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.unionByName(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    val nodes = pairs
+      .select(explode(array(idLong(col("a"), "a"), idLong(col("b"), "b"))).as("node"))
+      .distinct()
+    var edges = ckpt(pairs
+      .select(idLong(col("a"), "a").as("x"), idLong(col("b"), "b").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct())
+    try {
+      var converged = false
+      while (!converged) {
+        val next = ckpt(smallStar(largeStar(edges)))
+        // fixed point: identical edge sets (both are distinct'd)
+        converged = next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
+          edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+        if (!converged) releaseCheckpoint(edges)
+        else releaseCheckpoint(next) // keep the (equal) previous round
+        if (!converged) edges = next
+      }
+      // star forest: non-roots point at their component min; roots default
+      nodes.join(edges.select(col("u").as("node"), col("v").as("lbl")),
+          Seq("node"), "left")
+        .select(col("node").as("doc_id"),
+          coalesce(col("lbl"), col("node")).as("cluster_id"))
+    } finally restoreCkptDir()
+  }
+
   /** Full dedup cluster assignment: every document gets a cluster_id (the
     * min doc_id of its near-dup component; singletons map to themselves),
     * the component size, and an is_keep flag marking the canonical
@@ -366,8 +447,9 @@ object Dedup {
     * One left join against the (small) component table + one groupBy for
     * sizes; AQE broadcasts both when they fit.
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    star: Boolean = false): DataFrame = {
+    val comp = if (star) connectedComponentsStar(pairs) else connectedComponents(pairs)
     // materialized once (two long columns per doc): this subtree feeds BOTH
     // the size aggregate and the final join — lazy, the scan + component
     // join would execute twice. The checkpoint stays referenced by the

@@ -165,6 +165,33 @@ class OpsSpec extends AnyFunSuite with Matchers {
     comp(21L) shouldBe 20L
   }
 
+  test("star connected components equal min-label propagation on chain, clique, forest") {
+    // chain: the adversarial case for propagation (diameter rounds) and the
+    // motivating case for star contraction; clique: the near-dup regime;
+    // plus an isolated 2-node component and a bridge node shared by both
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val clique = for (i <- 30L to 34L; j <- (i + 1) to 34L) yield (i, j)
+    val bridge = Seq((10L, 30L)) // welds chain and clique into one component
+    val isolated = Seq((50L, 51L))
+    val pairs = (chain ++ clique ++ bridge ++ isolated).toDF("a", "b")
+    val prop = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    star shouldBe prop
+    (1L to 10L).foreach(v => star(v) shouldBe 1L)
+    (30L to 34L).foreach(v => star(v) shouldBe 1L)
+    star(50L) shouldBe 50L
+    star(51L) shouldBe 50L
+  }
+
+  test("star dedup clusters match the union-find oracle on corpus near-dup pairs") {
+    val pairs = Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200)
+    val got = Dedup.dedupClusters(docs, pairs, star = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ids = docs.select($"doc_id".cast("long")).as[Long].collect().toSeq
+    val seqPairs = pairs.select($"a", $"b").as[(Long, Long)].collect().toSeq
+    got shouldBe graft.oracle.OpsOracle.clusterAssign(ids, seqPairs).toSet
+  }
+
   test("dedup cluster assignment matches sequential union-find") {
     val pairs = Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200)
     val got = Dedup.dedupClusters(docs, pairs)
