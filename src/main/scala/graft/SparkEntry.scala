@@ -252,6 +252,15 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
           floor(col("score") * 1000).cast("long").as("score_pm"))
     }),
+    // same IVF plan over a k-means-trained codebook (3 Lloyd rounds of the
+    // lowest-id init; micro-unit integer means → partitioning-invariant and
+    // sequential-oracle-reproducible)
+    "q_ann_ivf_kmeans_topk" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Similarity.ivfTopK(embTable(s, dir), nQueries = 20, k = 5, trainIters = 3)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+          floor(col("score") * 1000).cast("long").as("score_pm"))
+    }),
     // near-dups are PLANTED (perturbed copies of the first 20 vectors):
     // the driver corpus has no true embedding near-duplicates, so recall is
     // measured against a known ground truth instead of an empty set
@@ -479,6 +488,8 @@ object SparkEntry {
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_lsh/*.parquet')",
     "q_ann_ivf_topk" ->
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_ivf/*.parquet')",
+    "q_ann_ivf_kmeans_topk" ->
+      "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_ivf_km/*.parquet')",
     "q_ann_q8_topk" ->
       "SELECT q_id, n_id, rank, score_int FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_q8/*.parquet')",
     "q_emb_near_dup" ->

@@ -225,25 +225,70 @@ object Similarity {
     best
   }
 
-  /** IVF-bucketed ANN top-k — the inverted-file scale path alongside the
-    * hyperplane-LSH one. The coarse codebook is DETERMINISTIC (the
-    * `nCells` lowest-id vectors — a training-free quantizer, so the oracle
-    * and any re-partitioning reproduce it bit-exactly; swap in k-means
-    * centroids for a data-tuned codebook without changing the plan shape).
-    * Corpus vectors are assigned to their nearest cell; each query probes
-    * its `nProbe` nearest cells (shuffle on cell id, broadcast queries);
-    * exact cosine inside probed cells; two-phase top-k merge. nCells is the
-    * parallelism ceiling of the cell join — scale it with the corpus (see
-    * object doc), the default fits the correctness-gate scale.
+  /** Data-tuned IVF codebook: `iters` Lloyd rounds over the corpus, seeded
+    * from the deterministic lowest-id init (the training-free codebook).
+    * Each round is ONE distributed pass — assign every vector to its nearest
+    * centroid (broadcast codebook, [[ivfCellOf]]), then aggregate per-(cell,
+    * dim) component sums with map-side combine; only nCells×dim aggregate
+    * rows ever reach the driver. All mean arithmetic is pinned to integer
+    * micro-units (floor each float component to micros as a long, long-sum,
+    * floorDiv by the cell count), so the trained codebook is bit-identical
+    * under any partitioning AND reproducible by the sequential oracle —
+    * float averaging would make the training order-dependent and the gate
+    * unpinnable. Empty cells keep their previous centroid.
     */
-  def ivfTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
-              nCells: Int = 32, nProbe: Int = 4): DataFrame = {
+  def kmeansCodebook(embs: DataFrame, nCells: Int, iters: Int): Array[Array[Float]] = {
     val spark = embs.sparkSession
     import spark.implicits._
     val typed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val centroids = typed.filter(t => t._1 >= 0 && t._1 < nCells)
+    var centroids = typed.filter(t => t._1 >= 0 && t._1 < nCells)
       .collect().sortBy(_._1).map(_._2)
+    require(centroids.nonEmpty, "kmeansCodebook needs vec_ids 0..nCells-1 present")
+    for (_ <- 0 until iters) {
+      val bCent = spark.sparkContext.broadcast(centroids)
+      val stats = typed
+        .map { case (_, v) => (ivfCellOf(v, bCent.value), v) }
+        .toDF("cell", "emb")
+        .select(col("cell"), posexplode(col("emb")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("s_um"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val c = r.getInt(0)
+        next(c)(r.getInt(1)) =
+          (Math.floorDiv(r.getLong(2), r.getLong(3)) / 1e6).toFloat
+      }
+      bCent.destroy()
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF-bucketed ANN top-k — the inverted-file scale path alongside the
+    * hyperplane-LSH one. The coarse codebook is DETERMINISTIC: by default
+    * the `nCells` lowest-id vectors (a training-free quantizer), or with
+    * `trainIters > 0` the [[kmeansCodebook]] Lloyd refinement of that init —
+    * same plan shape, data-tuned cells (both bit-reproducible by the
+    * sequential oracle). Corpus vectors are assigned to their nearest cell;
+    * each query probes its `nProbe` nearest cells (shuffle on cell id,
+    * broadcast queries); exact cosine inside probed cells; two-phase top-k
+    * merge. nCells is the parallelism ceiling of the cell join — scale it
+    * with the corpus (see object doc), the default fits the
+    * correctness-gate scale.
+    */
+  def ivfTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
+              nCells: Int = 32, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val typed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids =
+      if (trainIters > 0) kmeansCodebook(embs, nCells, trainIters)
+      else typed.filter(t => t._1 >= 0 && t._1 < nCells)
+        .collect().sortBy(_._1).map(_._2)
     require(centroids.nonEmpty, "ivfTopK needs vec_ids 0..nCells-1 present")
     val bCent = spark.sparkContext.broadcast(centroids)
 

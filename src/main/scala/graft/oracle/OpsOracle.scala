@@ -236,13 +236,46 @@ object OpsOracle {
     }
   }
 
-  /** Sequential `Similarity.ivfTopK`: deterministic lowest-id codebook,
-    * nearest-cell assignment, nProbe query cells, exact cosine, top-k.
+  /** Sequential `Similarity.kmeansCodebook`: a plain in-memory Lloyd loop
+    * over the same pinned micro-unit arithmetic (floor components to micro
+    * longs, long-sum per cell, floorDiv by the cell count) — shares only the
+    * [[Similarity.ivfCellOf]] assignment leaf; the aggregation is restated
+    * as sequential accumulation, independently of the distributed groupBy.
+    */
+  def kmeansCodebook(embs: Seq[(Long, Array[Float])], nCells: Int,
+                     iters: Int): Array[Array[Float]] = {
+    var cent = embs.filter(t => t._1 >= 0 && t._1 < nCells)
+      .sortBy(_._1).map(_._2).toArray
+    for (_ <- 0 until iters) {
+      val dim = cent(0).length
+      val sums = Array.ofDim[Long](cent.length, dim)
+      val counts = new Array[Long](cent.length)
+      embs.foreach { case (_, v) =>
+        val c = Similarity.ivfCellOf(v, cent)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length && d < dim) {
+          sums(c)(d) += math.floor(v(d).toDouble * 1e6).toLong; d += 1
+        }
+      }
+      cent = Array.tabulate(cent.length) { c =>
+        if (counts(c) == 0) cent(c)
+        else Array.tabulate(dim)(d => (Math.floorDiv(sums(c)(d), counts(c)) / 1e6).toFloat)
+      }
+    }
+    cent
+  }
+
+  /** Sequential `Similarity.ivfTopK`: deterministic lowest-id codebook
+    * (Lloyd-refined when trainIters > 0), nearest-cell assignment, nProbe
+    * query cells, exact cosine, top-k.
     */
   def ivfTopK(embs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
-              nCells: Int, nProbe: Int): Seq[(Long, Long, Int, Double)] = {
-    val centroids = embs.filter(t => t._1 >= 0 && t._1 < nCells)
-      .sortBy(_._1).map(_._2).toArray
+              nCells: Int, nProbe: Int, trainIters: Int = 0): Seq[(Long, Long, Int, Double)] = {
+    val centroids =
+      if (trainIters > 0) kmeansCodebook(embs, nCells, trainIters)
+      else embs.filter(t => t._1 >= 0 && t._1 < nCells)
+        .sortBy(_._1).map(_._2).toArray
     val celled = embs.map { case (id, v) =>
       (id, v, Similarity.ivfCellOf(v, centroids)) }
     celled.filter(_._1 < nQueries).sortBy(_._1).flatMap { case (q, qv, _) =>
@@ -336,7 +369,7 @@ object OpsGolden {
   private def exists(p: String): Boolean = Files.exists(Paths.get(p, "_SUCCESS"))
 
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
-    "ann_lsh", "ann_ivf", "ann_q8", "embdup", "media")
+    "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -378,6 +411,11 @@ object OpsGolden {
       Seq("q_id", "n_id", "rank", "score_pm"))
     write("ann_ivf",
       OpsOracle.ivfTopK(embs, nQueries = 20, k = 5, nCells = 32, nProbe = 4)
+        .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
+      Seq("q_id", "n_id", "rank", "score_pm"))
+    write("ann_ivf_km",
+      OpsOracle.ivfTopK(embs, nQueries = 20, k = 5, nCells = 32, nProbe = 4,
+          trainIters = 3)
         .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
       Seq("q_id", "n_id", "rank", "score_pm"))
     write("ann_q8",

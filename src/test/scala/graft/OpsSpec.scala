@@ -123,6 +123,33 @@ class OpsSpec extends AnyFunSuite with Matchers {
     for (i <- 0L until 10L) top1(i - 1000000L) shouldBe i
   }
 
+  test("k-means IVF: distributed codebook == sequential Lloyd; recall measured vs training-free") {
+    val typed = embs.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    // the distributed micro-unit training must reproduce the sequential
+    // loop bit-exactly (partitioning-invariant integer arithmetic)
+    val dist = Similarity.kmeansCodebook(embs, nCells = 32, iters = 3)
+    val seq = graft.oracle.OpsOracle.kmeansCodebook(typed, nCells = 32, iters = 3)
+    dist.length shouldBe seq.length
+    dist.zip(seq).foreach { case (a, b) => a.toSeq shouldBe b.toSeq }
+    // recall@5 vs brute-force ground truth, k-means codebook vs the
+    // training-free lowest-id codebook (the VERDICT-asked measurement):
+    // Lloyd cells are tuned to the data distribution, so trained recall
+    // should at least hold the training-free level on this corpus
+    val truth = graft.oracle.OpsOracle.bruteTopK(typed, nQueries = 10, k = 5)
+      .map { case (q, n, _, _) => (q, n) }.toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"q_id".cast("long"), $"n_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val r0 = recall(Similarity.ivfTopK(embs, nQueries = 10, k = 5))
+    val rk = recall(Similarity.ivfTopK(embs, nQueries = 10, k = 5, trainIters = 3))
+    info(f"IVF recall@5: training-free=$r0%.3f kmeans(3 iters)=$rk%.3f")
+    rk should be >= r0 - 0.08 // tuned codebook must not collapse recall
+    rk should be >= 0.5
+  }
+
   test("MinHashSigAgg (distributed k-min fold) == sequential minhashSig per doc") {
     val sh = Dedup.shingles(docs, 3)
     val sigAgg = udaf(new Dedup.MinHashSigAgg(64), org.apache.spark.sql.Encoders.scalaLong)
