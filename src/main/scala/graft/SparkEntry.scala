@@ -95,6 +95,15 @@ object SparkEntry {
         .map { case (id, html) => (id, graft.parse.HtmlText.htmlToMarkdown(html)) }
         .toDF("doc_id", "md_from_html")
     }),
+    // html→markdown via the reference's PRIMARY markdownify-ATX path
+    // (html_generator.py:599–612), dialect-implemented (markdownify not
+    // installable here); golden computed by the sequential oracle
+    "x_html_to_markdown_atx" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).select(col("doc_id"), col("html")).as[(String, String)]
+        .map { case (id, html) => (id, graft.parse.HtmlText.htmlToMarkdownAtx(html)) }
+        .toDF("doc_id", "md_from_html_atx")
+    }),
     "x_extract_totals" -> ((s, dir) =>
       extracted(s, dir).agg(
         count(lit(1)).cast("long").as("total_docs"),
@@ -387,6 +396,8 @@ object SparkEntry {
       "SELECT doc_id, corrected_md, regex_fired, edit_est FROM read_parquet('/root/repo/data/golden_corrected/sf0.01/*.parquet')",
     "x_html_to_markdown" ->
       "SELECT doc_id, md_from_html FROM read_parquet('/root/repo/data/golden_htmlmd/sf0.01/*.parquet')",
+    "x_html_to_markdown_atx" ->
+      "SELECT doc_id, md_from_html_atx FROM read_parquet('/root/repo/data/golden_htmlmd_atx/sf0.01/*.parquet')",
     "x_extract_totals" ->
       "SELECT total_docs, total_spans, total_failures, avg_conf_pm FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
     "x_extract_metrics" ->

@@ -22,6 +22,7 @@ object Corpus {
   def goldenTotalsPath(sf: String): String = s"$Root/golden_totals/$sf"
   def goldenMetricsPath(sf: String): String = s"$Root/golden_metrics/$sf"
   def goldenHtmlMdPath(sf: String): String = s"$Root/golden_htmlmd/$sf"
+  def goldenHtmlMdAtxPath(sf: String): String = s"$Root/golden_htmlmd_atx/$sf"
 
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
@@ -65,7 +66,7 @@ object Corpus {
     if (!exists(spansPath) || !exists(goldenMdPath(sf)) ||
         !exists(goldenHtmlPath(sf)) || !exists(goldenCorrectedPath(sf)) ||
         !exists(goldenTotalsPath(sf)) || !exists(goldenMetricsPath(sf)) ||
-        !exists(goldenHtmlMdPath(sf))) {
+        !exists(goldenHtmlMdPath(sf)) || !exists(goldenHtmlMdAtxPath(sf))) {
       import spark.implicits._
       val spec = CorpusGen.specFor(sf)
       // ONE parse pass per doc yields both the golden surfaces and the
@@ -85,6 +86,9 @@ object Corpus {
       golden.map(e => (e.doc_id, graft.parse.HtmlText.htmlToMarkdown(e.html)))
         .toDF("doc_id", "md_from_html")
         .write.mode(SaveMode.Overwrite).parquet(goldenHtmlMdPath(sf))
+      golden.map(e => (e.doc_id, graft.parse.HtmlText.htmlToMarkdownAtx(e.html)))
+        .toDF("doc_id", "md_from_html_atx")
+        .write.mode(SaveMode.Overwrite).parquet(goldenHtmlMdAtxPath(sf))
       golden.map { e =>
         val r = graft.parse.Corrector.correct(e.markdown)
         (e.doc_id, r.corrected, r.regexFired.toLong,
