@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.pipeline.Extraction
-import graft.ops.{TextOps, Dedup, Similarity, Multimodal}
+import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing}
 
 /** Driver contract — see SURVEY.md §7 + SPEC.md.
   *
@@ -233,6 +233,27 @@ object SparkEntry {
       opsGolden(s, dir)
       Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+    }),
+    // benchmark decontamination: planted eval set = mid-document excerpts
+    // of every 97th doc; flag every doc sharing a 5-gram with any of them
+    "q_decontam" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      val bench = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 51, 400).as("text"))
+      Dedup.decontaminate(docs, bench, n = 5)
+    }),
+    // deterministic corpus-mixture sampling to target source proportions
+    "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docsTable(s, dir),
+      Seq("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))),
+    // sequence packing: best-fit-decreasing into 128-token training rows
+    "q_pack_sequences" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Packing.packSequences(docsTable(s, dir), capacity = 128, nBuckets = 16)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("bucket").cast("long").as("bucket"), col("seq_id"),
+          col("pos").cast("long").as("pos"))
     }),
     // float scores surface as per-mille longs (driver hashing is
     // integer-exact; the ranking itself is computed on full doubles)
@@ -507,6 +528,22 @@ object SparkEntry {
       "SELECT a, b, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')",
     "q_media_features" ->
       "SELECT doc_id, media_ref, n_bytes, content_h64 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/media/*.parquet')",
+    "q_decontam" ->
+      "SELECT doc_id, n_overlap, contaminated FROM read_parquet('/root/repo/data/golden_ops/sf0.01/decontam/*.parquet')",
+    "q_pack_sequences" ->
+      "SELECT doc_id, n_tokens, bucket, seq_id, pos FROM read_parquet('/root/repo/data/golden_ops/sf0.01/packing/*.parquet')",
+    // mixture sampling is integer/floor-exact → direct ANSI-SQL oracle
+    "q_mixture_sample" ->
+      ("WITH tgt(source, target_pm) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)), " +
+        "counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+        "j AS (SELECT c.source, c.n_docs, t.target_pm FROM counts c JOIN tgt t USING (source)), " +
+        "tt AS (SELECT min(floor(n_docs * 1000 / target_pm)) AS t_total FROM j), " +
+        "rates AS (SELECT source, least(1000000, floor(floor(t_total * target_pm / 1000) * 1000000 / n_docs)) AS rate_ppm FROM j CROSS JOIN tt) " +
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, " +
+        "('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS mix_ppm, " +
+        "CAST(r.rate_ppm AS BIGINT) AS rate_ppm, " +
+        "CASE WHEN ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < r.rate_ppm THEN 1 ELSE 0 END AS keep " +
+        "FROM documents d JOIN rates r USING (source)"),
     "q_events_gap" ->
       ("SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, " +
         "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +

@@ -530,4 +530,37 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word n-gram with an evaluation/benchmark text (the GPT-3 /
+    * PaLM eval-overlap discipline, usually run with n = 13; n is a
+    * parameter because the gate corpus is tiny). Returns one row per doc:
+    * (doc_id, n_overlap, contaminated) where n_overlap counts DISTINCT
+    * shared shingles; the clean corpus is `WHERE contaminated = 0`.
+    *
+    * Scale shape: the benchmark side is eval sets — thousands of rows, not
+    * billions — so its distinct shingle table is tiny and explicitly
+    * `broadcast`. The doc shingle stream is exploded map-side and hits
+    * only that broadcast hash join: nothing wide shuffles. Rows surviving
+    * the join (rare — real corpora contaminate a small fraction) aggregate
+    * per doc with map-side combine (the exploded stream is clustered by
+    * doc_id, so partials collapse before the exchange). The final
+    * flag-join back to the doc spine carries only (doc_id, n_overlap) and
+    * AQE broadcasts it when contamination is sparse. Never all-pairs, no
+    * shingle table ever shuffles.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    val benchSh = shingles(
+      bench.select(idLong(col("bench_id"), "bench_id").as("doc_id"), col("text")), n)
+      .select(col("shingle")).distinct()
+    val overlap = shingles(docs, n)
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_overlap"))
+    docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).cast("long").as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
 }

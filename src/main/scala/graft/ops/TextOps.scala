@@ -164,6 +164,51 @@ object TextOps {
       sum(tokenCount(col("text"))).cast("long").as("sum_tokens"),
       floor(sum(length(col("text"))) / count(lit(1))).cast("long").as("avg_chars"))
 
+  /** Deterministic corpus-mixture sampling: given target OUTPUT proportions
+    * per source (per-mille, e.g. web 500 / code 300 / papers 200), compute
+    * the largest achievable sample honoring them exactly and select docs by
+    * a content-independent hash Bernoulli — stable across runs, engines and
+    * cluster layouts, and reproducible by any engine with md5.
+    *
+    * Arithmetic (all floor-of-double, exact well under 2^53, so every
+    * engine agrees bit-for-bit):
+    *   T        = min_s floor(n_s * 1000 / target_pm_s)   (achievable total,
+    *              limited by the scarcest source)
+    *   keep_s   = floor(T * target_pm_s / 1000)
+    *   rate_ppm = min(10^6, floor(keep_s * 10^6 / n_s))
+    *   keep     = mix_ppm < rate_ppm,  mix_ppm = md5("mix:"||doc_id) % 10^6
+    *
+    * Scale shape: the per-source count is one map-side-combined aggregate
+    * collapsing to |sources| rows; rates join back via an explicit
+    * `broadcast` — the corpus itself never shuffles, the keep decision is a
+    * pure projection. Sources absent from `targets` are excluded (inner
+    * join), which is the operator's contract: the output mixture contains
+    * exactly the named sources in the named proportions (in expectation of
+    * the hash, with keep_s as the exact per-source ceiling).
+    */
+  def mixtureSample(docs: DataFrame, targets: Seq[(String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("source", "target_pm")
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .join(tgt, Seq("source"))
+    val tTotal = counts.agg(
+      min(floor(col("n_docs") * lit(1000) / col("target_pm"))).cast("long").as("t_total"))
+    val rates = counts.crossJoin(tTotal).select(
+      col("source"),
+      least(lit(1000000L),
+        floor(floor(col("t_total") * col("target_pm") / lit(1000)) * lit(1000000)
+          / col("n_docs"))).cast("long").as("rate_ppm"))
+    val mixPpm = (conv(substring(md5(
+      concat(lit("mix:"), col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000000L).as("mix_ppm")
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"), mixPpm)
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("mix_ppm"), col("rate_ppm"),
+        (col("mix_ppm") < col("rate_ppm")).cast("long").as("keep"))
+  }
+
   /** Per-source document-length quantile profile as DISCRETE quantiles: the
     * element at sorted rank floor(q·(n−1)). Interpolating percentiles
     * (`percentile`/`quantile_cont`) associate their floating arithmetic

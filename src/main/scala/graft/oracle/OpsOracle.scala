@@ -344,6 +344,80 @@ object OpsOracle {
       (id + idOffset, v.map(x => x + (rng.nextFloat() - 0.5f) * 2 * noise))
     }
 
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Code-point substring mirroring Spark's `substring(str, pos, len)`
+    * (1-based, counts code points, out-of-range clamps to empty).
+    */
+  def cpSubstring(s: String, pos1: Int, len: Int): String = {
+    val cps = s.codePoints().toArray
+    val from = math.min(math.max(pos1 - 1, 0), cps.length)
+    val until = math.min(from + math.max(len, 0), cps.length)
+    new String(cps, from, until - from)
+  }
+
+  /** Sequential `Dedup.decontaminate`: a doc is contaminated iff its
+    * distinct shingle set intersects the union of the benchmark texts'
+    * shingle sets; n_overlap = the intersection size.
+    */
+  def decontaminate(docs: Seq[(Long, String)], bench: Seq[String],
+      n: Int): Seq[(Long, Long, Long)] = {
+    val benchAll: Set[Long] =
+      bench.iterator.flatMap(t => shingleSet(t, n)).toSet
+    docs.map { case (id, text) =>
+      val ov = (shingleSet(text, n) intersect benchAll).size.toLong
+      (id, ov, if (ov > 0) 1L else 0L)
+    }
+  }
+
+  // ---- sequence packing ----------------------------------------------------
+
+  /** Whitespace token count mirroring `TextOps.tokenCount` (trim ASCII
+    * spaces, split `\s+` keeping trailing empties, blank → 0).
+    */
+  def wsTokenCount(text: String): Int = {
+    var i0 = 0; var i1 = text.length
+    while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+    while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+    val t = text.substring(i0, i1)
+    if (t.isEmpty) 0 else t.split("[ \\t\\n\\x0B\\f\\r]+", -1).length
+  }
+
+  /** Sequential `Packing.packSequences`: best-fit-decreasing inside
+    * xxhash64-assigned buckets, restated with a plain linear best-fit scan
+    * (no TreeMap). Returns (doc_id, n_tokens, bucket, seq_id, pos).
+    */
+  def packSequences(docs: Seq[(Long, String)], capacity: Int,
+      nBuckets: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    val meta = docs.map { case (id, t) => (id, wsTokenCount(t)) }
+      .filter { case (_, nt) => nt > 0 && nt <= capacity }
+      .map { case (id, nt) =>
+        val h = XxHash64Function.hash(
+          UTF8String.fromString(s"pack:$id"), StringType, 42L)
+        val bucket = (((h % nBuckets) + nBuckets) % nBuckets).toInt
+        (id, nt, bucket)
+      }
+    meta.groupBy(_._3).toSeq.sortBy(_._1).flatMap { case (bucket, ds) =>
+      val sorted = ds.map { case (id, nt, _) => (id, nt) }
+        .sortBy { case (id, nt) => (-nt, id) }
+      // open sequences: (seqNo -> (remaining, nextPos))
+      val open = scala.collection.mutable.LinkedHashMap[Int, (Int, Int)]()
+      var nextSeq = 0
+      sorted.map { case (id, nt) =>
+        // best fit: smallest remaining >= nt, ties to lowest seqNo
+        var best = -1; var bestRem = Int.MaxValue
+        for ((s, (rem, _)) <- open if rem >= nt && rem < bestRem) {
+          best = s; bestRem = rem
+        }
+        val (seqNo, pos) =
+          if (best >= 0) { val (rem, p) = open(best); open(best) = (rem - nt, p + 1); (best, p) }
+          else { val s = nextSeq; nextSeq += 1; open(s) = (capacity - nt, 1); (s, 0) }
+        (id, nt.toLong, bucket.toLong,
+          bucket.toLong * 1000000L + seqNo, pos.toLong)
+      }
+    }
+  }
+
   /** Sequential `Multimodal` features over the synthetic corpus: every
     * media-bearing span → (doc_id, media_ref, n_bytes, content_h64).
     */
@@ -369,7 +443,8 @@ object OpsGolden {
   private def exists(p: String): Boolean = Files.exists(Paths.get(p, "_SUCCESS"))
 
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
-    "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media")
+    "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
+    "decontam", "packing")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -430,5 +505,15 @@ object OpsGolden {
     write("media",
       OpsOracle.mediaFeatures(CorpusGen.specFor(sf)).toSeq,
       Seq("doc_id", "media_ref", "n_bytes", "content_h64"))
+    // planted benchmark = mid-document excerpts of every 97th doc — the
+    // SAME derivation as SparkEntry's q_decontam bench side
+    write("decontam",
+      OpsOracle.decontaminate(docs,
+        docs.filter(_._1 % 97 == 0).map(d => OpsOracle.cpSubstring(d._2, 51, 400)),
+        n = 5),
+      Seq("doc_id", "n_overlap", "contaminated"))
+    write("packing",
+      OpsOracle.packSequences(docs, capacity = 128, nBuckets = 16),
+      Seq("doc_id", "n_tokens", "bucket", "seq_id", "pos"))
   }
 }

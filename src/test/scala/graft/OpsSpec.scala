@@ -458,6 +458,85 @@ class OpsSpec extends AnyFunSuite with Matchers {
     plan should include("partial_count") // map-side combine of raw lengths
   }
 
+  test("decontaminate: matches sequential oracle; plants detected; clean corpus disjoint") {
+    val bench = docs.where($"doc_id" % 97 === 0)
+      .select($"doc_id".as("bench_id"), substring($"text", 51, 400).as("text"))
+    val got = Dedup.decontaminate(docs, bench, n = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val seqDocs = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val benchTexts = seqDocs.filter(_._1 % 97 == 0)
+      .map(d => oracle.OpsOracle.cpSubstring(d._2, 51, 400))
+    val want = oracle.OpsOracle.decontaminate(seqDocs, benchTexts, n = 5)
+      .sortBy(_._1)
+    got.toSeq shouldBe want
+    // every excerpt source long enough to hold an internal 5-gram is flagged
+    val flagged = got.filter(_._3 == 1L).map(_._1).toSet
+    for ((id, t) <- seqDocs if id % 97 == 0
+         if oracle.OpsOracle.cpSubstring(t, 51, 400).split(" ").length >= 7)
+      flagged should contain(id)
+    // the bench shingle side is small → must be a broadcast join, and the
+    // doc shingle stream must reach it without an exchange below the join
+    val plan = Dedup.decontaminate(docs, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("mixture sample: exact floor arithmetic, deterministic, proportions honored") {
+    val targets = Seq("src0" -> 500L, "src1" -> 300L, "src2" -> 200L)
+    val got = TextOps.mixtureSample(docs, targets)
+      .as[(Long, String, Long, Long, Long)].collect()
+    // only targeted sources appear
+    got.map(_._2).toSet shouldBe Set("src0", "src1", "src2")
+    // recompute rates locally from first principles
+    val n = docs.where($"source".isin("src0", "src1", "src2"))
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val tTotal = targets.map { case (s, pm) =>
+      math.floor(n(s) * 1000.0 / pm).toLong }.min
+    val rates = targets.map { case (s, pm) =>
+      s -> math.min(1000000L,
+        math.floor(math.floor(tTotal * pm / 1000.0) * 1000000.0 / n(s)).toLong)
+    }.toMap
+    got.foreach { case (_, src, mixPpm, ratePpm, keep) =>
+      ratePpm shouldBe rates(src)
+      keep shouldBe (if (mixPpm < ratePpm) 1L else 0L)
+    }
+    // determinism: two runs agree row-for-row
+    TextOps.mixtureSample(docs, targets)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .sortBy(_._1) shouldBe got.sortBy(_._1)
+  }
+
+  test("pack sequences: valid packing, matches sequential oracle, metadata-only shuffle") {
+    val cap = 128
+    val got = Packing.packSequences(docs, capacity = cap, nBuckets = 16)
+      .select($"doc_id", $"n_tokens".cast("long"), $"bucket".cast("long"),
+        $"seq_id", $"pos".cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val seqDocs = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val want = oracle.OpsOracle.packSequences(seqDocs, capacity = cap, nBuckets = 16)
+    got.sortBy(r => (r._1, r._4)) shouldBe want.sortBy(r => (r._1, r._4))
+    // validity: capacity respected, every packable doc placed exactly once,
+    // positions contiguous from 0 within each sequence
+    val bySeq = got.groupBy(_._4)
+    bySeq.values.foreach { rows =>
+      rows.map(_._2).sum should be <= cap.toLong
+      rows.map(_._5).sorted shouldBe rows.indices.map(_.toLong)
+    }
+    got.map(_._1).distinct.length shouldBe got.length
+    val packable = seqDocs.count { case (_, t) =>
+      val nt = oracle.OpsOracle.wsTokenCount(t); nt > 0 && nt <= cap }
+    got.length shouldBe packable
+    // fill efficiency: BFD on this corpus should waste little
+    val fill = got.map(_._2).sum.toDouble / (bySeq.size.toLong * cap)
+    fill should be > 0.8
+    // plan: exactly one exchange (the metadata shuffle), text never moves
+    val plan = Packing.packSequences(docs, capacity = cap, nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("token stats / quality are consistent") {
     val q = TextOps.quality(docs)
     q.where($"punct_pm" > 1000 || $"stopword_pm" > 1000).count() shouldBe 0
