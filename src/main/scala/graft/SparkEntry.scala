@@ -247,6 +247,10 @@ object SparkEntry {
     // deterministic corpus-mixture sampling to target source proportions
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docsTable(s, dir),
       Seq("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))),
+    // overlapping token-window chunking (zero-shuffle map work)
+    "q_doc_chunks" -> ((s, dir) => TextOps.chunkDocs(docsTable(s, dir))),
+    // integer-exact TF-IDF-style salient term per doc
+    "q_doc_salient_term" -> ((s, dir) => TextOps.salientTerms(docsTable(s, dir))),
     // sequence packing: best-fit-decreasing into 128-token training rows
     "q_pack_sequences" -> ((s, dir) => {
       opsGolden(s, dir)
@@ -532,6 +536,23 @@ object SparkEntry {
       "SELECT doc_id, n_overlap, contaminated FROM read_parquet('/root/repo/data/golden_ops/sf0.01/decontam/*.parquet')",
     "q_pack_sequences" ->
       "SELECT doc_id, n_tokens, bucket, seq_id, pos FROM read_parquet('/root/repo/data/golden_ops/sf0.01/packing/*.parquet')",
+    "q_doc_chunks" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, greatest(1, CAST(floor((len(toks) - 16 + 111) / 112) AS BIGINT)) AS n_chunks FROM t WHERE len(toks) > 0), " +
+        "e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS BIGINT) AS chunk_no, " +
+        "CAST(len(list_slice(toks, i*112 + 1, i*112 + 128)) AS BIGINT) AS n_tokens, " +
+        "md5(array_to_string(list_slice(toks, i*112 + 1, i*112 + 128), ' ')) AS chunk_md5 FROM e"),
+    "q_doc_salient_term" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), " +
+        "r AS (SELECT doc_id, tok, tf, df, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY tf DESC, df ASC, tok ASC) AS rn FROM tf JOIN dfq USING (tok)) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, tok AS top_tok, CAST(tf AS BIGINT) AS tf, " +
+        "CAST(df AS BIGINT) AS df FROM r WHERE rn = 1"),
     // mixture sampling is integer/floor-exact → direct ANSI-SQL oracle
     "q_mixture_sample" ->
       ("WITH tgt(source, target_pm) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)), " +

@@ -248,6 +248,68 @@ object TextOps {
         col("median_chars"), col("p90_chars"))
   }
 
+  /** Document chunking: split each doc into overlapping token windows of at
+    * most `maxTokens` tokens with `overlap` tokens shared between adjacent
+    * chunks (the pre-tokenization step for context-bounded training and for
+    * packing docs longer than the sequence capacity — `Packing` excludes
+    * those by contract). Chunk i covers tokens [i·stride, i·stride +
+    * maxTokens) with stride = maxTokens − overlap; a doc yields
+    * max(1, ⌈(n − overlap)/stride⌉) chunks, so every token is covered and
+    * the last chunk is never an orphaned sliver shorter than `overlap`.
+    *
+    * Emits (doc_id, chunk_no, n_tokens, chunk_md5) — the md5 pins the exact
+    * chunk content for the oracle without shipping the text twice. Pure
+    * map-side work: tokenize → in-row window slices → posexplode; zero
+    * shuffle at any scale. All arithmetic is integer-floor, reproducible in
+    * ANSI SQL.
+    */
+  def chunkDocs(docs: DataFrame, maxTokens: Int = 128, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val n = size(col("toks"))
+    val nChunks = greatest(lit(1),
+      floor((n - lit(overlap) + lit(stride - 1)) / lit(stride)).cast("int"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        toksOrEmpty(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("toks"), i * stride + 1, lit(maxTokens)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("col")).cast("binary")).as("chunk_md5"))
+  }
+
+  /** Per-document salient term: the TF-IDF idea restated as an INTEGER
+    * total order so every engine computes the identical answer (a float
+    * idf = ln(N/df) is not bit-portable across engines): pick the token
+    * maximizing (tf, −df, reverse-lexicographic tok) — most frequent in
+    * the doc, globally rarest on ties, lowest term on remaining ties.
+    * Because the order is total, ANY implementation (min_by here, a
+    * row_number window in the oracle) agrees exactly.
+    *
+    * Plan: one explode feeding two aggregates (per-doc tf, corpus df — both
+    * map-side combined), a tok-keyed shuffle join of tf against the much
+    * smaller df table, and a final min_by aggregate per doc. The canonical
+    * distributed TF-IDF topology; no all-pairs, no collect.
+    */
+  def salientTerms(docs: DataFrame): DataFrame = {
+    val toks = docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(splitToks(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = toks.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).cast("long").as("df"))
+    tf.join(dfreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("tok"), col("tf"), col("df")),
+        struct((-col("tf")).as("a"), col("df").as("b"), col("tok").as("c")))
+        .as("best"))
+      .select(col("doc_id"), col("best.tok").as("top_tok"),
+        col("best.tf").as("tf"), col("best.df").as("df"))
+  }
+
   /** Email-address pattern (no lookarounds — Java regex and RE2 agree). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

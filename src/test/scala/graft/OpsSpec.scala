@@ -537,6 +537,63 @@ class OpsSpec extends AnyFunSuite with Matchers {
     "Exchange".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("chunk docs: windows cover every token, overlap honored, zero shuffle") {
+    val maxT = 128; val ov = 16; val stride = maxT - ov
+    val got = TextOps.chunkDocs(docs, maxT, ov)
+      .as[(Long, Long, Long, String)].collect().groupBy(_._1)
+    val local = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toMap
+      .map { case (id, t) =>
+        val trimmed = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        id -> (if (trimmed.isEmpty) Array.empty[String]
+               else trimmed.split("[ \\t\\n\\x0B\\f\\r]+", -1))
+      }
+    local.filter(_._2.nonEmpty).foreach { case (id, toks) =>
+      val chunks = got(id).sortBy(_._2)
+      // chunk_no contiguous from 0; expected count
+      chunks.map(_._2) shouldBe chunks.indices.map(_.toLong).toArray
+      chunks.length shouldBe math.max(1,
+        math.ceil((toks.length - ov).toDouble / stride).toInt)
+      // each window is exactly the expected slice (pinned via md5)
+      chunks.foreach { case (_, i, nt, h) =>
+        val w = toks.slice(i.toInt * stride, i.toInt * stride + maxT)
+        nt shouldBe w.length.toLong
+        h shouldBe java.security.MessageDigest.getInstance("MD5")
+          .digest(w.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      // coverage: union of windows touches every token index
+      chunks.map(c => (c._2.toInt * stride, c._2.toInt * stride + c._3.toInt))
+        .sortBy(_._1).foldLeft(0) { case (reach, (a, b)) =>
+          a should be <= reach; math.max(reach, b)
+        } shouldBe toks.length
+    }
+    got.keySet shouldBe local.filter(_._2.nonEmpty).keySet
+    // pure map work — no exchange anywhere in the plan
+    TextOps.chunkDocs(docs, maxT, ov)
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("salient terms: matches local (tf desc, df asc, tok asc) selection") {
+    val got = TextOps.salientTerms(docs)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val toks = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect()
+      .filter(_._2.trim.nonEmpty)
+      .map { case (id, t) =>
+        id -> t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+          .split("[ \\t\\n\\x0B\\f\\r]+", -1).toSeq
+      }
+    val dfreq = toks.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    toks.foreach { case (id, ts) =>
+      val best = ts.groupBy(identity).map { case (t, xs) =>
+        (t, xs.length.toLong, dfreq(t)) }
+        .minBy { case (t, tf, df) => (-tf, df, t) }
+      got(id) shouldBe ((id, best._1, best._2, best._3))
+    }
+  }
+
   test("token stats / quality are consistent") {
     val q = TextOps.quality(docs)
     q.where($"punct_pm" > 1000 || $"stopword_pm" > 1000).count() shouldBe 0
