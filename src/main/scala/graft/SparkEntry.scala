@@ -251,6 +251,20 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, dir) => TextOps.chunkDocs(docsTable(s, dir))),
     // integer-exact TF-IDF-style salient term per doc
     "q_doc_salient_term" -> ((s, dir) => TextOps.salientTerms(docsTable(s, dir))),
+    // composed training-shard manifest: chunk over-length docs into 64/8
+    // overlapping token windows, then pack the chunks into 128-token
+    // sequences — the two new ops composing end-to-end
+    "q_chunk_pack" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val chunks = TextOps.chunkDocs(docsTable(s, dir), maxTokens = 64, overlap = 8)
+      Packing.packItems(
+        chunks.select((col("doc_id") * 1000000L + col("chunk_no")).as("item_id"),
+          col("n_tokens")),
+        capacity = 128, nBuckets = 16)
+        .select(col("item_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("bucket").cast("long").as("bucket"), col("seq_id"),
+          col("pos").cast("long").as("pos"))
+    }),
     // sequence packing: best-fit-decreasing into 128-token training rows
     "q_pack_sequences" -> ((s, dir) => {
       opsGolden(s, dir)
@@ -536,6 +550,8 @@ object SparkEntry {
       "SELECT doc_id, n_overlap, contaminated FROM read_parquet('/root/repo/data/golden_ops/sf0.01/decontam/*.parquet')",
     "q_pack_sequences" ->
       "SELECT doc_id, n_tokens, bucket, seq_id, pos FROM read_parquet('/root/repo/data/golden_ops/sf0.01/packing/*.parquet')",
+    "q_chunk_pack" ->
+      "SELECT item_id, n_tokens, bucket, seq_id, pos FROM read_parquet('/root/repo/data/golden_ops/sf0.01/chunkpack/*.parquet')",
     "q_doc_chunks" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

@@ -40,23 +40,36 @@ object Packing {
     * doc's placement order inside its sequence.
     */
   def packSequences(docs: DataFrame, capacity: Int = 512,
-      nBuckets: Int = 16): DataFrame = {
-    val spark = docs.sparkSession
+      nBuckets: Int = 16): DataFrame =
+    packItems(
+      docs.select(col("doc_id").cast("long").as("item_id"),
+        TextOps.tokenCount(col("text")).cast("int").as("n_tokens")),
+      capacity, nBuckets)
+      .withColumnRenamed("item_id", "doc_id")
+
+  /** The metadata-level entry: pack precomputed (item_id, n_tokens) rows —
+    * whole docs, chunks from [[TextOps.chunkDocs]], or any other unit.
+    * Same contract as [[packSequences]] with `item_id` in place of
+    * `doc_id`.
+    */
+  def packItems(items: DataFrame, capacity: Int,
+      nBuckets: Int): DataFrame = {
+    val spark = items.sparkSession
     import spark.implicits._
-    val meta = docs
-      .select(col("doc_id").cast("long").as("doc_id"),
-        TextOps.tokenCount(col("text")).cast("int").as("n_tokens"))
+    val meta = items
+      .select(col("item_id").cast("long").as("item_id"),
+        col("n_tokens").cast("int").as("n_tokens"))
       .where(col("n_tokens") > 0 && col("n_tokens") <= capacity)
       .withColumn("bucket",
-        pmod(xxhash64(concat(lit("pack:"), col("doc_id").cast("string"))),
+        pmod(xxhash64(concat(lit("pack:"), col("item_id").cast("string"))),
           lit(nBuckets.toLong)).cast("int"))
       .as[(Long, Int, Int)]
     meta.groupByKey(_._3)
       .flatMapGroups { (bucket, it) =>
         packBucket(bucket, it.map { case (id, nt, _) => (id, nt) }, capacity)
       }
-      .toDF("doc_id", "n_tokens", "bucket", "seq_no", "pos")
-      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+      .toDF("item_id", "n_tokens", "bucket", "seq_no", "pos")
+      .select(col("item_id"), col("n_tokens"), col("bucket"),
         (col("bucket").cast("long") * 1000000L + col("seq_no")).as("seq_id"),
         col("pos"))
   }

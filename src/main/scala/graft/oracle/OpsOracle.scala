@@ -388,8 +388,34 @@ object OpsOracle {
     * (no TreeMap). Returns (doc_id, n_tokens, bucket, seq_id, pos).
     */
   def packSequences(docs: Seq[(Long, String)], capacity: Int,
+      nBuckets: Int): Seq[(Long, Long, Long, Long, Long)] =
+    packItemsSeq(docs.map { case (id, t) => (id, wsTokenCount(t)) },
+      capacity, nBuckets)
+
+  /** Sequential token-window chunk metadata mirroring `TextOps.chunkDocs`:
+    * (item_id = doc_id·10^6 + chunk_no, window token count).
+    */
+  def chunkItems(docs: Seq[(Long, String)], maxTokens: Int,
+      overlap: Int): Seq[(Long, Int)] = {
+    val stride = maxTokens - overlap
+    docs.flatMap { case (id, t) =>
+      val n = wsTokenCount(t)
+      if (n == 0) Seq.empty
+      else {
+        val nChunks = math.max(1,
+          math.floor((n - overlap + stride - 1).toDouble / stride).toInt)
+        (0 until nChunks).map { i =>
+          val len = math.min(maxTokens, n - i * stride)
+          (id * 1000000L + i, len)
+        }
+      }
+    }
+  }
+
+  /** Sequential `Packing.packItems` over precomputed metadata. */
+  def packItemsSeq(items: Seq[(Long, Int)], capacity: Int,
       nBuckets: Int): Seq[(Long, Long, Long, Long, Long)] = {
-    val meta = docs.map { case (id, t) => (id, wsTokenCount(t)) }
+    val meta = items
       .filter { case (_, nt) => nt > 0 && nt <= capacity }
       .map { case (id, nt) =>
         val h = XxHash64Function.hash(
@@ -444,7 +470,7 @@ object OpsGolden {
 
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
-    "decontam", "packing")
+    "decontam", "packing", "chunkpack")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -515,5 +541,11 @@ object OpsGolden {
     write("packing",
       OpsOracle.packSequences(docs, capacity = 128, nBuckets = 16),
       Seq("doc_id", "n_tokens", "bucket", "seq_id", "pos"))
+    // composed pipeline: 64/8 token-window chunks → 128-token sequences
+    write("chunkpack",
+      OpsOracle.packItemsSeq(
+        OpsOracle.chunkItems(docs, maxTokens = 64, overlap = 8),
+        capacity = 128, nBuckets = 16),
+      Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
   }
 }

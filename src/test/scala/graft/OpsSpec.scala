@@ -594,6 +594,27 @@ class OpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("chunk→pack composition matches sequential oracle and loses no tokens") {
+    val chunks = TextOps.chunkDocs(docs, maxTokens = 64, overlap = 8)
+    val got = Packing.packItems(
+      chunks.select(($"doc_id" * 1000000L + $"chunk_no").as("item_id"), $"n_tokens"),
+      capacity = 128, nBuckets = 16)
+      .select($"item_id", $"n_tokens".cast("long"), $"bucket".cast("long"),
+        $"seq_id", $"pos".cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val seqDocs = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val want = oracle.OpsOracle.packItemsSeq(
+      oracle.OpsOracle.chunkItems(seqDocs, maxTokens = 64, overlap = 8),
+      capacity = 128, nBuckets = 16)
+    got.sortBy(r => (r._1, r._4)) shouldBe want.sortBy(r => (r._1, r._4))
+    // unlike doc-level packing, chunking first means EVERY non-blank doc
+    // contributes: each doc's chunk 0 must appear among packed items
+    val packedDocs = got.map(_._1 / 1000000L).toSet
+    packedDocs shouldBe seqDocs.filter(d =>
+      oracle.OpsOracle.wsTokenCount(d._2) > 0).map(_._1).toSet
+  }
+
   test("token stats / quality are consistent") {
     val q = TextOps.quality(docs)
     q.where($"punct_pm" > 1000 || $"stopword_pm" > 1000).count() shouldBe 0
