@@ -234,6 +234,14 @@ object SparkEntry {
       Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
+    // incremental ingest dedup: the batch = the whole table, the committed
+    // index = hashes of every 3rd doc — returns first-seen genuinely-new docs
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val committed = docs.where(col("doc_id") % 3 === 0)
+        .select(md5(col("text").cast("binary")).as("content_md5")).distinct()
+      Dedup.incrementalNew(docs, committed)
+    }),
     // benchmark decontamination: planted eval set = mid-document excerpts
     // of every 97th doc; flag every doc sharing a 5-gram with any of them
     "q_decontam" -> ((s, dir) => {
@@ -552,6 +560,12 @@ object SparkEntry {
       "SELECT doc_id, n_tokens, bucket, seq_id, pos FROM read_parquet('/root/repo/data/golden_ops/sf0.01/packing/*.parquet')",
     "q_chunk_pack" ->
       "SELECT item_id, n_tokens, bucket, seq_id, pos FROM read_parquet('/root/repo/data/golden_ops/sf0.01/chunkpack/*.parquet')",
+    "q_incremental_dedup" ->
+      ("WITH hashed AS (SELECT doc_id, md5(text) AS content_md5 FROM documents), " +
+        "committed AS (SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id % 3 = 0), " +
+        "firsts AS (SELECT content_md5, min(doc_id) AS doc_id FROM hashed GROUP BY 1) " +
+        "SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.content_md5 FROM firsts f " +
+        "ANTI JOIN committed c ON f.content_md5 = c.content_md5"),
     "q_doc_chunks" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

@@ -531,6 +531,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental exact dedup for batch ingest: which docs of a new batch
+    * are genuinely new against an already-committed corpus index? Two
+    * rules, both content-keyed: (1) within the batch, only the lowest
+    * doc_id per content hash survives (first-seen, the same keeper rule as
+    * [[exact]]); (2) a batch doc whose hash already exists in the
+    * committed index is dropped (left-anti).
+    *
+    * `committed` is the (content_md5) index table the pipeline maintains —
+    * at corpus scale a bucketed table on content_md5, so the anti join is
+    * a zero-exchange sort-merge against the batch's one hash shuffle; for
+    * small batches AQE broadcasts the batch side instead. The batch text
+    * never crosses a shuffle: hashing is map-side, the groupBy carries
+    * (md5, doc_id) pairs only.
+    */
+  def incrementalNew(batch: DataFrame, committed: DataFrame): DataFrame = {
+    val firstInBatch = batch
+      .select(idLong(col("doc_id"), "doc_id").as("doc_id"),
+        md5(col("text").cast("binary")).as("content_md5"))
+      .groupBy("content_md5")
+      .agg(min(col("doc_id")).as("doc_id"))
+    firstInBatch
+      .join(committed.select(col("content_md5")), Seq("content_md5"), "left_anti")
+      .select(col("doc_id"), col("content_md5"))
+  }
+
   /** Benchmark decontamination: flag every training document sharing at
     * least one word n-gram with an evaluation/benchmark text (the GPT-3 /
     * PaLM eval-overlap discipline, usually run with n = 13; n is a

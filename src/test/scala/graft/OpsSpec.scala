@@ -23,6 +23,16 @@ class OpsSpec extends AnyFunSuite with Matchers {
     Dedup.exact(docs).agg(sum($"n_docs")).as[Long].head() shouldBe total
   }
 
+  test("incremental dedup: empty index passes exact's keepers, full index passes nothing") {
+    val keepers = Dedup.exact(docs).select($"keep_id".as("doc_id"), $"content_md5")
+    val noIndex = spark.emptyDataset[String].toDF("content_md5")
+    val vsEmpty = Dedup.incrementalNew(docs, noIndex)
+    vsEmpty.count() shouldBe keepers.count()
+    vsEmpty.except(keepers).count() shouldBe 0L
+    // committing every hash makes the next identical batch fully redundant
+    Dedup.incrementalNew(docs, keepers.select("content_md5")).count() shouldBe 0L
+  }
+
   test("minhash+LSH near-dup pairs are a high-recall subset of exact n-gram jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccardPm = 200)
       .select($"a".cast("long"), $"b".cast("long")).as[(Long, Long)].collect().toSet
