@@ -153,6 +153,8 @@ object SparkEntry {
           .cast("long").as("n_bpe_tokens"))),
     "q_doc_langid" -> ((s, dir) => TextOps.langId(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"), col("pred_lang"))),
+    // OOV-ratio quality signal vs the corpus top-12 vocabulary
+    "q_doc_oov" -> ((s, dir) => TextOps.oovRatio(docsTable(s, dir), vocabSize = 12)),
     "q_doc_quality" -> ((s, dir) => TextOps.quality(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"),
         col("n_chars").cast("long").as("n_chars"),
@@ -242,6 +244,16 @@ object SparkEntry {
         .select(md5(col("text").cast("binary")).as("content_md5")).distinct()
       Dedup.incrementalNew(docs, committed)
     }),
+    // the same contract through the Bloom-prefiltered scale path: false
+    // positives only cost join probes, so the result is identical
+    "q_incremental_dedup_bloom" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val committed = docs.where(col("doc_id") % 3 === 0)
+        .select(md5(col("text").cast("binary")).as("content_md5")).distinct()
+      Dedup.incrementalNewBloom(docs, committed, expectedCommitted = 1000L)
+    }),
+    // duplicated-substring detection: per-doc duplicated-window fraction
+    "q_dup_windows" -> ((s, dir) => Dedup.dupWindows(docsTable(s, dir), win = 20)),
     // benchmark decontamination: planted eval set = mid-document excerpts
     // of every 97th doc; flag every doc sharing a 5-gram with any of them
     "q_decontam" -> ((s, dir) => {
@@ -280,6 +292,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("bucket").cast("long").as("bucket"), col("seq_id"),
           col("pos").cast("long").as("pos"))
+    }),
+    // deterministic training-order shard manifest over the packed sequences
+    "q_train_shards" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Packing.shardManifest(
+        Packing.packSequences(docsTable(s, dir), capacity = 128, nBuckets = 16),
+        nShards = 8)
     }),
     // float scores surface as per-mille longs (driver hashing is
     // integer-exact; the ranking itself is computed on full doubles)
@@ -480,6 +499,17 @@ object SparkEntry {
         "WHEN regexp_matches(text, '(?i)(^| )(le|la|les|une|est) ') THEN 'fr' " +
         "WHEN regexp_matches(text, '(?i)(^| )(el|los|las|una|es) ') THEN 'es' " +
         "ELSE 'en' END AS pred_lang FROM documents"),
+    "q_doc_oov" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1) " +
+        "ORDER BY cnt DESC, tok ASC LIMIT 12), " +
+        "n AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1), " +
+        "o AS (SELECT doc_id, count(*) AS n_oov FROM toks ANTI JOIN v USING (tok) GROUP BY 1) " +
+        "SELECT CAST(n.doc_id AS BIGINT) AS doc_id, CAST(n.n_toks AS BIGINT) AS n_toks, " +
+        "CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov, " +
+        "CAST((coalesce(o.n_oov, 0) * 1000) // n.n_toks AS BIGINT) AS oov_pm " +
+        "FROM n LEFT JOIN o USING (doc_id)"),
     "q_doc_quality" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct, " +
@@ -558,6 +588,14 @@ object SparkEntry {
       "SELECT doc_id, n_overlap, contaminated FROM read_parquet('/root/repo/data/golden_ops/sf0.01/decontam/*.parquet')",
     "q_pack_sequences" ->
       "SELECT doc_id, n_tokens, bucket, seq_id, pos FROM read_parquet('/root/repo/data/golden_ops/sf0.01/packing/*.parquet')",
+    "q_train_shards" ->
+      ("WITH s AS (SELECT seq_id, count(*) AS n_items, sum(n_tokens) AS sum_tokens " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/packing/*.parquet') GROUP BY 1), " +
+        "h AS (SELECT seq_id, n_items, sum_tokens, md5('shard:' || seq_id) AS ord FROM s) " +
+        "SELECT seq_id, CAST(n_items AS BIGINT) AS n_items, CAST(sum_tokens AS BIGINT) AS sum_tokens, " +
+        "CAST(('0x' || substr(ord, 1, 8))::BIGINT % 8 AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY ('0x' || substr(ord, 1, 8))::BIGINT % 8 " +
+        "ORDER BY ord, seq_id) AS BIGINT) AS shard_pos FROM h"),
     "q_chunk_pack" ->
       "SELECT item_id, n_tokens, bucket, seq_id, pos FROM read_parquet('/root/repo/data/golden_ops/sf0.01/chunkpack/*.parquet')",
     "q_incremental_dedup" ->
@@ -566,6 +604,24 @@ object SparkEntry {
         "firsts AS (SELECT content_md5, min(doc_id) AS doc_id FROM hashed GROUP BY 1) " +
         "SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.content_md5 FROM firsts f " +
         "ANTI JOIN committed c ON f.content_md5 = c.content_md5"),
+    "q_incremental_dedup_bloom" ->
+      ("WITH hashed AS (SELECT doc_id, md5(text) AS content_md5 FROM documents), " +
+        "committed AS (SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id % 3 = 0), " +
+        "firsts AS (SELECT content_md5, min(doc_id) AS doc_id FROM hashed GROUP BY 1) " +
+        "SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.content_md5 FROM firsts f " +
+        "ANTI JOIN committed c ON f.content_md5 = c.content_md5"),
+    "q_dup_windows" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "b AS (SELECT doc_id, toks, len(toks) - 20 + 1 AS n_windows FROM t WHERE len(toks) >= 20), " +
+        "e AS (SELECT doc_id, toks, unnest(range(0, n_windows)) AS i FROM b), " +
+        "w AS (SELECT doc_id, md5(array_to_string(list_slice(toks, i + 1, i + 20), ' ')) AS h FROM e), " +
+        "dh AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1), " +
+        "d AS (SELECT doc_id, count(*) AS n_dup FROM w SEMI JOIN dh USING (h) GROUP BY 1) " +
+        "SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(b.n_windows AS BIGINT) AS n_windows, " +
+        "CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows, " +
+        "CAST((coalesce(d.n_dup, 0) * 1000) // b.n_windows AS BIGINT) AS dup_pm " +
+        "FROM b LEFT JOIN d USING (doc_id)"),
     "q_doc_chunks" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

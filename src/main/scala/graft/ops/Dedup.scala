@@ -545,15 +545,97 @@ object Dedup {
     * never crosses a shuffle: hashing is map-side, the groupBy carries
     * (md5, doc_id) pairs only.
     */
-  def incrementalNew(batch: DataFrame, committed: DataFrame): DataFrame = {
-    val firstInBatch = batch
+  def incrementalNew(batch: DataFrame, committed: DataFrame): DataFrame =
+    firstInBatch(batch)
+      .join(committed.select(col("content_md5")), Seq("content_md5"), "left_anti")
+      .select(col("doc_id"), col("content_md5"))
+
+  /** The within-batch keeper rule shared by the incremental entries. */
+  private def firstInBatch(batch: DataFrame): DataFrame =
+    batch
       .select(idLong(col("doc_id"), "doc_id").as("doc_id"),
         md5(col("text").cast("binary")).as("content_md5"))
       .groupBy("content_md5")
       .agg(min(col("doc_id")).as("doc_id"))
-    firstInBatch
+
+  /** [[incrementalNew]] with a Bloom-filter prefilter — the scale path
+    * when the committed index dwarfs the batch (the steady state of a
+    * long-running ingest: index = the whole corpus, batch = one day).
+    * A Bloom sketch of the committed hashes (built once per batch with
+    * `stat.bloomFilter`, a distributed aggregate collecting only the
+    * ~`1.2·n·ln(1/fpp)/ln(2)²`-bit sketch to the driver) splits the batch
+    * map-side: hashes the sketch rules out are new with CERTAINTY and
+    * skip the join entirely; only the `fpp + true-dup` sliver anti-joins
+    * the committed table. The result is EXACTLY [[incrementalNew]]'s —
+    * false positives cost a join probe, never a wrong answer — so the
+    * same oracle gates both paths. This is Spark's own runtime-filter
+    * pattern made explicit, with the shuffled join volume cut from
+    * |batch| to |batch|·(dup-rate + fpp).
+    */
+  def incrementalNewBloom(batch: DataFrame, committed: DataFrame,
+      expectedCommitted: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = committed.stat.bloomFilter("content_md5",
+      math.max(expectedCommitted, 1L), fpp)
+    val mightContain = udf((h: String) => bf.mightContain(h))
+    // feeds both branches, but the keeper groupBy is ONE exchange reused by
+    // both (ReuseExchange dedupes identical shuffle subtrees in a plan)
+    val firsts = firstInBatch(batch)
+    val certainlyNew = firsts.where(!mightContain(col("content_md5")))
+    val needsCheck = firsts.where(mightContain(col("content_md5")))
       .join(committed.select(col("content_md5")), Seq("content_md5"), "left_anti")
+    certainlyNew.unionByName(needsCheck)
       .select(col("doc_id"), col("content_md5"))
+  }
+
+  /** Duplicated-substring detection ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022 — the ExactSubstr idea),
+    * restated at fixed-window granularity for a distributed engine: every
+    * length-`win` token window of every document is hashed, and a window
+    * is duplicated iff its hash occurs more than once in the corpus
+    * (within-doc repeats count — a doc that repeats its own boilerplate is
+    * still duplication). One row per doc holding at least one full window:
+    * (doc_id, n_windows, n_dup_windows, dup_pm), dup_pm the integer
+    * per-mille duplicated fraction — the curation signal (drop or trim
+    * docs above a threshold; the reference regime uses win = 50).
+    *
+    * Scale shape: windows explode map-side off the scan, and a window IS
+    * its 16-byte md5 from the moment it exists — the text never shuffles.
+    * Exchange 1: groupBy(hash) count with map-side combine, safe in the
+    * mass-dup regime because the aggregate is a long, never a posting
+    * list. Exchange 2: the window stream left-semi-joins the `count > 1`
+    * hash set — a semi join cannot multiply rows, a hot boilerplate hash
+    * is an AQE-splittable skew key, and the count aggregate's output is
+    * already hash-partitioned so its side reuses the exchange. Exchange 3:
+    * per-doc dup counts. The denominator (n_windows = n_toks − win + 1) is
+    * row arithmetic on the doc spine, left-joined last on doc_id — AQE
+    * broadcasts the dup-count side when duplication is sparse (the normal
+    * corpus regime).
+    */
+  def dupWindows(docs: DataFrame, win: Int = 50): DataFrame = {
+    require(win >= 1, "win >= 1")
+    val base = docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"),
+        TextOps.splitToks(col("text")).as("toks"))
+      .where(length(trim(col("text"))) > 0 && size(col("toks")) >= win)
+    val wins = base.select(col("doc_id"), explode(
+      transform(sequence(lit(0), size(col("toks")) - win),
+        i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(win)))
+          .cast("binary")))).as("h"))
+    val dupHashes = wins.groupBy("h")
+      .agg(count(lit(1)).as("tot"))
+      .where(col("tot") > 1)
+      .select("h")
+    val perDocDup = wins.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"))
+    base.select(col("doc_id"),
+        (size(col("toks")) - win + 1).cast("long").as("n_windows"))
+      .join(perDocDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup_windows"))
+      // integer per-mille via SQL `div` — exact long division (a float
+      // divide could round across the floor boundary)
+      .withColumn("dup_pm",
+        expr("n_dup_windows * 1000 div n_windows").cast("long"))
   }
 
   /** Benchmark decontamination: flag every training document sharing at

@@ -74,6 +74,41 @@ object Packing {
         col("pos"))
   }
 
+  /** Deterministic training-order shard manifest: the global shuffle every
+    * pretraining run needs between packing and shard writing, expressed as
+    * pure hash arithmetic so the "random" order is reproducible byte-for-
+    * byte on any cluster. Each packed sequence (one row per item in
+    * [[packItems]] output) is rolled up to (seq_id, n_items, sum_tokens),
+    * assigned to a shard by md5 of its id, and given a position inside the
+    * shard by md5 order — an effectively-uniform permutation with a total
+    * order (md5, then seq_id) so no tie can make two engines disagree.
+    *
+    * Scale shape: one groupBy(seq_id) rollup of metadata rows, then a
+    * row_number window per shard. The per-shard sort is NOT a scale
+    * ceiling the way a per-source global sort is: nShards is chosen so a
+    * shard is one training file (10k–100k sequences), which makes the
+    * window partition exactly the bounded, file-sized sort the shard
+    * writer would run anyway (`sortWithinPartitions` before write).
+    */
+  def shardManifest(packed: DataFrame, nShards: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, "nShards >= 1")
+    val seqs = packed.groupBy(col("seq_id"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+    val ord = md5(concat(lit("shard:"), col("seq_id").cast("string"))
+      .cast("binary"))
+    seqs.withColumn("ord", ord)
+      .withColumn("shard",
+        (conv(substring(col("ord"), 1, 8), 16, 10).cast("long")
+          % nShards).cast("long"))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("ord"), col("seq_id")))
+        .cast("long"))
+      .select(col("seq_id"), col("n_items"), col("sum_tokens"),
+        col("shard"), col("shard_pos"))
+  }
+
   /** Best-fit-decreasing over one bucket's (doc_id, n_tokens) metadata.
     * Pure and deterministic: same multiset in → same placements out.
     * Emits (doc_id, n_tokens, bucket, seq_no, pos).

@@ -44,6 +44,43 @@ object TextOps {
       tokenCount(col("text")).as("n_tokens"),
       length(regexp_replace(col("text"), WsPlus, "")).as("n_nonspace"))
 
+  /** Out-of-vocabulary ratio — the rare-token quality signal: the corpus's
+    * top-`vocabSize` tokens by frequency form the vocabulary (total order
+    * (count desc, tok asc) so the cut is deterministic), and each doc is
+    * scored by the per-mille of its tokens falling OUTSIDE it. High oov_pm
+    * flags gibberish, OCR noise, and wrong-tokenizer content — the cheap
+    * stand-in for an LM perplexity filter, kept integer-exact so every
+    * engine agrees (a float logprob is not bit-portable).
+    *
+    * Scale shape: the vocabulary is a bounded top-k (two-phase partial
+    * aggregation + TakeOrderedAndProject — never a full sort) and is
+    * explicitly `broadcast` into a left-anti hash join, so the exploded
+    * token stream is filtered map-side and never shuffles; only sparse
+    * (doc_id, n_oov) partials exchange. One (tok) shuffle for the vocab
+    * counts, one (doc_id) shuffle for the per-doc aggregate.
+    */
+  def oovRatio(docs: DataFrame, vocabSize: Int = 1 << 16): DataFrame = {
+    require(vocabSize >= 1, "vocabSize >= 1")
+    val toks = docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(splitToks(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select("tok")
+    val perDocOov = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_oov"))
+    docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(perDocOov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_oov"), lit(0L)).cast("long").as("n_oov"))
+      .withColumn("oov_pm", expr("n_oov * 1000 div n_toks").cast("long"))
+  }
+
   /** BPE-ish piece pattern (GPT-2 style): letter runs, digit runs, and
     * single non-letter/digit/space marks. Expressed as a MATCH pattern (no
     * lookarounds) so Java regex and DuckDB's RE2 agree exactly.

@@ -23,6 +23,60 @@ class OpsSpec extends AnyFunSuite with Matchers {
     Dedup.exact(docs).agg(sum($"n_docs")).as[Long].head() shouldBe total
   }
 
+  test("shard manifest: permutation of sequences, contiguous positions, parallelism-invariant") {
+    val packed = Packing.packSequences(docs, capacity = 128, nBuckets = 8)
+    val m = Packing.shardManifest(packed, nShards = 4).cache()
+    // one manifest row per packed sequence; item/token totals preserved
+    m.count() shouldBe packed.select("seq_id").distinct().count()
+    m.agg(sum($"n_items")).as[Long].head() shouldBe packed.count()
+    // positions are 1..|shard| within each shard
+    val bad = m.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"shard_pos").as("mx"), min($"shard_pos").as("mn"),
+        countDistinct($"shard_pos").as("d"))
+      .where($"mx" =!= $"n" || $"mn" =!= 1L || $"d" =!= $"n")
+    bad.count() shouldBe 0L
+    // same result under a different partitioning of the input
+    val m2 = Packing.shardManifest(packed.repartition(3), nShards = 4)
+    m.except(m2).count() shouldBe 0L
+    m2.except(m).count() shouldBe 0L
+    m.unpersist()
+  }
+
+  test("oov ratio: full vocab means zero oov; cut is deterministic on ties") {
+    val full = TextOps.oovRatio(docs, vocabSize = 1 << 20)
+    full.where($"n_oov" =!= 0L || $"oov_pm" =!= 0L).count() shouldBe 0L
+    // planted: vocab of size 2 keeps the two most frequent; tie between 'b'
+    // and 'c' (both once) resolves to 'b' by token order, so only doc 2's
+    // 'c' is oov
+    val planted = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.oovRatio(planted, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got(1L) shouldBe ((3L, 0L, 0L))
+    got(2L) shouldBe ((2L, 1L, 500L))
+  }
+
+  test("dup windows: planted repeated substring is found, fractions integer-exact") {
+    // doc 1 and 2 share a 6-token run; doc 2 additionally repeats it internally
+    val run = "the quick brown fox jumps over"
+    val planted = Seq(
+      (1L, s"alpha beta $run gamma delta epsilon zeta"),
+      (2L, s"$run one two three $run"),
+      (3L, "entirely unique words nowhere else repeated in this corpus at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupWindows(planted, win = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 12 toks -> 7 windows, exactly 1 matches the shared run
+    got(1L) shouldBe ((7L, 1L, 142L))
+    // doc 2: 15 toks -> 10 windows; the run occurs at offsets 0 and 9 (both
+    // duplicated: each matches the other and doc 1's)
+    got(2L) shouldBe ((10L, 2L, 200L))
+    got(3L) shouldBe ((6L, 0L, 0L))
+    // corpus-level sanity at sf0.001: counts within bounds
+    val corpus = Dedup.dupWindows(docs, win = 20)
+    corpus.where($"n_dup_windows" > $"n_windows").count() shouldBe 0L
+    corpus.where($"dup_pm" < 0 || $"dup_pm" > 1000).count() shouldBe 0L
+  }
+
   test("incremental dedup: empty index passes exact's keepers, full index passes nothing") {
     val keepers = Dedup.exact(docs).select($"keep_id".as("doc_id"), $"content_md5")
     val noIndex = spark.emptyDataset[String].toDF("content_md5")
@@ -31,6 +85,17 @@ class OpsSpec extends AnyFunSuite with Matchers {
     vsEmpty.except(keepers).count() shouldBe 0L
     // committing every hash makes the next identical batch fully redundant
     Dedup.incrementalNew(docs, keepers.select("content_md5")).count() shouldBe 0L
+  }
+
+  test("bloom incremental dedup is exact: equals the plain path at any fpp") {
+    val committed = docs.where($"doc_id" % 5 === 0)
+      .select(md5($"text".cast("binary")).as("content_md5")).distinct()
+    val plain = Dedup.incrementalNew(docs, committed)
+    for (fpp <- Seq(0.01, 0.5)) { // even a near-useless sketch stays exact
+      val bloom = Dedup.incrementalNewBloom(docs, committed, 1000L, fpp)
+      bloom.except(plain).count() shouldBe 0L
+      plain.except(bloom).count() shouldBe 0L
+    }
   }
 
   test("minhash+LSH near-dup pairs are a high-recall subset of exact n-gram jaccard pairs") {
