@@ -172,6 +172,10 @@ object SparkEntry {
         .as("nfc_md5"),
       (graft.functions.Functions.nfc_normalize(col("text")) === col("text"))
         .cast("long").as("already_nfc"))),
+    // Gopher token-shape signals (mean/max token length, short/long fracs)
+    "q_doc_gopher" -> ((s, dir) => TextOps.gopherQuality(docsTable(s, dir))),
+    // hot-host capping: keep at most 10 docs per source by (n_chars desc)
+    "q_source_cap" -> ((s, dir) => TextOps.sourceCap(docsTable(s, dir), cap = 10)),
     // Gopher-style repetition quality signals (duplicate tokens/bigrams)
     "q_doc_repetition" -> ((s, dir) => TextOps.repetition(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens"),
@@ -213,6 +217,24 @@ object SparkEntry {
     "q_minhash_near_dup" -> ((s, dir) => {
       opsGolden(s, dir)
       Dedup.minHashNearDup(docsTable(s, dir), n = 3, minJaccardPm = 200)
+    }),
+    // cross-source duplication matrix: where near-dups come from — the
+    // curation diagnostic that finds mirror/scraper source pairs. The pair
+    // set (small, the dedup stage's output) is explicitly broadcast into
+    // the doc-metadata joins, so the corpus-sized side never reshuffles.
+    "q_dup_source_matrix" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      val src = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source"))
+      val pairs = Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200)
+        .select(col("a").cast("long"), col("b").cast("long"))
+      broadcast(pairs)
+        .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+        .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
     }),
     // near-dup pairs → connected components → canonical-representative pick:
     // the row set a dedup pipeline actually consumes (WHERE is_keep = 1)
@@ -356,6 +378,12 @@ object SparkEntry {
         Multimodal.fromCorpus(s, Corpus.ensure(s, sf))).toDF()
         .select(col("doc_id"), col("media_ref"),
           col("n_bytes").cast("long").as("n_bytes"), col("content_h64"))
+    }),
+    // media-asset reuse: fetch/decode dedup by content address
+    "q_media_reuse" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val sf = Corpus.sfName(dir)
+      Multimodal.mediaReuse(Multimodal.fromCorpus(s, Corpus.ensure(s, sf)))
     }),
 
     // ---- classic relational ops over driver tables ---------------------
@@ -510,6 +538,25 @@ object SparkEntry {
         "CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov, " +
         "CAST((coalesce(o.n_oov, 0) * 1000) // n.n_toks AS BIGINT) AS oov_pm " +
         "FROM n LEFT JOIN o USING (doc_id)"),
+    "q_doc_gopher" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +
+        "s AS (SELECT doc_id, len(toks) AS n, " +
+        "coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sumlen, " +
+        "coalesce(list_max(list_transform(toks, x -> length(x))), 0) AS maxlen, " +
+        "len(list_filter(toks, x -> length(x) <= 2)) AS nshort, " +
+        "len(list_filter(toks, x -> length(x) >= 8)) AS nlong FROM t) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+        "CAST(sumlen * 1000 // greatest(n, 1) AS BIGINT) AS mean_tok_len_pm, " +
+        "CAST(maxlen AS BIGINT) AS max_tok_len, " +
+        "CAST(nshort * 1000 // greatest(n, 1) AS BIGINT) AS short_tok_pm, " +
+        "CAST(nlong * 1000 // greatest(n, 1) AS BIGINT) AS long_tok_pm FROM s"),
+    "q_source_cap" ->
+      ("WITH r AS (SELECT source, doc_id, length(text) AS n_chars, " +
+        "row_number() OVER (PARTITION BY source ORDER BY length(text) DESC, doc_id) AS rnk " +
+        "FROM documents) " +
+        "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10"),
     "q_doc_quality" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct, " +
@@ -564,6 +611,11 @@ object SparkEntry {
       "SELECT a, b, n_inter, n_a, n_b, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ngram/*.parquet')",
     "q_minhash_near_dup" ->
       "SELECT a, b, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/minhash/*.parquet')",
+    "q_dup_source_matrix" ->
+      ("WITH p AS (SELECT a, b FROM read_parquet('/root/repo/data/golden_ops/sf0.01/minhash/*.parquet')), " +
+        "j AS (SELECT least(da.source, db.source) AS source_lo, greatest(da.source, db.source) AS source_hi " +
+        "FROM p JOIN documents da ON p.a = da.doc_id JOIN documents db ON p.b = db.doc_id) " +
+        "SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1, 2"),
     "q_simhash_near_dup" ->
       "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/simhash/*.parquet')",
     "q_dedup_clusters" ->
@@ -584,6 +636,11 @@ object SparkEntry {
       "SELECT a, b, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')",
     "q_media_features" ->
       "SELECT doc_id, media_ref, n_bytes, content_h64 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/media/*.parquet')",
+    "q_media_reuse" ->
+      ("SELECT media_ref, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_spans, CAST(min(n_bytes) AS BIGINT) AS n_bytes, " +
+        "min(doc_id) AS keep_doc " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/media/*.parquet') GROUP BY 1"),
     "q_decontam" ->
       "SELECT doc_id, n_overlap, contaminated FROM read_parquet('/root/repo/data/golden_ops/sf0.01/decontam/*.parquet')",
     "q_pack_sequences" ->

@@ -66,6 +66,31 @@ object Multimodal {
     }
   }
 
+  /** Media-asset reuse across the corpus — the content-addressed-storage
+    * question every multimodal pipeline answers before fetching/decoding
+    * anything: which media_refs recur, in how many documents and spans, and
+    * which single doc anchors the canonical copy (min doc_id — a total
+    * order). At corpus scale shared assets (logos, tracking pixels, stock
+    * images) dominate span counts; deduping the FETCH+DECODE by media_ref
+    * is the difference between decoding per span and decoding per asset.
+    *
+    * Scale shape: one hash exchange on media_ref carrying (doc_id, n_bytes)
+    * metadata only — content bytes never shuffle; the distinct-doc count is
+    * the standard two-phase distinct aggregate and everything else combines
+    * map-side.
+    */
+  def mediaReuse(media: Dataset[MediaRecord]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    media.toDF()
+      .select(col("doc_id"), col("media_ref"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .groupBy(col("media_ref"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_spans"),
+        min(col("n_bytes")).cast("long").as("n_bytes"),
+        min(col("doc_id")).as("keep_doc"))
+  }
+
   /** Batched feature extraction: partition-local decoder, fixed-size batches
     * (the mapInPandas batch-shape analog for a JVM-only build).
     */

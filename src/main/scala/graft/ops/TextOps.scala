@@ -129,6 +129,37 @@ object TextOps {
       floor(stop * lit(1000) / greatest(tokens, lit(1))).cast("long").as("stopword_pm"))
   }
 
+  /** Token-shape quality signals in the Gopher filter family ("Scaling
+    * Language Models: ... Gopher", Rae et al. 2021, Appendix A1.1): mean and
+    * max token length plus short-/long-token fractions — the rules that
+    * catch character-soup and concatenated-junk documents (Gopher keeps
+    * mean word length 3–10). Complements [[quality]] (punct/stopword) and
+    * [[repetition]] (dup token/bigram). All ratios integer per-mille so
+    * every engine computes the identical row.
+    *
+    * Scale shape: every signal is a higher-order function over the in-row
+    * token array — pure projection off the scan, zero shuffle, and the
+    * whole row stays inside one whole-stage-codegen span.
+    */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val toks = toksOrEmpty(col("text"))
+    val n = size(toks)
+    val lens = transform(toks, x => length(x))
+    val sumLen = aggregate(lens, lit(0L), (acc, x) => acc + x)
+    val maxLen = coalesce(array_max(lens), lit(0))
+    val nShort = size(filter(lens, x => x <= 2))
+    val nLong = size(filter(lens, x => x >= 8))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      floor(sumLen * lit(1000) / greatest(n, lit(1))).cast("long")
+        .as("mean_tok_len_pm"),
+      maxLen.cast("long").as("max_tok_len"),
+      floor(nShort * lit(1000) / greatest(n, lit(1))).cast("long")
+        .as("short_tok_pm"),
+      floor(nLong * lit(1000) / greatest(n, lit(1))).cast("long")
+        .as("long_tok_pm"))
+  }
+
   /** Repetition signals (Gopher-style quality filters): duplicate-token and
     * duplicate-bigram rates per document. Zero shuffle — the top-token count
     * is a sorted-run scan and the bigram set a `zip_with`, all higher-order
@@ -200,6 +231,59 @@ object TextOps {
       sum(length(col("text"))).cast("long").as("sum_chars"),
       sum(tokenCount(col("text"))).cast("long").as("sum_tokens"),
       floor(sum(length(col("text"))) / count(lit(1))).cast("long").as("avg_chars"))
+
+  /** Per-source document cap (hot-host capping — the web-curation rule that
+    * stops one domain from dominating the corpus, as in C4's and
+    * RefinedWeb's per-domain limits): keep at most `cap` docs per source by
+    * the deterministic priority (n_chars desc, doc_id asc) — a total order,
+    * so the kept set is unique and engine-independent.
+    *
+    * Scale shape: the naive formulation is a `row_number` window per
+    * source — a single task sorting EVERY doc of a hot host (the
+    * lengthQuantiles anti-pattern). Here phase 1 keeps at most `cap` rows
+    * per (partition, source) in bounded heaps (mapPartitions, zero
+    * shuffle, carrying only 20-byte metadata), so the per-source window in
+    * phase 2 ranks ≤ cap × partitions rows — bounded by the CAP, not the
+    * host size. A billion-doc domain costs each scan task a heap insert,
+    * never a global sort.
+    */
+  def sourceCap(docs: DataFrame, cap: Int = 1000): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // eviction order: head of the max-heap is the WORST kept row
+    // (smallest n_chars, then largest doc_id)
+    val worseOrd: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+      def compare(x: (Long, Long), y: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(y._1, x._1)
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+      }
+    }
+    val pruned = docs.select(col("source").cast("string"),
+        col("doc_id").cast("long"), length(col("text")).cast("long"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { case (src, id, nc) =>
+          val h = heaps.getOrElseUpdate(src, scala.collection.mutable
+            .PriorityQueue.empty[(Long, Long)](worseOrd))
+          if (h.size < cap) h.enqueue((nc, id))
+          else if (worseOrd.compare((nc, id), h.head) < 0) {
+            h.dequeue(); h.enqueue((nc, id))
+          }
+        }
+        heaps.iterator.flatMap { case (src, h) =>
+          h.iterator.map { case (nc, id) => (src, id, nc) }
+        }
+      }
+      .toDF("source", "doc_id", "n_chars")
+    pruned
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      .where(col("rnk") <= cap)
+  }
 
   /** Deterministic corpus-mixture sampling: given target OUTPUT proportions
     * per source (per-mille, e.g. web 500 / code 300 / papers 200), compute

@@ -77,6 +77,60 @@ class OpsSpec extends AnyFunSuite with Matchers {
     corpus.where($"dup_pm" < 0 || $"dup_pm" > 1000).count() shouldBe 0L
   }
 
+  test("gopher token-shape signals: planted lengths integer-exact, blank doc zeros") {
+    val planted = Seq((1L, "aa bbb cccccccc"), (2L, "   ")).toDF("doc_id", "text")
+    val got = TextOps.gopherQuality(planted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // lens 2,3,8: mean = 13000/3 = 4333, one short (<=2), one long (>=8)
+    got(1L) shouldBe ((3L, 4333L, 8L, 333L, 333L))
+    got(2L) shouldBe ((0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("source cap: equals the naive per-source window at any parallelism") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .select($"source", $"doc_id".cast("long").as("doc_id"),
+        org.apache.spark.sql.functions.length($"text").cast("long").as("n_chars"))
+      .withColumn("rnk", row_number().over(Window.partitionBy($"source")
+        .orderBy($"n_chars".desc, $"doc_id")).cast("long"))
+      .where($"rnk" <= 7)
+    for (input <- Seq(docs, docs.repartition(13))) {
+      val capped = TextOps.sourceCap(input, cap = 7)
+      capped.except(naive).count() shouldBe 0L
+      naive.except(capped).count() shouldBe 0L
+    }
+    // cap respected per source
+    TextOps.sourceCap(docs, cap = 3).groupBy($"source").count()
+      .where($"count" > 3).count() shouldBe 0L
+  }
+
+  test("media reuse: spans conserved, keep_doc is the min doc of the asset") {
+    val media = Multimodal.fromCorpus(spark,
+      graft.corpus.Corpus.ensure(spark, "sf0.001"))
+    val reuse = Multimodal.mediaReuse(media).cache()
+    reuse.agg(sum($"n_spans")).as[Long].head() shouldBe media.count()
+    reuse.where($"n_docs" > $"n_spans").count() shouldBe 0L
+    val expectKeep = media.toDF().groupBy($"media_ref")
+      .agg(min($"doc_id").as("expect_keep"))
+    reuse.join(expectKeep, Seq("media_ref"))
+      .where($"keep_doc" =!= $"expect_keep").count() shouldBe 0L
+    reuse.unpersist()
+    // the synthetic corpus has unique refs (all singletons above), so pin
+    // the sharing semantics on a planted multi-doc shared asset too
+    def rec(doc: String, ref: String) =
+      Multimodal.MediaRecord(doc, ref, "image/png",
+        Multimodal.syntheticContent(ref), 640, 480)
+    val planted = Seq(
+      rec("d1", "shared.png"), rec("d2", "shared.png"), rec("d2", "shared.png"),
+      rec("d3", "solo.png")).toDS()
+    val got = Multimodal.mediaReuse(planted)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    got("shared.png") shouldBe ((2L, 3L, "d1"))
+    got("solo.png") shouldBe ((1L, 1L, "d3"))
+  }
+
   test("incremental dedup: empty index passes exact's keepers, full index passes nothing") {
     val keepers = Dedup.exact(docs).select($"keep_id".as("doc_id"), $"content_md5")
     val noIndex = spark.emptyDataset[String].toDF("content_md5")
