@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.pipeline.Extraction
-import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing}
+import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing, Sketches}
 
 /** Driver contract — see SURVEY.md §7 + SPEC.md.
   *
@@ -185,6 +185,10 @@ object SparkEntry {
       .select(col("doc_id").cast("long").as("doc_id"),
         col("split_bucket"), col("split"))),
     "q_source_stats" -> ((s, dir) => TextOps.sourceStats(docsTable(s, dir))),
+    // HLL distinct-shingle sketch per source (p=6 so the gate corpus sits
+    // in the raw-estimator regime; integer register columns ARE the gate)
+    "q_hll_shingles" -> ((s, dir) =>
+      Sketches.hllShingleDistinct(docsTable(s, dir), n = 3, p = 6)),
     // corpus vocabulary profile: top terms by document frequency
     "q_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docsTable(s, dir))),
     "q_source_length_quantiles" -> ((s, dir) =>
@@ -593,6 +597,23 @@ object SparkEntry {
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
         "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT) AS sum_tokens, " +
         "CAST(floor(sum(length(text)) / count(*)) AS BIGINT) AS avg_chars FROM documents GROUP BY source"),
+    "q_hll_shingles" ->
+      ("WITH t AS (SELECT source, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "b AS (SELECT source, toks, len(toks) - 3 + 1 AS nw FROM t WHERE len(toks) >= 3), " +
+        "e AS (SELECT source, toks, unnest(range(0, nw)) AS i FROM b), " +
+        "w AS (SELECT source, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS item FROM e), " +
+        "h AS (SELECT source, ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM w), " +
+        "r AS (SELECT source, h >> 54 AS reg, CASE WHEN h % (1::BIGINT << 54) = 0 THEN 55 " +
+        "ELSE 55 - length(bin(h % (1::BIGINT << 54))) END AS rk FROM h), " +
+        "rm AS (SELECT source, reg, max(rk) AS mx FROM r GROUP BY 1, 2), " +
+        "roll AS (SELECT source, count(*) AS n_hit, max(mx) AS max_rank, " +
+        "CAST(sum(1::BIGINT << (55 - mx)) AS BIGINT) AS s_hit FROM rm GROUP BY 1) " +
+        "SELECT source, CAST(n_hit AS BIGINT) AS n_hit, CAST(max_rank AS BIGINT) AS max_rank, " +
+        "CAST(s_hit + (64 - n_hit) * (1::BIGINT << 55) AS BIGINT) AS sum_terms, " +
+        s"CAST(floor(${Sketches.estConstant(6)} / " +
+        "CAST(s_hit + (64 - n_hit) * (1::BIGINT << 55) AS DOUBLE)) AS BIGINT) AS est_distinct " +
+        "FROM roll"),
     "q_vocab_topk" ->
       ("SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf " +
         "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok FROM documents WHERE length(trim(text)) > 0) " +

@@ -131,6 +131,42 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got("solo.png") shouldBe ((1L, 1L, "d3"))
   }
 
+  test("hll sketch: large-range accuracy, small-range n_hit, parallelism invariance") {
+    // large range: 50k distinct items at p=12 (n/m ≈ 12 > 2.5) — raw
+    // estimator regime, sigma = 1.04/sqrt(4096) = 1.6%; assert 6%
+    val big = spark.range(50000).selectExpr("'all' AS k", "concat('item-', id) AS item")
+    val est = Sketches.hllDistinct(big, "k", "item", p = 12)
+      .select($"est_distinct").as[Long].head()
+    est.toDouble shouldBe 50000.0 +- 3000.0
+    // duplicated items change nothing (sketch sees the set, not the bag)
+    val dup = Sketches.hllDistinct(big.union(big), "k", "item", p = 12)
+      .select($"est_distinct").as[Long].head()
+    dup shouldBe est
+    // small range: 100 distinct at p=12 — n_hit is the near-exact signal
+    val small = spark.range(100).selectExpr("'all' AS k", "concat('x-', id) AS item")
+    val nHit = Sketches.hllDistinct(small, "k", "item", p = 12)
+      .select($"n_hit").as[Long].head()
+    nHit should be >= 95L
+    nHit should be <= 100L
+    // per-source shingle sketch: deterministic under repartitioning, and
+    // within estimator tolerance of the exact distinct count
+    val a = Sketches.hllShingleDistinct(docs, n = 3, p = 6)
+    val b = Sketches.hllShingleDistinct(docs.repartition(13), n = 3, p = 6)
+    a.except(b).count() shouldBe 0L
+    b.except(a).count() shouldBe 0L
+    val exact = docs.where(trim($"text") =!= "")
+      .select($"source", split(trim($"text"), TextOps.WsPlus).as("toks"))
+      .where(expr("size(toks) >= 3"))
+      .select($"source", explode(transform(sequence(lit(0), expr("size(toks) - 3")),
+        i => concat_ws(" ", slice($"toks", i + 1, lit(3))))).as("item"))
+      .groupBy($"source").agg(countDistinct($"item").as("n_exact"))
+    val errs = a.join(exact, Seq("source"))
+      .select($"est_distinct", $"n_exact").as[(Long, Long)].collect()
+      .map { case (e, x) => math.abs(e - x).toDouble / x }
+    all(errs) should be < 0.5
+    (errs.sum / errs.length) should be < 0.2
+  }
+
   test("incremental dedup: empty index passes exact's keepers, full index passes nothing") {
     val keepers = Dedup.exact(docs).select($"keep_id".as("doc_id"), $"content_md5")
     val noIndex = spark.emptyDataset[String].toDF("content_md5")
