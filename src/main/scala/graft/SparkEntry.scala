@@ -270,13 +270,14 @@ object SparkEntry {
         .select(md5(col("text").cast("binary")).as("content_md5")).distinct()
       Dedup.incrementalNew(docs, committed)
     }),
-    // the same contract through the Bloom-prefiltered scale path: false
+    // the same contract through the Bloom runtime-filter scale path: the
+    // index is pruned map-side by a sketch of the batch hashes; false
     // positives only cost join probes, so the result is identical
     "q_incremental_dedup_bloom" -> ((s, dir) => {
       val docs = docsTable(s, dir)
       val committed = docs.where(col("doc_id") % 3 === 0)
         .select(md5(col("text").cast("binary")).as("content_md5")).distinct()
-      Dedup.incrementalNewBloom(docs, committed, expectedCommitted = 1000L)
+      Dedup.incrementalNewBloom(docs, committed, expectedBatch = 1000L)
     }),
     // duplicated-substring detection: per-doc duplicated-window fraction
     "q_dup_windows" -> ((s, dir) => Dedup.dupWindows(docsTable(s, dir), win = 20)),

@@ -558,32 +558,37 @@ object Dedup {
       .groupBy("content_md5")
       .agg(min(col("doc_id")).as("doc_id"))
 
-  /** [[incrementalNew]] with a Bloom-filter prefilter — the scale path
-    * when the committed index dwarfs the batch (the steady state of a
-    * long-running ingest: index = the whole corpus, batch = one day).
-    * A Bloom sketch of the committed hashes (built once per batch with
-    * `stat.bloomFilter`, a distributed aggregate collecting only the
-    * ~`1.2·n·ln(1/fpp)/ln(2)²`-bit sketch to the driver) splits the batch
-    * map-side: hashes the sketch rules out are new with CERTAINTY and
-    * skip the join entirely; only the `fpp + true-dup` sliver anti-joins
-    * the committed table. The result is EXACTLY [[incrementalNew]]'s —
-    * false positives cost a join probe, never a wrong answer — so the
-    * same oracle gates both paths. This is Spark's own runtime-filter
-    * pattern made explicit, with the shuffled join volume cut from
-    * |batch| to |batch|·(dup-rate + fpp).
+  /** [[incrementalNew]] with a Bloom runtime filter on the INDEX side —
+    * the scale path when the committed index dwarfs the batch (the steady
+    * state of a long-running ingest: index = the whole corpus, batch = one
+    * day). The plain anti-join exchanges BOTH sides on content_md5, which
+    * at 100 TB means reshuffling the entire committed index to answer a
+    * day-sized question. Here a Bloom sketch of the BATCH hashes (built
+    * with `stat.bloomFilter` — a distributed aggregate collecting only the
+    * ~`1.2·n·log2(1/fpp)`-bit sketch to the driver, sized by the day's
+    * distinct-hash count, not the corpus) filters the index map-side at
+    * its scan: index rows whose hash cannot occur in the batch never
+    * leave the scan, so the big side's join exchange shrinks from |index|
+    * to |index ∩ batch| + fpp·|index|. Bloom filters have no false
+    * negatives, so every index row that could eliminate a batch hash
+    * survives the prefilter — the result is EXACTLY [[incrementalNew]]'s,
+    * and the same oracle gates both paths. This is Spark's own
+    * runtime-bloom-filter rewrite (spark.sql.optimizer.runtime.bloomFilter)
+    * made explicit and guaranteed. Cost disclosed: building the sketch is
+    * one extra metadata-weight pass over the batch (md5 projections only);
+    * the `mightContain` probe is a non-codegen predicate, the same shape
+    * as Spark's own BloomFilterMightContain.
     */
   def incrementalNewBloom(batch: DataFrame, committed: DataFrame,
-      expectedCommitted: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = committed.stat.bloomFilter("content_md5",
-      math.max(expectedCommitted, 1L), fpp)
+      expectedBatch: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = batch
+      .select(md5(col("text").cast("binary")).as("content_md5"))
+      .stat.bloomFilter("content_md5", math.max(expectedBatch, 1L), fpp)
     val mightContain = udf((h: String) => bf.mightContain(h))
-    // feeds both branches, but the keeper groupBy is ONE exchange reused by
-    // both (ReuseExchange dedupes identical shuffle subtrees in a plan)
-    val firsts = firstInBatch(batch)
-    val certainlyNew = firsts.where(!mightContain(col("content_md5")))
-    val needsCheck = firsts.where(mightContain(col("content_md5")))
-      .join(committed.select(col("content_md5")), Seq("content_md5"), "left_anti")
-    certainlyNew.unionByName(needsCheck)
+    val prunedIndex = committed.select(col("content_md5"))
+      .where(mightContain(col("content_md5")))
+    firstInBatch(batch)
+      .join(prunedIndex, Seq("content_md5"), "left_anti")
       .select(col("doc_id"), col("content_md5"))
   }
 
