@@ -320,6 +320,26 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("seq_id"),
           col("pos").cast("long").as("pos"))
     }),
+    // THE end-to-end curation pipeline in one plan: exact-dedup keepers →
+    // token-count quality gate → overlapping chunking → best-fit packing →
+    // deterministic shard manifest. What a user of the reference's
+    // pipeline would actually run nightly; every stage is the operator
+    // gated individually elsewhere, composed here under one oracle.
+    "q_training_manifest" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      val keepers = Dedup.exact(docs)
+        .select(col("keep_id").cast("long").as("doc_id"))
+      val gated = docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("text"))
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .where(TextOps.tokenCount(col("text")) >= 30)
+      val chunks = TextOps.chunkDocs(gated, maxTokens = 64, overlap = 8)
+      val packed = Packing.packItems(
+        chunks.select((col("doc_id") * 1000000L + col("chunk_no")).as("item_id"),
+          col("n_tokens")), capacity = 128, nBuckets = 16)
+      Packing.shardManifest(packed, nShards = 8)
+    }),
     // deterministic training-order shard manifest over the packed sequences
     "q_train_shards" -> ((s, dir) => {
       opsGolden(s, dir)
@@ -667,6 +687,14 @@ object SparkEntry {
       "SELECT doc_id, n_overlap, contaminated FROM read_parquet('/root/repo/data/golden_ops/sf0.01/decontam/*.parquet')",
     "q_pack_sequences" ->
       "SELECT doc_id, n_tokens, bucket, seq_id, pos FROM read_parquet('/root/repo/data/golden_ops/sf0.01/packing/*.parquet')",
+    "q_training_manifest" ->
+      ("WITH s AS (SELECT seq_id, count(*) AS n_items, sum(n_tokens) AS sum_tokens " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/manifest/*.parquet') GROUP BY 1), " +
+        "h AS (SELECT seq_id, n_items, sum_tokens, md5('shard:' || seq_id) AS ord FROM s) " +
+        "SELECT seq_id, CAST(n_items AS BIGINT) AS n_items, CAST(sum_tokens AS BIGINT) AS sum_tokens, " +
+        "CAST(('0x' || substr(ord, 1, 8))::BIGINT % 8 AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY ('0x' || substr(ord, 1, 8))::BIGINT % 8 " +
+        "ORDER BY ord, seq_id) AS BIGINT) AS shard_pos FROM h"),
     "q_train_shards" ->
       ("WITH s AS (SELECT seq_id, count(*) AS n_items, sum(n_tokens) AS sum_tokens " +
         "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/packing/*.parquet') GROUP BY 1), " +

@@ -392,6 +392,21 @@ object OpsOracle {
     packItemsSeq(docs.map { case (id, t) => (id, wsTokenCount(t)) },
       capacity, nBuckets)
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Sequential curated-manifest input: exact-dedup keepers (min doc_id
+    * per content hash) passing the `>= minTokens` quality gate — mirrors
+    * `Dedup.exact` keepers + `TextOps.tokenCount` as composed by
+    * `q_training_manifest`.
+    */
+  def curatedDocs(docs: Seq[(Long, String)], minTokens: Int): Seq[(Long, String)] = {
+    val keep = docs.groupBy(d => md5hex(d._2)).values.map(_.map(_._1).min).toSet
+    docs.filter(d => keep(d._1) && wsTokenCount(d._2) >= minTokens)
+  }
+
   /** Sequential token-window chunk metadata mirroring `TextOps.chunkDocs`:
     * (item_id = doc_id·10^6 + chunk_no, window token count).
     */
@@ -470,7 +485,7 @@ object OpsGolden {
 
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
-    "decontam", "packing", "chunkpack")
+    "decontam", "packing", "chunkpack", "manifest")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -545,6 +560,14 @@ object OpsGolden {
     write("chunkpack",
       OpsOracle.packItemsSeq(
         OpsOracle.chunkItems(docs, maxTokens = 64, overlap = 8),
+        capacity = 128, nBuckets = 16),
+      Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
+    // full curation pipeline: dedup keepers → token gate → chunk → pack
+    // (the shard-manifest tail is SQL arithmetic over these rows)
+    write("manifest",
+      OpsOracle.packItemsSeq(
+        OpsOracle.chunkItems(OpsOracle.curatedDocs(docs, minTokens = 30),
+          maxTokens = 64, overlap = 8),
         capacity = 128, nBuckets = 16),
       Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
   }

@@ -167,6 +167,20 @@ class OpsSpec extends AnyFunSuite with Matchers {
     (errs.sum / errs.length) should be < 0.2
   }
 
+  test("training manifest composition: sequences respect capacity, shards bounded") {
+    val m = SparkEntry.queries("q_training_manifest")(spark, dir).cache()
+    m.count() should be > 0L
+    // a packed sequence never exceeds the 128-token capacity
+    m.where($"sum_tokens" > 128L || $"n_items" < 1L).count() shouldBe 0L
+    m.where($"shard" < 0L || $"shard" >= 8L).count() shouldBe 0L
+    // shard positions are 1..|shard|
+    val bad = m.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"shard_pos").as("mx"), min($"shard_pos").as("mn"))
+      .where($"mx" =!= $"n" || $"mn" =!= 1L)
+    bad.count() shouldBe 0L
+    m.unpersist()
+  }
+
   test("incremental dedup: empty index passes exact's keepers, full index passes nothing") {
     val keepers = Dedup.exact(docs).select($"keep_id".as("doc_id"), $"content_md5")
     val noIndex = spark.emptyDataset[String].toDF("content_md5")
