@@ -104,6 +104,19 @@ object SparkEntry {
         .map { case (id, html) => (id, graft.parse.HtmlText.htmlToMarkdownAtx(html)) }
         .toDF("doc_id", "md_from_html_atx")
     }),
+    // interleaved-payload composition profile: per-doc span-kind counts,
+    // media-linking volume and text mass — pure in-row HOFs over the spans
+    // array straight off the extraction node, ZERO shuffle (the analytics
+    // a mixed text+media corpus owner reads before choosing decode budget)
+    "x_span_stats" -> ((s, dir) =>
+      extracted(s, dir).select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        size(filter(col("spans"), x => x.getField("media_ref") =!= ""))
+          .cast("long").as("n_media"),
+        size(array_distinct(transform(col("spans"), x => x.getField("kind"))))
+          .cast("long").as("n_kinds"),
+        aggregate(col("spans"), lit(0L),
+          (acc, x) => acc + length(x.getField("text"))).as("sum_text_chars"))),
     "x_extract_totals" -> ((s, dir) =>
       extracted(s, dir).agg(
         count(lit(1)).cast("long").as("total_docs"),
@@ -507,6 +520,12 @@ object SparkEntry {
       "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
     "x_extract_spans_custom" ->
       "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
+    "x_span_stats" ->
+      ("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(count(*) FILTER (WHERE media_ref != '') AS BIGINT) AS n_media, " +
+        "CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+        "FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet') GROUP BY 1"),
     "x_extract_markdown" ->
       "SELECT doc_id, markdown FROM read_parquet('/root/repo/data/golden_md/sf0.01/*.parquet')",
     "x_extract_html" ->
