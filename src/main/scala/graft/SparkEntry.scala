@@ -294,6 +294,20 @@ object SparkEntry {
     }),
     // duplicated-substring detection: per-doc duplicated-window fraction
     "q_dup_windows" -> ((s, dir) => Dedup.dupWindows(docsTable(s, dir), win = 20)),
+    // duplicated-segment REMOVAL (ExactSubstr discipline): corpus-wide
+    // first occurrence kept, later copies cut, cleaned text md5-pinned
+    "q_doc_seg_clean" -> ((s, dir) =>
+      Dedup.removeDupSegments(docsTable(s, dir), seg = 20)),
+    // SemDeDup cluster-then-dedup over the embeddings (+ the same planted
+    // perturbed copies as q_emb_near_dup, so true semantic dups exist)
+    "q_semantic_dedup" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val embs = embTable(s, dir)
+      Similarity.semanticDedup(
+        embs.select(col("vec_id").cast("long"), col("embedding"))
+          .unionByName(Similarity.perturbed(embs, n = 20)),
+        minCosinePm = 990, nCells = 32, trainIters = 2)
+    }),
     // benchmark decontamination: planted eval set = mid-document excerpts
     // of every 97th doc; flag every doc sharing a 5-gram with any of them
     "q_decontam" -> ((s, dir) => {
@@ -748,6 +762,24 @@ object SparkEntry {
         "CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows, " +
         "CAST((coalesce(d.n_dup, 0) * 1000) // b.n_windows AS BIGINT) AS dup_pm " +
         "FROM b LEFT JOIN d USING (doc_id)"),
+    "q_doc_seg_clean" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, CAST((len(toks) + 19) // 20 AS BIGINT) AS n_segs FROM t), " +
+        "e AS (SELECT doc_id, toks, unnest(range(0, n_segs)) AS i FROM c WHERE n_segs > 0), " +
+        "s AS (SELECT doc_id, i, array_to_string(list_slice(toks, i*20 + 1, i*20 + 20), ' ') AS seg, " +
+        "len(list_slice(toks, i*20 + 1, i*20 + 20)) AS seg_len FROM e), " +
+        "w AS (SELECT doc_id, i, seg, seg_len, count(*) OVER (PARTITION BY md5(seg)) AS tot, " +
+        "row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, i) AS rn FROM s), " +
+        "k AS (SELECT doc_id, count(*) AS n_kept, sum(seg_len) AS clean_toks, " +
+        "md5(string_agg(seg, ' ' ORDER BY i)) AS clean_md5 FROM w WHERE tot = 1 OR rn = 1 GROUP BY doc_id) " +
+        "SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.n_segs, " +
+        "CAST(c.n_segs - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed, " +
+        "CAST(coalesce(k.clean_toks, 0) AS BIGINT) AS clean_n_tokens, " +
+        "coalesce(k.clean_md5, md5('')) AS clean_md5 " +
+        "FROM c LEFT JOIN k USING (doc_id)"),
+    "q_semantic_dedup" ->
+      "SELECT vec_id, cell, dup_of, keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/semdedup/*.parquet')",
     "q_doc_chunks" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

@@ -643,6 +643,67 @@ object Dedup {
         expr("n_dup_windows * 1000 div n_windows").cast("long"))
   }
 
+  /** Duplicated-segment REMOVAL — [[dupWindows]]' sibling that actually
+    * edits the corpus (the ExactSubstr "remove the duplicated substring"
+    * discipline of Lee et al. 2022, restated at fixed NON-overlapping
+    * `seg`-token segments so removal is well-defined and engine-exact):
+    * every document is cut into segments [i·seg, (i+1)·seg) (last one
+    * partial); a segment occurrence is removed iff the same segment text
+    * occurs elsewhere in the corpus (by md5) AND this occurrence is not the
+    * corpus-wide FIRST (first = lexicographic minimum (doc_id, seg_no) —
+    * a total order, so the kept set is unique). Within-doc repeats count.
+    * Output, one row per input doc: (doc_id, n_segs, n_removed,
+    * clean_n_tokens, clean_md5) where clean_md5 fingerprints the cleaned
+    * text — the kept segments joined in order, in TOKEN-NORMALIZED form
+    * (single spaces; what a downstream tokenizer sees anyway).
+    *
+    * Scale shape: segments become 16-byte md5s map-side off the scan — the
+    * text never enters the segment stream. Exchange 1: groupBy(hash) with
+    * map-side combine holding (count, min(doc_id, seg_no)) — fixed-width
+    * aggregates, safe in the mass-dup regime (no posting list). Exchange 2:
+    * the hash join marking each occurrence (reuses exchange 1's
+    * partitioning on the aggregate side). The REMOVED occurrences — sparse
+    * in the normal regime, duplication is the exception — aggregate to one
+    * ordinal array per affected doc, and that small table left-joins the
+    * doc spine, where AQE broadcasts it: the corpus itself is never
+    * shuffled, and reconstruction (filter the in-row segment index list,
+    * re-slice the token array) is pure whole-stage-codegen row work. A
+    * mass-duplicate corpus fattens only the removed-ordinal table, bounded
+    * by total segment count, never by any single key.
+    */
+  def removeDupSegments(docs: DataFrame, seg: Int = 20): DataFrame = {
+    require(seg >= 1, "seg >= 1")
+    val base = docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"),
+        TextOps.toksOrEmpty(col("text")).as("toks"))
+      .withColumn("n_segs",
+        floor((size(col("toks")) + lit(seg - 1)) / lit(seg)).cast("int"))
+    val segs = base.where(col("n_segs") > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), col("n_segs") - 1),
+          i => md5(concat_ws(" ", slice(col("toks"), i * seg + 1, lit(seg)))
+            .cast("binary")))).as(Seq("seg_no", "h")))
+    val firsts = segs.groupBy("h")
+      .agg(count(lit(1)).as("tot"),
+        min(struct(col("doc_id"), col("seg_no"))).as("first"))
+    val removed = segs.join(firsts, Seq("h"))
+      .where(col("tot") > 1 &&
+        !(struct(col("doc_id"), col("seg_no")) === col("first")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("seg_no"))).as("removed_nos"))
+    // sequence(0, -1) would infer step -1 and yield [0, -1] — guard empties
+    val idxAll = when(col("n_segs") > 0, sequence(lit(0), col("n_segs") - 1))
+      .otherwise(array().cast("array<int>"))
+    val gone = coalesce(col("removed_nos"), array().cast("array<int>"))
+    val cleaned = flatten(transform(
+      filter(idxAll, i => !array_contains(gone, i)),
+      i => slice(col("toks"), i * seg + 1, lit(seg))))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs").cast("long").as("n_segs"),
+        coalesce(size(col("removed_nos")), lit(0)).cast("long").as("n_removed"),
+        size(cleaned).cast("long").as("clean_n_tokens"),
+        md5(concat_ws(" ", cleaned).cast("binary")).as("clean_md5"))
+  }
+
   /** Benchmark decontamination: flag every training document sharing at
     * least one word n-gram with an evaluation/benchmark text (the GPT-3 /
     * PaLM eval-overlap discipline, usually run with n = 13; n is a

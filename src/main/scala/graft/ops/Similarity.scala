@@ -351,6 +351,65 @@ object Similarity {
       .select("a", "b", "score")
   }
 
+  /** SemDeDup — semantic deduplication by CLUSTER-then-DEDUP (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): assign every embedding to its nearest coarse cell
+    * ([[kmeansCodebook]] when `trainIters > 0`, else the training-free
+    * lowest-id codebook — both deterministic), compare pairs ONLY within a
+    * cell, and mark a vector a semantic duplicate iff a LOWER-id vector in
+    * the same cell has cosine ≥ `minCosinePm`/1000 (the paper keeps one
+    * representative per duplicate relation; lowest-id is the deterministic
+    * restatement of its arbitrary choice). Output, one row per vector:
+    * (vec_id, cell, dup_of, keep) with dup_of = the minimum qualifying
+    * lower id (−1 when none) — `WHERE keep = 1` is the semantically
+    * deduplicated corpus.
+    *
+    * Scale shape: the codebook broadcasts (nCells × dim floats); cell
+    * assignment is map work. The within-cell self-join shuffles on cell id
+    * — nCells is the parallelism ceiling AND the quadratic bound, so scale
+    * it with the corpus (the paper runs 50k clusters at web scale; see the
+    * object doc's sizing note). Cells above `maxCell` are excluded from
+    * pairing — the degenerate mass-duplicate regime (run [[cosineNearDup]]
+    * / exact dedup first), mirrored by the sequential oracle exactly like
+    * the minhash/simhash caps. The dup-of table is sparse in the normal
+    * regime, so the final left join back to the spine is an AQE broadcast;
+    * pair rows carry (ids, one double), never vectors.
+    */
+  def semanticDedup(embs: DataFrame, minCosinePm: Int = 990, nCells: Int = 32,
+                    trainIters: Int = 0, maxCell: Int = 100000): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val typed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids =
+      if (trainIters > 0) kmeansCodebook(embs, nCells, trainIters)
+      else typed.filter(t => t._1 >= 0 && t._1 < nCells)
+        .collect().sortBy(_._1).map(_._2)
+    require(centroids.nonEmpty, "semanticDedup needs vec_ids 0..nCells-1 present")
+    val bCent = spark.sparkContext.broadcast(centroids)
+    val celled = typed
+      .map { case (id, v) => (id, v, ivfCellOf(v, bCent.value)) }
+      .toDF("vec_id", "embedding", "cell")
+    // singleton cells cannot pair; over-cap cells are out of contract
+    val keepC = celled.groupBy("cell").agg(count(lit(1)).as("m"))
+      .where(col("m").between(2, maxCell))
+      .select("cell")
+    val inCell = celled.join(keepC, Seq("cell"), "left_semi")
+    val a = inCell.select(col("cell"), col("vec_id").as("a"), col("embedding").as("emb_a"))
+    val b = inCell.select(col("cell"), col("vec_id").as("b"), col("embedding").as("emb_b"))
+    val dupOf = a.join(b, Seq("cell"))
+      .where(col("a") < col("b"))
+      .select(col("b").as("vec_id"), col("a"),
+        cosine(col("emb_a"), col("emb_b")).as("score"))
+      .where(col("score") * 1000 >= minCosinePm)
+      .groupBy("vec_id").agg(min(col("a")).as("dup_of"))
+    celled.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.cast("long").as("keep"))
+  }
+
   /** Per-label embedding centroids in integer micro-units: each float
     * component is floored to micros FIRST (float→double widening is exact, so
     * both engines floor the same value), then summed as longs — making the

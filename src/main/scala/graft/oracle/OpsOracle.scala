@@ -336,6 +336,33 @@ object OpsOracle {
     } yield (a, b, s)).toSeq
   }
 
+  /** Sequential `Similarity.semanticDedup`: same cell assignment leaf
+    * ([[Similarity.ivfCellOf]] over the micro-unit Lloyd codebook), within-
+    * cell lower-id scan restated as a plain loop; mirrors the op's cell-size
+    * contract (singleton and over-`maxCell` cells produce no pairs).
+    * Returns (vec_id, cell, dup_of | −1, keep).
+    */
+  def semanticDedup(embs: Seq[(Long, Array[Float])], minCosinePm: Int,
+                    nCells: Int, trainIters: Int,
+                    maxCell: Int = 100000): Seq[(Long, Long, Long, Long)] = {
+    val cents =
+      if (trainIters > 0) kmeansCodebook(embs, nCells, trainIters)
+      else embs.filter(t => t._1 >= 0 && t._1 < nCells)
+        .sortBy(_._1).map(_._2).toArray
+    val celled = embs.map { case (id, v) => (id, v, Similarity.ivfCellOf(v, cents)) }
+    val sizes = celled.groupBy(_._3).map { case (c, vs) => c -> vs.size }
+    celled.sortBy(_._1).map { case (id, v, c) =>
+      val lower =
+        if (sizes(c) < 2 || sizes(c) > maxCell) Seq.empty
+        else celled.collect {
+          case (oid, ov, oc) if oc == c && oid < id &&
+            cosineF(ov, v) * 1000 >= minCosinePm => oid
+        }
+      if (lower.isEmpty) (id, c.toLong, -1L, 1L)
+      else (id, c.toLong, lower.min, 0L)
+    }
+  }
+
   /** Sequential `Similarity.perturbed` (shared perturbation leaf). */
   def perturbed(embs: Seq[(Long, Array[Float])], n: Int, seed: Long = 7,
                 noise: Float = 0.002f, idOffset: Long = 1000000L): Seq[(Long, Array[Float])] =
@@ -485,7 +512,7 @@ object OpsGolden {
 
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
-    "decontam", "packing", "chunkpack", "manifest")
+    "decontam", "packing", "chunkpack", "manifest", "semdedup")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -543,6 +570,12 @@ object OpsGolden {
           minCosinePm = 990, nPlanes = 10, seed = 42)
         .map { case (a, b, s) => (a, b, math.floor(s * 1000).toLong) },
       Seq("a", "b", "score_pm"))
+    // cluster-then-dedup over the SAME planted near-dups as embdup, so the
+    // semantic-dup relation has known true positives (perturbed copies)
+    write("semdedup",
+      OpsOracle.semanticDedup(embs ++ OpsOracle.perturbed(embs, n = 20),
+        minCosinePm = 990, nCells = 32, trainIters = 2),
+      Seq("vec_id", "cell", "dup_of", "keep"))
     write("media",
       OpsOracle.mediaFeatures(CorpusGen.specFor(sf)).toSeq,
       Seq("doc_id", "media_ref", "n_bytes", "content_h64"))

@@ -800,4 +800,67 @@ class OpsSpec extends AnyFunSuite with Matchers {
     TextOps.tokenStats(docs).where($"n_tokens" === 0 && $"n_chars" > 0)
       .count() shouldBe 0
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  test("dup-segment removal: shared and internal repeats cut, first occurrence kept") {
+    val run20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val a = s"$run20 alpha beta gamma" // first occurrence of the run — kept whole
+    val b = s"$run20 delta"            // seg 0 duplicates doc 1's seg 0 — cut
+    val c = "unique tokens only here"
+    val planted = Seq((1L, a), (2L, b), (3L, c), (4L, "")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSegments(planted, seg = 20)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    got(1L) shouldBe ((1L, 2L, 0L, 23L, md5hex(a)))
+    got(2L) shouldBe ((2L, 2L, 1L, 1L, md5hex("delta")))
+    got(3L) shouldBe ((3L, 1L, 0L, 4L, md5hex(c)))
+    got(4L) shouldBe ((4L, 0L, 0L, 0L, md5hex(""))) // blank doc: zero segments
+    // within-doc repetition is duplication too (ExactSubstr semantics)
+    val internal = Seq((9L, s"$run20 $run20")).toDF("doc_id", "text")
+    Dedup.removeDupSegments(internal, seg = 20)
+      .as[(Long, Long, Long, Long, String)].head() shouldBe
+      ((9L, 2L, 1L, 20L, md5hex(run20)))
+  }
+
+  test("dup-segment removal: one row per doc, accounting consistent, parallelism-invariant") {
+    val full = Dedup.removeDupSegments(docs, seg = 20).cache()
+    full.count() shouldBe docs.count()
+    // kept + removed segments account for every segment; clean token count
+    // never exceeds the original
+    full.where($"n_removed" > $"n_segs" || $"clean_n_tokens" < 0).count() shouldBe 0
+    // identity on docs with nothing removed: cleaned text == normalized text
+    val norm = docs.select($"doc_id".cast("long").as("doc_id"),
+      md5(concat_ws(" ", split(trim($"text"), TextOps.WsPlus)).cast("binary")).as("norm_md5"))
+    full.where($"n_removed" === 0).join(norm, Seq("doc_id"))
+      .where($"clean_md5" =!= $"norm_md5" && $"n_segs" > 0)
+      .count() shouldBe 0
+    val again = Dedup.removeDupSegments(docs.repartition(7), seg = 20)
+    full.except(again).count() shouldBe 0
+    again.except(full).count() shouldBe 0
+    full.unpersist()
+  }
+
+  test("semantic dedup: matches sequential oracle; planted copies flagged as dups") {
+    val base = embs.select($"vec_id".cast("long"), $"embedding")
+    val withDups = base.unionByName(Similarity.perturbed(embs, n = 10))
+    val got = Similarity.semanticDedup(withDups, minCosinePm = 990,
+        nCells = 16, trainIters = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val local = withDups.as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    got shouldBe oracle.OpsOracle.semanticDedup(local, minCosinePm = 990,
+      nCells = 16, trainIters = 2).toSet
+    // a perturbed copy is near-parallel to its original: same cell, cosine
+    // over threshold, original has the lower id — so every copy is dropped
+    // with dup_of pointing at its original, and every original survives
+    val byId = got.map(t => t._1 -> t).toMap
+    (0L until 10L).foreach { i =>
+      byId(i + 1000000L)._3 shouldBe i
+      byId(i + 1000000L)._4 shouldBe 0L
+      byId(i)._4 shouldBe 1L
+    }
+  }
 }
