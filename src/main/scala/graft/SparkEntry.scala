@@ -318,6 +318,13 @@ object SparkEntry {
           substring(col("text"), 51, 400).as("text"))
       Dedup.decontaminate(docs, bench, n = 5)
     }),
+    // BPE tokenizer training: learn the first 40 merges from corpus word
+    // counts (the tokenize stage of the pipeline; merge loop is driver-side
+    // over the bounded word-count table, the industrial split)
+    "q_bpe_merges" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.bpeMerges(docsTable(s, dir), nMerges = 40, maxVocab = 1 << 16)
+    }),
     // deterministic corpus-mixture sampling to target source proportions
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docsTable(s, dir),
       Seq("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))),
@@ -780,6 +787,8 @@ object SparkEntry {
         "FROM c LEFT JOIN k USING (doc_id)"),
     "q_semantic_dedup" ->
       "SELECT vec_id, cell, dup_of, keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/semdedup/*.parquet')",
+    "q_bpe_merges" ->
+      "SELECT rank, \"left\", \"right\", n_occ FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpe/*.parquet')",
     "q_doc_chunks" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

@@ -431,6 +431,82 @@ object TextOps {
         col("best.tf").as("tf"), col("best.df").as("df"))
   }
 
+  /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the learn-the-merges
+    * step of building a corpus tokenizer, the last missing stage of a
+    * training-data pipeline (dedup → quality → chunk → pack → TOKENIZE).
+    * Words are initial code-point symbol sequences (no end-of-word marker —
+    * documented simplification); each round merges the most frequent
+    * adjacent symbol pair, weighted by word count, with the deterministic
+    * total order (count desc, left asc, right asc), replacing greedily
+    * left-to-right non-overlapping. Returns one row per learned merge:
+    * (rank, left, right, n_occ).
+    *
+    * Scale shape — the standard industrial split (SentencePiece/HF train
+    * from word counts, not the raw corpus): the corpus-sized work is ONE
+    * hash shuffle with full map-side combine (word → count) capped to the
+    * top `maxVocab` words by the deterministic (count desc, word asc) order
+    * via TakeOrderedAndProject — never a full sort; the merge loop then
+    * runs driver-side over that bounded table (≤ maxVocab short symbol
+    * arrays — megabytes, like [[graft.ops.Similarity.kmeansCodebook]]'s
+    * collected centroids), cost O(nMerges × Σ|word|), independent of corpus
+    * size. The cap is the standard practice knob, not an approximation
+    * escape: sub-cap corpora (every gate corpus) are exact.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 50,
+                maxVocab: Int = 1 << 20): DataFrame = {
+    require(nMerges >= 1, "nMerges >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.where(length(trim(col("text"))) > 0)
+      .select(explode(splitToks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxVocab)
+      .as[(String, Long)].collect()
+    spark.createDataset(bpeMergeLoop(words, nMerges))
+      .toDF("rank", "left", "right", "n_occ")
+  }
+
+  /** The driver-side merge loop over the bounded word-count table. */
+  private def bpeMergeLoop(words: Array[(String, Long)],
+                           nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var seqs: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+    }
+    val out = Vector.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (ss, c) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          val k = (ss(i), ss(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, rt), cnt) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r.toLong, l, rt, cnt))
+        seqs = seqs.map { case (ss, c) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i < ss.length - 1 && ss(i) == l && ss(i + 1) == rt) {
+              buf += l + rt; i += 2
+            } else { buf += ss(i); i += 1 }
+          }
+          (buf.toArray, c)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
   /** Email-address pattern (no lookarounds — Java regex and RE2 agree). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

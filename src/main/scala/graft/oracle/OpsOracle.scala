@@ -397,6 +397,55 @@ object OpsOracle {
     }
   }
 
+  // ---- BPE merge training --------------------------------------------------
+
+  /** Sequential `TextOps.bpeMerges`, restated independently on immutable
+    * Lists: word counts from the raw docs (same trim/split leaf as
+    * [[wsTokenCount]]), deterministic (count desc, word asc) top-`maxVocab`
+    * cut, then nMerges rounds of best-pair selection
+    * (count desc, left asc, right asc) with greedy left-to-right
+    * non-overlapping replacement. Returns (rank, left, right, n_occ).
+    */
+  def bpeMerges(docs: Seq[(Long, String)], nMerges: Int,
+                maxVocab: Int): Seq[(Long, String, String, Long)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, text) =>
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.nonEmpty)
+        t.split("[ \\t\\n\\x0B\\f\\r]+", -1).foreach { w =>
+          counts(w) = counts.getOrElse(w, 0L) + 1L
+        }
+    }
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(maxVocab)
+
+    def pairCounts(seqs: Seq[(List[String], Long)]): Map[(String, String), Long] =
+      seqs.flatMap { case (ss, c) =>
+        ss.zip(ss.drop(1)).map(p => p -> c)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+
+    def replace(ss: List[String], l: String, r: String): List[String] = ss match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: replace(rest, l, r)
+      case a :: rest => a :: replace(rest, l, r)
+      case Nil => Nil
+    }
+
+    var seqs: Seq[(List[String], Long)] = vocab.map { case (w, c) =>
+      (w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp))), c)
+    }
+    (0 until nMerges).iterator.map { r =>
+      val pc = pairCounts(seqs)
+      if (pc.isEmpty) None
+      else {
+        val ((l, rt), cnt) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        seqs = seqs.map { case (ss, c) => (replace(ss, l, rt), c) }
+        Some((r.toLong, l, rt, cnt))
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
+  }
+
   // ---- sequence packing ----------------------------------------------------
 
   /** Whitespace token count mirroring `TextOps.tokenCount` (trim ASCII
@@ -512,7 +561,7 @@ object OpsGolden {
 
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
-    "decontam", "packing", "chunkpack", "manifest", "semdedup")
+    "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -579,6 +628,9 @@ object OpsGolden {
     write("media",
       OpsOracle.mediaFeatures(CorpusGen.specFor(sf)).toSeq,
       Seq("doc_id", "media_ref", "n_bytes", "content_h64"))
+    write("bpe",
+      OpsOracle.bpeMerges(docs, nMerges = 40, maxVocab = 1 << 16),
+      Seq("rank", "left", "right", "n_occ"))
     // planted benchmark = mid-document excerpts of every 97th doc — the
     // SAME derivation as SparkEntry's q_decontam bench side
     write("decontam",

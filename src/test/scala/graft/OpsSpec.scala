@@ -844,6 +844,28 @@ class OpsSpec extends AnyFunSuite with Matchers {
     full.unpersist()
   }
 
+  test("bpe merges: textbook example learns expected merges; corpus matches oracle") {
+    // Sennrich-style toy corpus: 'lo' dominates (appears in low×7, lower×2,
+    // lowest×1 = weight 10), so the first merge is (l, o)
+    val toy = Seq(
+      (1L, "low low low low low"), (2L, "low low lower lower"),
+      (3L, "lowest newest newest")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(toy, nMerges = 3)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    got(0) shouldBe ((0L, "l", "o", 10L))
+    got(1) shouldBe ((1L, "lo", "w", 10L))
+    // after low merges: 'e'+'s' (lower? no — 'low'+'e' in lowest=1, 'e','r'=2,
+    // 'e','s'=3, 'n','e'=2, 's','t'=3, 'w','e'=2... tie (e,s)=3 vs (s,t)=3
+    // breaks to (e, s) by left asc
+    got(2) shouldBe ((2L, "e", "s", 3L))
+    // corpus run equals the independent sequential restatement exactly
+    val local = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    TextOps.bpeMerges(docs, nMerges = 20, maxVocab = 1 << 16)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq shouldBe
+      oracle.OpsOracle.bpeMerges(local, nMerges = 20, maxVocab = 1 << 16)
+  }
+
   test("semantic dedup: matches sequential oracle; planted copies flagged as dups") {
     val base = embs.select($"vec_id".cast("long"), $"embedding")
     val withDups = base.unionByName(Similarity.perturbed(embs, n = 10))
