@@ -325,6 +325,12 @@ object SparkEntry {
       opsGolden(s, dir)
       TextOps.bpeMerges(docsTable(s, dir), nMerges = 40, maxVocab = 1 << 16)
     }),
+    // CCNet-style bigram-LM perplexity quality score, trained on the corpus
+    // itself (integer micro-nats end to end — bit-stable at any parallelism)
+    "q_doc_lm_score" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.lmScore(docsTable(s, dir), vocabSize = 1 << 14, maxBigrams = 1 << 16)
+    }),
     // deterministic corpus-mixture sampling to target source proportions
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docsTable(s, dir),
       Seq("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))),
@@ -789,6 +795,8 @@ object SparkEntry {
       "SELECT vec_id, cell, dup_of, keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/semdedup/*.parquet')",
     "q_bpe_merges" ->
       "SELECT rank, \"left\", \"right\", n_occ FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpe/*.parquet')",
+    "q_doc_lm_score" ->
+      "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
     "q_doc_chunks" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.parse.Typo
 
@@ -89,6 +89,37 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Laplace-smoothed bigram log-probability in integer micro-nats —
+  * `round(ln((cb+1)/(cu+v)) * 1e6)` — as a native ternary expression. The
+  * math lives in `graft.ops.TextOps.logProbMicro` (StrictMath.log, so the
+  * value is bit-identical on every JVM); generated code emits one static
+  * call, keeping the LM-scoring stream inside whole-stage codegen like its
+  * unary siblings.
+  */
+case class LogProbMicroExpr(first: Expression, second: Expression,
+                            third: Expression) extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BIGINT, BIGINT, BIGINT) arguments, got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  override def prettyName: String = "log_prob_micro"
+
+  override def nullSafeEval(cb: Any, cu: Any, v: Any): Any =
+    graft.ops.TextOps.logProbMicro(
+      cb.asInstanceOf[Long], cu.asInstanceOf[Long], v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (cb, cu, v) =>
+      s"graft.ops.TextOps.logProbMicro($cb, $cu, $v)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object Functions {
   /** Column-level API: `ds.select(fix_typos($"text"))`. */
   def fix_typos(c: Column): Column =
@@ -105,6 +136,14 @@ object Functions {
     org.apache.spark.sql.GraftColumnBridge.column(
       NfcNormalizeExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** Column-level API: `log_prob_micro(cb, cu, v)` (all BIGINT). */
+  def log_prob_micro(cb: Column, cu: Column, v: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      LogProbMicroExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(cb),
+        org.apache.spark.sql.GraftColumnBridge.expression(cu),
+        org.apache.spark.sql.GraftColumnBridge.expression(v)))
+
   /** Register for the SQL surface on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -113,5 +152,8 @@ object Functions {
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalizeExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "log_prob_micro",
+      exprs => LogProbMicroExpr(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 }

@@ -532,4 +532,118 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text").cast("binary")).as("md5_hex"),
       xxhash64(col("text")).as("h64"))
+
+  // ---- bigram-LM perplexity quality score ---------------------------------
+
+  /** Reserved out-of-vocabulary token of the bigram LM. Corpus tokens that
+    * literally spell `<unk>` merge with it — the standard open-vocabulary
+    * contract (it IS the unknown-word symbol), documented rather than
+    * escaped.
+    */
+  val UnkTok = "<unk>"
+
+  /** Laplace-smoothed bigram log-probability in integer micro-nats:
+    * `round(ln((cb + 1) / (cu + v)) * 1e6)`. `StrictMath.log` (fdlibm) is
+    * bit-identical on every JVM/platform, and the per-transition rounding to
+    * a LONG makes the per-doc score an integer SUM — order-independent, so
+    * the aggregate is exact under any partitioning (the same micro-unit
+    * discipline as `Similarity.labelCentroids`). Called from generated code
+    * by [[graft.functions.LogProbMicroExpr]].
+    */
+  def logProbMicro(cb: Long, cu: Long, v: Long): Long =
+    Math.round(StrictMath.log((cb + 1.0d) / (cu.toDouble + v.toDouble)) * 1e6d)
+
+  /** CCNet-style LM quality filter (Wenzek et al. 2020 run a KenLM over
+    * Common Crawl and bucket docs by perplexity): trains a Laplace-smoothed
+    * bigram LM on the corpus itself, then scores every document by its total
+    * and per-transition log-probability in micro-nats. Low (very negative)
+    * `lp_micro_per_tok` flags gibberish, boilerplate soup, and
+    * wrong-language content — the real version of the rare-token heuristic
+    * `oovRatio` stands in for. Integer-exact end to end: counts are longs,
+    * and each transition's log-prob is rounded to micro-nats BEFORE the
+    * per-doc sum (see [[logProbMicro]]), so results are bit-identical at any
+    * parallelism.
+    *
+    * Model contract (mirrored exactly by the sequential oracle):
+    *  - vocabulary = top-`vocabSize` tokens by (count desc, token asc);
+    *    everything else maps to [[UnkTok]]. Model size `v` = |vocab| + 1.
+    *  - bigram table = top-`maxBigrams` normalized bigrams by
+    *    (count desc, prev asc, cur asc); transitions cut from the table
+    *    score as unseen (Laplace floor) — the cap trades tail-bigram
+    *    resolution for a bounded broadcast, NOT correctness.
+    *  - context counts are NOT capped: they aggregate to ≤ |vocab|+1 rows.
+    *  - docs with < 2 tokens (incl. blank) score (0, 0, 0).
+    *
+    * Scale shape: three passes over the token stream — unigram counts
+    * (one map-side-combined (tok) shuffle, top-k via TakeOrderedAndProject),
+    * full bigram counts (one (prev,cur) shuffle of count partials; the
+    * context counts REUSE that exchange — they re-aggregate its output, so
+    * AQE's ReuseExchange dedups the scan), and scoring (vocab + bigram +
+    * context tables all `broadcast` — the token stream itself never
+    * shuffles; only sparse (doc_id, long) partials exchange for the final
+    * per-doc sum). At 100 TB the broadcasts are bounded by the caps
+    * (vocabSize + maxBigrams rows), not the corpus.
+    */
+  def lmScore(docs: DataFrame, vocabSize: Int = 1 << 14,
+              maxBigrams: Int = 1 << 16): DataFrame = {
+    require(vocabSize >= 1, "vocabSize >= 1")
+    require(maxBigrams >= 1, "maxBigrams >= 1")
+    import graft.functions.Functions.log_prob_micro
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      toksOrEmpty(col("text")).as("toks"))
+
+    // vocabulary: top-k unigrams, deterministic total order
+    val vocab = base.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select("tok")
+    val vModel = vocab.agg((count(lit(1)) + 1L).as("v_model")) // + <unk>
+
+    // normalized transition stream: in-row (toks[i], toks[i+1]) pairs,
+    // OOV mapped to <unk> via two broadcast left joins (map-side, the
+    // stream never shuffles here)
+    val n = size(col("toks"))
+    val pairs = base.where(n >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("p"), b.as("c")))).as("pc"))
+      .select(col("doc_id"), col("pc.p").as("prev"), col("pc.c").as("cur"))
+    val vp = vocab.withColumnRenamed("tok", "v_prev")
+    val vc = vocab.withColumnRenamed("tok", "v_cur")
+    val norm = pairs
+      .join(broadcast(vp), col("prev") === col("v_prev"), "left")
+      .join(broadcast(vc), col("cur") === col("v_cur"), "left")
+      .select(col("doc_id"),
+        coalesce(col("v_prev"), lit(UnkTok)).as("prev_n"),
+        coalesce(col("v_cur"), lit(UnkTok)).as("cur_n"))
+
+    // full bigram counts feed BOTH the capped bigram table and the
+    // (uncapped, ≤ |vocab|+1 row) context counts — one exchange, reused
+    val bigAll = norm.groupBy("prev_n", "cur_n").agg(count(lit(1)).as("b_cnt"))
+    val bigrams = bigAll
+      .orderBy(col("b_cnt").desc, col("prev_n").asc, col("cur_n").asc)
+      .limit(maxBigrams)
+    val contexts = bigAll.groupBy("prev_n").agg(sum(col("b_cnt")).as("c_cnt"))
+
+    val scored = norm
+      .join(broadcast(bigrams), Seq("prev_n", "cur_n"), "left")
+      .join(broadcast(contexts), Seq("prev_n"), "left")
+      .crossJoin(broadcast(vModel))
+      .select(col("doc_id"), log_prob_micro(
+        coalesce(col("b_cnt"), lit(0L)), col("c_cnt"), col("v_model")).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum(col("lp")).as("lp_micro_tot"))
+
+    val trivial = base.where(n < 2)
+      .select(col("doc_id"), lit(0L).as("n_trans"), lit(0L).as("lp_micro_tot"))
+    scored.select(col("doc_id"), col("n_trans"), col("lp_micro_tot"))
+      .unionByName(trivial)
+      // integral `div` truncates toward zero in Spark and Java alike — the
+      // oracle mirrors with plain Long division
+      .withColumn("lp_micro_per_tok",
+        when(col("n_trans") > 0L, expr("lp_micro_tot div n_trans"))
+          .otherwise(lit(0L)))
+  }
 }

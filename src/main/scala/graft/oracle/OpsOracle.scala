@@ -446,6 +446,59 @@ object OpsOracle {
     }.takeWhile(_.isDefined).flatten.toSeq
   }
 
+  // ---- bigram-LM perplexity score ------------------------------------------
+
+  /** Sequential `TextOps.lmScore`, restated on immutable collections with
+    * the model contract spelled out inline: top-`vocabSize` unigram
+    * vocabulary (count desc, token asc), `<unk>` normalization, FULL context
+    * counts, top-`maxBigrams` bigram table (count desc, prev asc, cur asc;
+    * cut transitions score at the Laplace floor), per-transition micro-nat
+    * rounding via `StrictMath.log` BEFORE the per-doc sum, truncated Long
+    * division for the per-token average. Returns
+    * (doc_id, n_trans, lp_micro_tot, lp_micro_per_tok).
+    */
+  def lmScore(docs: Seq[(Long, String)], vocabSize: Int,
+              maxBigrams: Int): Seq[(Long, Long, Long, Long)] = {
+    def toks(text: String): Array[String] = {
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.isEmpty) Array.empty[String]
+      else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    }
+    val docToks = docs.map { case (id, t) => id -> toks(t) }
+    val uniCnt = docToks.iterator.flatMap(_._2).toSeq
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val vocab = uniCnt.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(vocabSize).map(_._1).toSet
+    val vModel = vocab.size + 1L // + <unk>
+    def nrm(t: String): String = if (vocab(t)) t else "<unk>"
+    val allPairs = docToks.flatMap { case (_, ts) =>
+      ts.zip(ts.drop(1)).map { case (a, b) => (nrm(a), nrm(b)) }
+    }
+    val bigAll = allPairs.groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }
+    val bigrams = bigAll.toSeq
+      .sortBy { case ((p, c), n) => (-n, p, c) }.take(maxBigrams).toMap
+    val contexts = allPairs.groupBy(_._1)
+      .map { case (p, xs) => p -> xs.size.toLong }
+    docToks.map { case (id, ts) =>
+      if (ts.length < 2) (id, 0L, 0L, 0L)
+      else {
+        val lps = ts.zip(ts.drop(1)).map { case (a, b) =>
+          val (pa, pb) = (nrm(a), nrm(b))
+          val cb = bigrams.getOrElse((pa, pb), 0L)
+          val cu = contexts(pa)
+          Math.round(StrictMath.log((cb + 1.0d) /
+            (cu.toDouble + vModel.toDouble)) * 1e6d)
+        }
+        val tot = lps.sum
+        (id, lps.length.toLong, tot, tot / lps.length.toLong)
+      }
+    }
+  }
+
   // ---- sequence packing ----------------------------------------------------
 
   /** Whitespace token count mirroring `TextOps.tokenCount` (trim ASCII
@@ -561,7 +614,7 @@ object OpsGolden {
 
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
-    "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe")
+    "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -631,6 +684,9 @@ object OpsGolden {
     write("bpe",
       OpsOracle.bpeMerges(docs, nMerges = 40, maxVocab = 1 << 16),
       Seq("rank", "left", "right", "n_occ"))
+    write("lm",
+      OpsOracle.lmScore(docs, vocabSize = 1 << 14, maxBigrams = 1 << 16),
+      Seq("doc_id", "n_trans", "lp_micro_tot", "lp_micro_per_tok"))
     // planted benchmark = mid-document excerpts of every 97th doc — the
     // SAME derivation as SparkEntry's q_decontam bench side
     write("decontam",

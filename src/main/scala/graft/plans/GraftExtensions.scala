@@ -62,5 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.NfcNormalizeExpr].getName, "nfc_normalize"),
       exprs => graft.functions.NfcNormalizeExpr(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("log_prob_micro"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.LogProbMicroExpr].getName, "log_prob_micro"),
+      exprs => graft.functions.LogProbMicroExpr(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -60,6 +60,22 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .head().isNullAt(0) shouldBe true
   }
 
+  test("log_prob_micro: codegen, SQL surface, kernel equality, type check") {
+    Functions.register(spark)
+    val df = spark.range(3).select(Functions.log_prob_micro(
+      $"id", lit(10L), lit(5L)).as("lp"))
+    df.queryExecution.executedPlan.toString should include("*(1) Project [log_prob_micro(")
+    df.as[Long].collect() shouldBe (0 until 3)
+      .map(i => graft.ops.TextOps.logProbMicro(i.toLong, 10L, 5L)).toArray
+    spark.sql("SELECT log_prob_micro(0L, 0L, 2L) AS lp").as[Long].head() shouldBe
+      Math.round(StrictMath.log(0.5) * 1e6) // (0+1)/(0+2)
+    spark.sql("SELECT log_prob_micro(CAST(NULL AS BIGINT), 1L, 2L) AS lp")
+      .head().isNullAt(0) shouldBe true
+    val e = intercept[Exception](
+      spark.sql("SELECT log_prob_micro('x', 1L, 2L)").collect())
+    e.getMessage should include("BIGINT")
+  }
+
   test("non-string arguments fail at analysis time with a clear type error") {
     Functions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT simhash64(1)").collect())

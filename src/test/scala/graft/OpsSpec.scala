@@ -55,6 +55,44 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got(2L) shouldBe ((2L, 1L, 500L))
   }
 
+  test("bigram LM score == sequential oracle with active caps, parallelism-invariant") {
+    // small caps so BOTH contracts are exercised: <unk> normalization
+    // (vocab cut) and the Laplace-floor fallback (bigram-table cut)
+    val seq = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.lmScore(seq, vocabSize = 64, maxBigrams = 256)
+      .map { case (id, n, tot, per) => (id, (n, tot, per)) }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.lmScore(df, vocabSize = 64, maxBigrams = 256)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = run(docs)
+    got shouldBe want
+    run(docs.repartition(3)) shouldBe want
+  }
+
+  test("bigram LM score: predictable text beats gibberish; trivial docs zero") {
+    // every token is IN vocabulary (vocabSize covers the alphabet), so the
+    // comparison measures transition entropy, not <unk> collapse: doc 1
+    // cycles two bigrams, doc 2 scatters over the full 8-symbol bigram space
+    val predictable = ("a b" + " a b" * 40).trim
+    val rng = new scala.util.Random(7)
+    val gibberish = (0 until 82).map(_ => s"w${rng.nextInt(8)}").mkString(" ")
+    val rows = Seq((1L, predictable), (2L, gibberish), (3L, ""), (4L, "solo"))
+    val got = TextOps.lmScore(rows.toDF("doc_id", "text"),
+        vocabSize = 16, maxBigrams = 128)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got(1L)._1 shouldBe 81L
+    got(2L)._1 shouldBe 81L
+    got(1L)._3 should be > got(2L)._3
+    got(1L)._2 should be < 0L // log-probs are negative
+    got(3L) shouldBe ((0L, 0L, 0L))
+    got(4L) shouldBe ((0L, 0L, 0L))
+    // and the planted corpus agrees with the sequential restatement too
+    val want = graft.oracle.OpsOracle.lmScore(rows, vocabSize = 16, maxBigrams = 128)
+      .map { case (id, n, tot, per) => (id, (n, tot, per)) }.toMap
+    got shouldBe want
+  }
+
   test("dup windows: planted repeated substring is found, fractions integer-exact") {
     // doc 1 and 2 share a 6-token run; doc 2 additionally repeats it internally
     val run = "the quick brown fox jumps over"
