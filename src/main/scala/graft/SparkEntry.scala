@@ -325,6 +325,13 @@ object SparkEntry {
       opsGolden(s, dir)
       TextOps.bpeMerges(docsTable(s, dir), nMerges = 40, maxVocab = 1 << 16)
     }),
+    // C4 line-level cleaning (terminal punctuation, >= 5 words, javascript /
+    // lorem-ipsum / curly-brace page rules) — pure in-row work, zero shuffle.
+    // The word-soup gate corpus has no line structure, so the gate derives
+    // it deterministically (every ' table ' becomes a sentence break) —
+    // keeps the punctuation/word-count/keep rules LIVE at the driver gate
+    "q_doc_c4_clean" -> ((s, dir) => TextOps.c4Clean(docsTable(s, dir)
+      .withColumn("text", regexp_replace(col("text"), " table ", ".\n")))),
     // CCNet-style bigram-LM perplexity quality score, trained on the corpus
     // itself (integer micro-nats end to end — bit-stable at any parallelism)
     "q_doc_lm_score" -> ((s, dir) => {
@@ -797,6 +804,18 @@ object SparkEntry {
       "SELECT rank, \"left\", \"right\", n_occ FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpe/*.parquet')",
     "q_doc_lm_score" ->
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
+    "q_doc_c4_clean" ->
+      ("WITH d AS (SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text FROM documents), " +
+        "l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d), " +
+        "k AS (SELECT doc_id, text, lines, list_filter(lines, x -> length(trim(x)) > 0 " +
+        "AND right(trim(x), 1) IN ('.', '!', '?', '\"') " +
+        "AND len(regexp_split_to_array(trim(x), '[ \\t\\n\\x0B\\f\\r]+')) >= 5 " +
+        "AND NOT contains(lower(trim(x)), 'javascript')) AS kept FROM l) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept, " +
+        "(len(kept) >= 3 AND NOT contains(text, '{') " +
+        "AND NOT contains(lower(coalesce(array_to_string(kept, chr(10)), '')), 'lorem ipsum')) AS keep, " +
+        "md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5 FROM k"),
     "q_doc_chunks" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

@@ -533,6 +533,42 @@ object TextOps {
     docs.select(col("doc_id"), md5(col("text").cast("binary")).as("md5_hex"),
       xxhash64(col("text")).as("h64"))
 
+  // ---- C4-style line-level cleaning ---------------------------------------
+
+  /** C4 heuristic cleaning (Raffel et al. 2020 §2.2, the published
+    * Common-Crawl recipe): keep only lines that end in terminal punctuation
+    * (`.` `!` `?` `"`), have ≥ 5 words, and don't mention "javascript";
+    * drop the whole page if fewer than 3 lines survive, if the raw text
+    * contains `{` (code), or if the cleaned text contains "lorem ipsum".
+    * Emits per-doc counts, the page-level keep verdict, and the cleaned
+    * text pinned as an md5 so the transform itself is oracle-checked
+    * without shipping the text twice.
+    *
+    * Scale shape: pure in-row work — Scan → Project, zero exchange at any
+    * corpus size. Every predicate is spelled to agree exactly between
+    * Spark and DuckDB (substring(-1) instead of a `$` regex, whose
+    * line-terminator semantics differ between Java regex and RE2; the
+    * explicit ASCII whitespace class for word counts).
+    */
+  def c4Clean(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      (length(t) > 0) &&
+        substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        (size(split(t, WsPlus)) >= 5) &&
+        (instr(lower(t), "javascript") === 0)
+    })
+    val cleanText = array_join(kept, "\n")
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      ((size(kept) >= 3) &&
+        (instr(col("text"), "{") === 0) &&
+        (instr(lower(cleanText), "lorem ipsum") === 0)).as("keep"),
+      md5(cleanText.cast("binary")).as("clean_md5"))
+  }
+
   // ---- bigram-LM perplexity quality score ---------------------------------
 
   /** Reserved out-of-vocabulary token of the bigram LM. Corpus tokens that

@@ -55,6 +55,45 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got(2L) shouldBe ((2L, 1L, 500L))
   }
 
+  test("C4 line cleaning: every rule exercised on planted lines") {
+    val good = "this line has five good words."
+    val doc1 = Seq(
+      good,                                   // kept
+      "ends well but only four words.",       // kept (6 words)
+      "no terminal punctuation here at all",  // dropped: no . ! ? "
+      "too few words.",                       // dropped: 3 words < 5
+      "enable javascript to view this page.", // dropped: javascript
+      "  " + good + "  ",                     // kept: trim, then same line
+      "\"a quoted line of five words\""       // kept: ends with a quote
+    ).mkString("\n")
+    val doc2 = good + "\nlorem IPSUM dolor sit amet here."  // page rule
+    val doc3 = good + " brace { inside\n" + good + "\n" + good // { page rule
+    val doc4 = good + "\n" + good                           // only 2 kept < 3
+    val rows = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, ""))
+      .toDF("doc_id", "text").unionByName(Seq((5L, doc4)).toDF("doc_id", "text"))
+    val got = TextOps.c4Clean(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4))).toMap
+    got(1L)._1 shouldBe 7L
+    got(1L)._2 shouldBe 4L
+    got(1L)._3 shouldBe true
+    // doc 2: both lines end in '.', >= 5 words → kept... but < 3 lines AND
+    // the cleaned text contains lorem ipsum → page dropped
+    got(2L)._2 shouldBe 2L
+    got(2L)._3 shouldBe false
+    // doc 3: 3 clean lines survive but the RAW text contains '{'
+    got(3L)._2 shouldBe 2L // the brace line itself fails word/punct? no — it ends without '.', dropped
+    got(3L)._3 shouldBe false
+    got(4L) shouldBe ((1L, 0L, false, got(4L)._4)) // blank: one empty line, none kept
+    got(5L)._2 shouldBe 2L
+    got(5L)._3 shouldBe false
+    // cleaned text is pinned: doc 1's md5 equals the joined kept lines
+    // (kept lines stay UNtrimmed — the predicate trims, the content doesn't)
+    val expectClean = Seq(good, "ends well but only four words.",
+      "  " + good + "  ", "\"a quoted line of five words\"").mkString("\n")
+    got(1L)._4 shouldBe java.security.MessageDigest.getInstance("MD5")
+      .digest(expectClean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   test("bigram LM score == sequential oracle with active caps, parallelism-invariant") {
     // small caps so BOTH contracts are exercised: <unk> normalization
     // (vocab cut) and the Laplace-floor fallback (bigram-table cut)
