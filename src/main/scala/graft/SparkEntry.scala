@@ -325,6 +325,15 @@ object SparkEntry {
       opsGolden(s, dir)
       TextOps.bpeMerges(docsTable(s, dir), nMerges = 40, maxVocab = 1 << 16)
     }),
+    // tokenizer inference with the merges q_bpe_merges trains: collect the
+    // bounded merge table driver-side (nMerges rows), broadcast, pure map
+    "q_bpe_encode" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val merges = TextOps.bpeMerges(docsTable(s, dir), nMerges = 40,
+          maxVocab = 1 << 16)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docsTable(s, dir), merges)
+    }),
     // C4 line-level cleaning (terminal punctuation, >= 5 words, javascript /
     // lorem-ipsum / curly-brace page rules) — pure in-row work, zero shuffle.
     // The word-soup gate corpus has no line structure, so the gate derives
@@ -804,6 +813,8 @@ object SparkEntry {
       "SELECT rank, \"left\", \"right\", n_occ FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpe/*.parquet')",
     "q_doc_lm_score" ->
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
+    "q_bpe_encode" ->
+      "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpeenc/*.parquet')",
     "q_doc_c4_clean" ->
       ("WITH d AS (SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text FROM documents), " +
         "l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d), " +

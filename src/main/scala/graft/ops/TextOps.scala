@@ -533,6 +533,101 @@ object TextOps {
     docs.select(col("doc_id"), md5(col("text").cast("binary")).as("md5_hex"),
       xxhash64(col("text")).as("h64"))
 
+  // ---- BPE tokenizer application ------------------------------------------
+
+  /** Apply trained BPE merges to one word: start from code-point pieces,
+    * repeatedly merge the adjacent pair with the LOWEST merge rank
+    * (earliest learned wins — the standard BPE inference order), replacing
+    * all non-overlapping occurrences left to right (the same replacement
+    * discipline the trainer used). Deterministic; shared by the operator
+    * and pinned against the sequential oracle's independent restatement.
+    */
+  private[graft] def applyMerges(word: String,
+      rank: scala.collection.Map[(String, String), Int]): Array[String] = {
+    var pieces: Array[String] =
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var done = pieces.length < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < pieces.length - 1) {
+        val r = rank.getOrElse((pieces(i), pieces(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        val l = pieces(best); val r = pieces(best + 1)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < pieces.length) {
+          if (j < pieces.length - 1 && pieces(j) == l && pieces(j + 1) == r) {
+            buf += l + r; j += 2
+          } else { buf += pieces(j); j += 1 }
+        }
+        pieces = buf.toArray
+        done = pieces.length < 2
+      }
+    }
+    pieces
+  }
+
+  /** Tokenize the corpus with a TRAINED BPE merge list — the inference half
+    * of the tokenizer stage ([[bpeMerges]] is the training half; together
+    * they close the loop: learn the merges once, then encode 10^12 docs
+    * with them). Emits per-doc word/piece counts and the full piece
+    * sequence pinned as an md5 (pieces joined by spaces within a word,
+    * words by newlines), so the encoding itself is oracle-checked without
+    * shipping the token stream.
+    *
+    * Scale shape: the merge list is tiny (nMerges rows) and rides an
+    * executor broadcast into `mapPartitions`; the rank map is built once
+    * per partition, the work is pure map — ZERO shuffle at any corpus
+    * size, like the chunking/cleaning siblings.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = bc.value.iterator.zipWithIndex
+          .map { case (p, i) => p -> i }.toMap
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          var t = text
+          var i0 = 0; var i1 = t.length
+          while (i0 < i1 && t.charAt(i0) == ' ') i0 += 1
+          while (i1 > i0 && t.charAt(i1 - 1) == ' ') i1 -= 1
+          t = t.substring(i0, i1)
+          val words: Array[String] =
+            if (t.isEmpty) Array.empty
+            else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+          var nPieces = 0L
+          val sb = new java.lang.StringBuilder
+          var w = 0
+          while (w < words.length) {
+            if (w > 0) sb.append('\n')
+            val ps = applyMerges(words(w), rank)
+            nPieces += ps.length
+            var p = 0
+            while (p < ps.length) {
+              if (p > 0) sb.append(' ')
+              sb.append(ps(p)); p += 1
+            }
+            w += 1
+          }
+          md.reset()
+          val hex = md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, words.length.toLong, nPieces, hex)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_pieces", "pieces_md5")
+  }
+
   // ---- C4-style line-level cleaning ---------------------------------------
 
   /** C4 heuristic cleaning (Raffel et al. 2020 §2.2, the published

@@ -446,6 +446,49 @@ object OpsOracle {
     }.takeWhile(_.isDefined).flatten.toSeq
   }
 
+  // ---- BPE encode (tokenizer inference) ------------------------------------
+
+  /** Sequential `TextOps.bpeEncode`, restated on immutable Lists: per word,
+    * repeatedly merge the adjacent pair with the lowest merge rank
+    * (all non-overlapping occurrences, left to right) until no learned pair
+    * remains. Returns (doc_id, n_words, n_pieces, pieces_md5) with the same
+    * space/newline piece-sequence pinning.
+    */
+  def bpeEncode(docs: Seq[(Long, String)],
+                merges: Seq[(String, String)]): Seq[(Long, Long, Long, String)] = {
+    val rank = merges.zipWithIndex.toMap
+    def mergeWord(w: String): List[String] = {
+      def step(ps: List[String]): List[String] = {
+        val pairs = ps.zip(ps.drop(1))
+        val ranked = pairs.flatMap(p => rank.get(p).map(r => (r, p)))
+        if (ranked.isEmpty) ps
+        else {
+          val (_, (l, r)) = ranked.minBy(_._1)
+          def replace(xs: List[String]): List[String] = xs match {
+            case a :: b :: rest if a == l && b == r => (l + r) :: replace(rest)
+            case a :: rest => a :: replace(rest)
+            case Nil => Nil
+          }
+          step(replace(ps))
+        }
+      }
+      step(w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp))))
+    }
+    docs.map { case (id, text) =>
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      val words: List[String] =
+        if (t.isEmpty) Nil else t.split("[ \\t\\n\\x0B\\f\\r]+", -1).toList
+      val encoded = words.map(mergeWord)
+      val doc = encoded.map(_.mkString(" ")).mkString("\n")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(doc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (id, words.length.toLong, encoded.map(_.length.toLong).sum, hex)
+    }
+  }
+
   // ---- bigram-LM perplexity score ------------------------------------------
 
   /** Sequential `TextOps.lmScore`, restated on immutable collections with
@@ -614,7 +657,8 @@ object OpsGolden {
 
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
-    "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm")
+    "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
+    "bpeenc")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -687,6 +731,12 @@ object OpsGolden {
     write("lm",
       OpsOracle.lmScore(docs, vocabSize = 1 << 14, maxBigrams = 1 << 16),
       Seq("doc_id", "n_trans", "lp_micro_tot", "lp_micro_per_tok"))
+    // inference with the SAME merge list the bpe golden trains
+    write("bpeenc",
+      OpsOracle.bpeEncode(docs,
+        OpsOracle.bpeMerges(docs, nMerges = 40, maxVocab = 1 << 16)
+          .map { case (_, l, r, _) => (l, r) }),
+      Seq("doc_id", "n_words", "n_pieces", "pieces_md5"))
     // planted benchmark = mid-document excerpts of every 97th doc — the
     // SAME derivation as SparkEntry's q_decontam bench side
     write("decontam",

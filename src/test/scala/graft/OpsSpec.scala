@@ -55,6 +55,40 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got(2L) shouldBe ((2L, 1L, 500L))
   }
 
+  test("BPE encode: textbook merges apply in rank order, corpus == sequential oracle") {
+    // rank 0 merges first even though rank 1's pair also exists: "lo"+"w"
+    // can only form after "l"+"o", and "ow" (rank 2) must NOT fire inside
+    // "low" once "lo" won the earlier rank
+    val merges = Seq(("l", "o"), ("lo", "w"), ("o", "w"))
+    val got = TextOps.bpeEncode(
+        Seq((1L, "low owl"), (2L, ""), (3L, " lol ")).toDF("doc_id", "text"), merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // "low" -> l o w -> lo w -> low (2 merges, 1 piece); "owl" -> o w l ->
+    // ow l (rank-2 merge, then no pair) = 2 pieces
+    got(1L)._1 shouldBe 2L
+    got(1L)._2 shouldBe 3L
+    got(2L) shouldBe ((0L, 0L, got(2L)._3))
+    // "lol": l o l -> lo l; no further pair
+    got(3L)._2 shouldBe 2L
+    val want = graft.oracle.OpsOracle.bpeEncode(
+      Seq((1L, "low owl"), (2L, ""), (3L, " lol ")), merges)
+      .map { case (id, w, p, h) => id -> ((w, p, h)) }.toMap
+    got shouldBe want
+    // corpus: encode with merges trained on the corpus itself, at two
+    // parallelisms, against the sequential restatement
+    val seq = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val trained = graft.oracle.OpsOracle.bpeMerges(seq, nMerges = 20, maxVocab = 1 << 16)
+      .map { case (_, l, r, _) => (l, r) }
+    val wantC = graft.oracle.OpsOracle.bpeEncode(seq, trained)
+      .map { case (id, w, p, h) => id -> ((w, p, h)) }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.bpeEncode(df, trained).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    run(docs) shouldBe wantC
+    run(docs.repartition(5)) shouldBe wantC
+  }
+
   test("C4 line cleaning: every rule exercised on planted lines") {
     val good = "this line has five good words."
     val doc1 = Seq(
