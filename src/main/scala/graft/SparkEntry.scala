@@ -325,6 +325,12 @@ object SparkEntry {
       opsGolden(s, dir)
       TextOps.bpeMerges(docsTable(s, dir), nMerges = 40, maxVocab = 1 << 16)
     }),
+    // the remaining Gopher A1.1 text rules (bullet/ellipsis line fractions,
+    // symbol ratio, required stopwords) — same deterministic line derivation
+    // as q_doc_c4_clean so the line rules are live on the word-soup corpus
+    "q_doc_gopher_rules" -> ((s, dir) => TextOps.gopherTextRules(docsTable(s, dir)
+      .withColumn("text", regexp_replace(regexp_replace(regexp_replace(
+        col("text"), " table ", ".\n"), " row ", "\n- "), " fast ", "...\n")))),
     // tokenizer inference with the merges q_bpe_merges trains: collect the
     // bounded merge table driver-side (nMerges rows), broadcast, pure map
     "q_bpe_encode" -> ((s, dir) => {
@@ -815,6 +821,22 @@ object SparkEntry {
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
     "q_bpe_encode" ->
       "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpeenc/*.parquet')",
+    "q_doc_gopher_rules" ->
+      ("WITH d AS (SELECT doc_id, replace(replace(replace(text, ' table ', '.' || chr(10)), " +
+        "' row ', chr(10) || '- '), ' fast ', '...' || chr(10)) AS text FROM documents), " +
+        "l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d), " +
+        "t AS (SELECT doc_id, text, lines, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM l) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(list_filter(lines, x -> starts_with(ltrim(x), '•') OR starts_with(ltrim(x), '- ') " +
+        "OR starts_with(ltrim(x), '* '))) * 1000 // greatest(len(lines), 1) AS BIGINT) AS bullet_pm, " +
+        "CAST(len(list_filter(lines, x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…'))) " +
+        "* 1000 // greatest(len(lines), 1) AS BIGINT) AS ellipsis_pm, " +
+        "CAST(((length(text) - length(replace(text, '#', ''))) + " +
+        "(length(text) - length(replace(text, '...', ''))) // 3) * 1000 " +
+        "// greatest(len(toks), 1) AS BIGINT) AS symbol_pm, " +
+        "CAST(len(list_intersect(list_distinct(toks), " +
+        "['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords FROM t"),
     "q_doc_c4_clean" ->
       ("WITH d AS (SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text FROM documents), " +
         "l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d), " +

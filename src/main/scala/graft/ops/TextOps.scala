@@ -160,6 +160,53 @@ object TextOps {
         .as("long_tok_pm"))
   }
 
+  /** Gopher's 8-word required-stopword list (Rae et al. 2021 A1.1: a page
+    * must contain ≥ 2 of these to survive).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The rest of the Gopher A1.1 text rules, complementing [[gopherQuality]]
+    * (token shapes) and [[repetition]] (dup rates): per-mille of lines
+    * starting with a bullet and ending with an ellipsis, symbol-to-word
+    * ratio (`#` and `...` occurrences per token), and how many of the 8
+    * required stopwords appear. All fractions integer per-mille so every
+    * engine agrees.
+    *
+    * Scale shape: like the siblings — in-row splits, higher-order filters
+    * and literal-replace counting; pure projection off the scan, zero
+    * shuffle at any corpus size.
+    */
+  def gopherTextRules(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => {
+      val t = ltrim(l)
+      t.startsWith("•") || t.startsWith("- ") || t.startsWith("* ")
+    }))
+    val nEllipsis = size(filter(lines, l => {
+      val t = rtrim(l)
+      t.endsWith("...") || t.endsWith("…")
+    }))
+    val toks = toksOrEmpty(col("text"))
+    val nToks = size(toks)
+    val nHash = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val nDots = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(GopherStops.map(lit): _*)))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      nLines.cast("long").as("n_lines"),
+      floor(nBullet * lit(1000) / greatest(nLines, lit(1))).cast("long")
+        .as("bullet_pm"),
+      floor(nEllipsis * lit(1000) / greatest(nLines, lit(1))).cast("long")
+        .as("ellipsis_pm"),
+      floor((nHash + nDots) * lit(1000) / greatest(nToks, lit(1))).cast("long")
+        .as("symbol_pm"),
+      nStop.cast("long").as("n_stopwords"))
+  }
+
   /** Repetition signals (Gopher-style quality filters): duplicate-token and
     * duplicate-bigram rates per document. Zero shuffle — the top-token count
     * is a sorted-run scan and the bigram set a `zip_with`, all higher-order

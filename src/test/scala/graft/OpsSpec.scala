@@ -55,6 +55,23 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got(2L) shouldBe ((2L, 1L, 500L))
   }
 
+  test("Gopher text rules: planted bullets, ellipses, symbols, stopwords") {
+    val doc1 = "• first bullet\n- second bullet\nplain line the and of\nends with dots...\n* third"
+    val doc2 = "a # b # c ... d" // 7 whitespace tokens, 2 '#' + 1 '...'
+    val rows = Seq((1L, doc1), (2L, doc2), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.gopherTextRules(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 1: 5 lines, 3 bullets (•, "- ", "* "), 1 ellipsis line
+    got(1L)._1 shouldBe 5L
+    got(1L)._2 shouldBe (3L * 1000 / 5)
+    got(1L)._3 shouldBe (1L * 1000 / 5)
+    // "the", "and", "of", "with" present in doc 1
+    got(1L)._5 shouldBe 4L
+    // doc 2: 7 tokens, 2 '#' + 1 '...' = 3 symbols
+    got(2L)._4 shouldBe (3L * 1000 / 7)
+    got(3L) shouldBe ((1L, 0L, 0L, 0L, 0L))
+  }
+
   test("BPE encode: textbook merges apply in rank order, corpus == sequential oracle") {
     // rank 0 merges first even though rank 1's pair also exists: "lo"+"w"
     // can only form after "l"+"o", and "ow" (rank 2) must NOT fire inside
