@@ -347,6 +347,18 @@ object SparkEntry {
     // keeps the punctuation/word-count/keep rules LIVE at the driver gate
     "q_doc_c4_clean" -> ((s, dir) => TextOps.c4Clean(docsTable(s, dir)
       .withColumn("text", regexp_replace(col("text"), " table ", ".\n")))),
+    // model-based quality filtering (GPT-3 §A / CCNet discipline): a
+    // multinomial Naive Bayes classifier trained on a labeled seed set
+    // (every 3rd doc; positive = source 'src0') and applied corpus-wide —
+    // integer micro-nat log-likelihoods, bit-exact at any parallelism
+    "q_doc_nb_quality" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      val labeled = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          when(col("source") === "src0", 1).otherwise(0).as("label"))
+      TextOps.nbQualityScore(docs, labeled)
+    }),
     // CCNet-style bigram-LM perplexity quality score, trained on the corpus
     // itself (integer micro-nats end to end — bit-stable at any parallelism)
     "q_doc_lm_score" -> ((s, dir) => {
@@ -819,6 +831,8 @@ object SparkEntry {
       "SELECT rank, \"left\", \"right\", n_occ FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpe/*.parquet')",
     "q_doc_lm_score" ->
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
+    "q_doc_nb_quality" ->
+      "SELECT doc_id, n_toks, lp1_micro, lp0_micro, margin_micro, nb_label FROM read_parquet('/root/repo/data/golden_ops/sf0.01/nb/*.parquet')",
     "q_bpe_encode" ->
       "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpeenc/*.parquet')",
     "q_doc_gopher_rules" ->

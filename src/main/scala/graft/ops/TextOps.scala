@@ -824,4 +824,97 @@ object TextOps {
         when(col("n_trans") > 0L, expr("lp_micro_tot div n_trans"))
           .otherwise(lit(0L)))
   }
+
+  /** Model-based quality filtering: a multinomial Naive Bayes text
+    * classifier trained on a labeled seed set and applied to the whole
+    * corpus — the "quality classifier" stage of web-scale curation (GPT-3
+    * trains a classifier with WebText/books/wiki as positives and raw
+    * Common Crawl as negatives, Brown et al. 2020 §A; CCNet and FineWeb-Edu
+    * run the same shape with fastText / LM heads). Naive Bayes is the
+    * deterministic member of that family: training IS two aggregates, so it
+    * distributes exactly.
+    *
+    * `labeled` is a (doc_id, label∈{0,1}) seed table, assumed ≪ corpus
+    * (hand-labeled / domain-sampled in practice) — it is broadcast into the
+    * corpus scan to pick up text, so the corpus never shuffles for training.
+    * Model: top-`vocabSize` seed tokens by total count (ties broken by
+    * token — a deterministic total order, TakeOrderedAndProject), per-class
+    * Laplace token likelihoods and a Laplace class prior, every log taken
+    * in integer micro-nats via the codegen `log_prob_micro` expression
+    * (StrictMath.log), so per-doc score sums are order-independent and the
+    * result is bit-exact at any parallelism.
+    *
+    * Plan: ONE map-side-combined token-count shuffle over the SEED set,
+    * the (≤ vocabSize)-row model broadcast back into the corpus token
+    * stream (map-side), and one per-doc aggregate — the corpus text itself
+    * never crosses an exchange. Out-of-vocab tokens score as unseen
+    * (count 0) under the same smoothing.
+    *
+    * Output per doc: token count, per-class total log-likelihoods
+    * (prior + likelihood, micro-nats), their margin, and the argmax label
+    * (tie → 0, the "keep conservative" default).
+    */
+  def nbQualityScore(docs: DataFrame, labeled: DataFrame,
+                     vocabSize: Int = 1 << 14): DataFrame = {
+    require(vocabSize >= 1, "vocabSize >= 1")
+    import graft.functions.Functions.log_prob_micro
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      toksOrEmpty(col("text")).as("toks"))
+    val seed = base.join(
+      broadcast(labeled.select(col("doc_id").cast("long").as("doc_id"),
+        col("label").cast("int").as("label"))),
+      Seq("doc_id"))
+
+    // per-token per-class counts over the seed set; cap to a deterministic
+    // top-vocabSize total order (count desc, token asc)
+    val tokCounts = seed
+      .select(col("label"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"))
+    val vocab = tokCounts
+      .orderBy((col("c1") + col("c0")).desc, col("tok").asc)
+      .limit(vocabSize)
+
+    // class token totals + model size over the CAPPED vocab (the model is
+    // defined on what it keeps), class doc counts for the prior — all tiny
+    val totals = vocab.agg(
+      sum(col("c1")).as("t1"), sum(col("c0")).as("t0"),
+      (count(lit(1)) + 1L).as("v_model"))
+    val priors = seed.agg(
+      sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("label") === 0, 1L).otherwise(0L)).as("n0"))
+
+    // score the full corpus: token stream joins the broadcast model
+    // map-side; per-token micro-nat log-likelihoods sum per doc
+    val n = size(col("toks"))
+    val scored = base.where(n > 0)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        log_prob_micro(coalesce(col("c1"), lit(0L)), col("t1"),
+          col("v_model")).as("lp1"),
+        log_prob_micro(coalesce(col("c0"), lit(0L)), col("t0"),
+          col("v_model")).as("lp0"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lp1")).as("ll1"), sum(col("lp0")).as("ll0"))
+    val trivial = base.where(n === 0)
+      .select(col("doc_id"), lit(0L).as("n_toks"),
+        lit(0L).as("ll1"), lit(0L).as("ll0"))
+
+    scored.unionByName(trivial)
+      .crossJoin(broadcast(priors))
+      // Laplace class prior: ln((n_c + 1) / (n_docs + 2)) in micro-nats —
+      // log_prob_micro(n_c, n_total, 2) is exactly that expression
+      .select(col("doc_id"), col("n_toks"),
+        (col("ll1") + log_prob_micro(col("n1"), col("n1") + col("n0"),
+          lit(2L))).as("lp1_micro"),
+        (col("ll0") + log_prob_micro(col("n0"), col("n1") + col("n0"),
+          lit(2L))).as("lp0_micro"))
+      .withColumn("margin_micro", col("lp1_micro") - col("lp0_micro"))
+      .withColumn("nb_label",
+        when(col("margin_micro") > 0L, 1).otherwise(0))
+  }
 }

@@ -542,6 +542,66 @@ object OpsOracle {
     }
   }
 
+  // ---- Naive Bayes quality classifier ---------------------------------------
+
+  /** Sequential `TextOps.nbQualityScore`, restated with the model contract
+    * inline: seed = labeled (doc_id, label) rows joined to doc text;
+    * top-`vocabSize` seed tokens by (total count desc, token asc); per-class
+    * Laplace token likelihoods over the capped vocab (model size =
+    * |vocab| + 1, OOV scores as count 0); Laplace class prior
+    * ln((n_c+1)/(n_docs+2)); every log rounded to micro-nats via
+    * `StrictMath.log` BEFORE the per-doc sum. Returns
+    * (doc_id, n_toks, lp1_micro, lp0_micro, margin_micro, nb_label).
+    */
+  def nbScore(docs: Seq[(Long, String)], labels: Map[Long, Int],
+              vocabSize: Int): Seq[(Long, Long, Long, Long, Long, Int)] = {
+    def toks(text: String): Array[String] = {
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.isEmpty) Array.empty[String]
+      else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    }
+    def lpm(cb: Long, cu: Long, v: Long): Long =
+      Math.round(StrictMath.log((cb + 1.0d) / (cu.toDouble + v.toDouble)) * 1e6d)
+
+    val docToks = docs.map { case (id, t) => id -> toks(t) }
+    val seed = docToks.collect {
+      case (id, ts) if labels.contains(id) => (labels(id), ts)
+    }
+    val cnt = collection.mutable.Map.empty[String, (Long, Long)]
+    seed.foreach { case (lb, ts) =>
+      ts.foreach { t =>
+        val (c1, c0) = cnt.getOrElse(t, (0L, 0L))
+        cnt(t) = if (lb == 1) (c1 + 1, c0) else (c1, c0 + 1)
+      }
+    }
+    val vocab = cnt.toSeq
+      .sortBy { case (t, (c1, c0)) => (-(c1 + c0), t) }
+      .take(vocabSize).toMap
+    val t1 = vocab.valuesIterator.map(_._1).sum
+    val t0 = vocab.valuesIterator.map(_._2).sum
+    val vModel = vocab.size + 1L
+    val n1 = seed.count(_._1 == 1).toLong
+    val n0 = seed.count(_._1 == 0).toLong
+    val prior1 = lpm(n1, n1 + n0, 2L)
+    val prior0 = lpm(n0, n1 + n0, 2L)
+
+    docToks.map { case (id, ts) =>
+      var ll1 = 0L; var ll0 = 0L
+      ts.foreach { t =>
+        val (c1, c0) = vocab.getOrElse(t, (0L, 0L))
+        ll1 += lpm(c1, t1, vModel)
+        ll0 += lpm(c0, t0, vModel)
+      }
+      val lp1 = ll1 + prior1
+      val lp0 = ll0 + prior0
+      val m = lp1 - lp0
+      (id, ts.length.toLong, lp1, lp0, m, if (m > 0L) 1 else 0)
+    }
+  }
+
   // ---- sequence packing ----------------------------------------------------
 
   /** Whitespace token count mirroring `TextOps.tokenCount` (trim ASCII
@@ -658,7 +718,7 @@ object OpsGolden {
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
-    "bpeenc")
+    "bpeenc", "nb")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -737,6 +797,19 @@ object OpsGolden {
         OpsOracle.bpeMerges(docs, nMerges = 40, maxVocab = 1 << 16)
           .map { case (_, l, r, _) => (l, r) }),
       Seq("doc_id", "n_words", "n_pieces", "pieces_md5"))
+    // Naive Bayes quality classifier: seed labels = every 3rd doc, positive
+    // = source 'src0' — the SAME derivation as SparkEntry's
+    // q_doc_nb_quality seed side
+    write("nb", {
+      val srcs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source").as[(Long, String)].collect().toMap
+      OpsOracle.nbScore(docs,
+        docs.collect { case (id, _) if id % 3 == 0 =>
+          id -> (if (srcs(id) == "src0") 1 else 0)
+        }.toMap,
+        vocabSize = 1 << 14)
+    }, Seq("doc_id", "n_toks", "lp1_micro", "lp0_micro", "margin_micro",
+      "nb_label"))
     // planted benchmark = mid-document excerpts of every 97th doc — the
     // SAME derivation as SparkEntry's q_decontam bench side
     write("decontam",

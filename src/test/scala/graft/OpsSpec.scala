@@ -183,6 +183,59 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("NB quality score == sequential oracle with active vocab cap, parallelism-invariant") {
+    val seq = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val srcs = docs.select($"doc_id", $"source").as[(Long, String)]
+      .collect().toMap
+    val labels = seq.collect { case (id, _) if id % 3 == 0 =>
+      id -> (if (srcs(id) == "src0") 1 else 0)
+    }.toMap
+    // vocabSize 64 keeps the cap ACTIVE (corpus vocab is larger), so the
+    // deterministic top-k cut and the OOV smoothing path are both exercised
+    val want = graft.oracle.OpsOracle.nbScore(seq, labels, vocabSize = 64)
+      .map { case (id, n, l1, l0, m, lb) => (id, (n, l1, l0, m, lb)) }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val labeled = df.where($"doc_id" % 3 === 0)
+        .select($"doc_id", when($"source" === "src0", 1).otherwise(0).as("label"))
+      TextOps.nbQualityScore(df, labeled, vocabSize = 64).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getInt(5))).toMap
+    }
+    val got = run(docs)
+    got shouldBe want
+    run(docs.repartition(5)) shouldBe want
+  }
+
+  test("NB quality score separates planted classes on held-out docs") {
+    // two disjoint vocabularies; labeled seed covers docs 1-4, docs 5/6 are
+    // held out and must be assigned to their source class
+    val pos = "wiki article cited encyclopedia neutral sourced"
+    val neg = "click buy casino winner jackpot prize"
+    val rows = Seq(
+      (1L, s"$pos $pos", 1), (2L, s"$pos extra $pos", 1),
+      (3L, s"$neg $neg", 0), (4L, s"$neg again $neg", 0),
+      (5L, s"$pos fresh words too", -1), (6L, s"$neg fresh words too", -1),
+      (7L, "", -1))
+    val df = rows.toDF("doc_id", "text", "seed")
+    val labeled = df.where($"seed" >= 0).select($"doc_id", $"seed".as("label"))
+    val got = TextOps.nbQualityScore(df.select($"doc_id", $"text"), labeled)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getInt(5))).toMap
+    got(5L)._2 shouldBe 1
+    got(6L)._2 shouldBe 0
+    got(1L)._2 shouldBe 1
+    got(3L)._2 shouldBe 0
+    // blank doc falls back to the (balanced) priors: margin 0 → label 0
+    got(7L) shouldBe ((0L, 0))
+    // and the planted rows agree with the sequential restatement
+    val want = graft.oracle.OpsOracle.nbScore(
+      rows.map(r => (r._1, r._2)),
+      rows.collect { case (id, _, s) if s >= 0 => id -> s }.toMap,
+      vocabSize = 1 << 14)
+      .map { case (id, n, l1, l0, m, lb) => (id, (m, lb)) }.toMap
+    got shouldBe want
+  }
+
   test("dup windows: planted repeated substring is found, fractions integer-exact") {
     // doc 1 and 2 share a 6-token run; doc 2 additionally repeats it internally
     val run = "the quick brown fox jumps over"
