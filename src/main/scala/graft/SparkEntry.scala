@@ -359,6 +359,12 @@ object SparkEntry {
           when(col("source") === "src0", 1).otherwise(0).as("label"))
       TextOps.nbQualityScore(docs, labeled)
     }),
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram importance
+    // log-weight of every doc toward the src0 target distribution
+    "q_doc_dsir" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.dsirWeights(docsTable(s, dir), col("source") === "src0")
+    }),
     // CCNet-style bigram-LM perplexity quality score, trained on the corpus
     // itself (integer micro-nats end to end — bit-stable at any parallelism)
     "q_doc_lm_score" -> ((s, dir) => {
@@ -833,6 +839,8 @@ object SparkEntry {
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
     "q_doc_nb_quality" ->
       "SELECT doc_id, n_toks, lp1_micro, lp0_micro, margin_micro, nb_label FROM read_parquet('/root/repo/data/golden_ops/sf0.01/nb/*.parquet')",
+    "q_doc_dsir" ->
+      "SELECT doc_id, n_feats, dsir_micro, dsir_micro_per_feat FROM read_parquet('/root/repo/data/golden_ops/sf0.01/dsir/*.parquet')",
     "q_bpe_encode" ->
       "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpeenc/*.parquet')",
     "q_doc_gopher_rules" ->

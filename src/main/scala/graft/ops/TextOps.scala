@@ -917,4 +917,67 @@ object TextOps {
       .withColumn("nb_label",
         when(col("margin_micro") > 0L, 1).otherwise(0))
   }
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    * score every document by how much more likely its hashed-bigram feature
+    * profile is under a TARGET distribution (e.g. wiki-like, in-domain)
+    * than under the raw corpus — the importance log-weight that DSIR then
+    * samples by. `isTarget` marks the in-domain rows (a Column predicate,
+    * e.g. `col("source") === "wiki"`).
+    *
+    * Features are adjacent-token bigrams hashed into `nBuckets` buckets via
+    * the first 8 md5 hex digits (the same content-keyed md5-bucket
+    * discipline as [[hashSplit]] — deterministic on every engine). Both
+    * distributions come out of ONE map-side-combined aggregate over the
+    * feature stream (the bucket table is ≤ nBuckets rows), are broadcast
+    * back, and each per-feature log-ratio is rounded to integer micro-nats
+    * (Laplace-smoothed, `log_prob_micro` on both sides of the ratio) BEFORE
+    * the per-doc sum — so the weight is an order-independent integer sum,
+    * bit-exact at any parallelism. The corpus text itself crosses no
+    * exchange; the only wide shuffle carries (doc_id, micro-nat long) rows.
+    *
+    * Output per doc: feature count, total importance log-weight
+    * (micro-nats), and the truncated per-feature average.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  nBuckets: Int = 1 << 12): DataFrame = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    import graft.functions.Functions.log_prob_micro
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      isTarget.cast("boolean").as("is_t"), toksOrEmpty(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val feats = base.where(n >= 2)
+      .select(col("doc_id"), col("is_t"), explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).as("feat"))
+      .withColumn("bucket",
+        conv(substring(md5(col("feat").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % nBuckets)
+
+    // raw + target bucket counts in one aggregate; totals from the bounded
+    // table (≤ nBuckets rows), everything broadcast back
+    val table = feats.groupBy("bucket").agg(
+      count(lit(1)).as("r_cnt"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("t_cnt"))
+    val tots = table.agg(sum(col("r_cnt")).as("r_tot"),
+      sum(col("t_cnt")).as("t_tot"))
+
+    val scored = feats
+      .join(broadcast(table), Seq("bucket"))
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"),
+        (log_prob_micro(col("t_cnt"), col("t_tot"), lit(nBuckets.toLong)) -
+          log_prob_micro(col("r_cnt"), col("r_tot"), lit(nBuckets.toLong)))
+          .as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("dsir_micro"))
+    val trivial = base.where(n < 2)
+      .select(col("doc_id"), lit(0L).as("n_feats"), lit(0L).as("dsir_micro"))
+
+    scored.unionByName(trivial)
+      .withColumn("dsir_micro_per_feat",
+        when(col("n_feats") > 0L, expr("dsir_micro div n_feats"))
+          .otherwise(lit(0L)))
+  }
 }

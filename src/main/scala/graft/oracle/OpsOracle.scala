@@ -602,6 +602,55 @@ object OpsOracle {
     }
   }
 
+  // ---- DSIR importance weights ----------------------------------------------
+
+  /** Sequential `TextOps.dsirWeights`: adjacent-token bigram features, md5
+    * first-8-hex-digit bucket hash mod nBuckets, Laplace-smoothed target/raw
+    * log-ratio per feature rounded to micro-nats before the per-doc sum.
+    * Returns (doc_id, n_feats, dsir_micro, dsir_micro_per_feat).
+    */
+  def dsirWeights(docs: Seq[(Long, String)], targets: Set[Long],
+                  nBuckets: Int): Seq[(Long, Long, Long, Long)] = {
+    def toks(text: String): Array[String] = {
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.isEmpty) Array.empty[String]
+      else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    }
+    def bucketOf(feat: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(feat.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % nBuckets
+    }
+    def lpm(cb: Long, cu: Long, v: Long): Long =
+      Math.round(StrictMath.log((cb + 1.0d) / (cu.toDouble + v.toDouble)) * 1e6d)
+
+    val docFeats = docs.map { case (id, t) =>
+      val ts = toks(t)
+      (id, ts.zip(ts.drop(1)).map { case (a, b) => bucketOf(a + " " + b) })
+    }
+    val rCnt = collection.mutable.Map.empty[Long, Long]
+    val tCnt = collection.mutable.Map.empty[Long, Long]
+    docFeats.foreach { case (id, bs) =>
+      bs.foreach { b =>
+        rCnt(b) = rCnt.getOrElse(b, 0L) + 1
+        if (targets(id)) tCnt(b) = tCnt.getOrElse(b, 0L) + 1
+      }
+    }
+    val rTot = rCnt.valuesIterator.sum
+    val tTot = tCnt.valuesIterator.sum
+    docFeats.map { case (id, bs) =>
+      val w = bs.iterator.map { b =>
+        lpm(tCnt.getOrElse(b, 0L), tTot, nBuckets.toLong) -
+          lpm(rCnt.getOrElse(b, 0L), rTot, nBuckets.toLong)
+      }.sum
+      val nf = bs.length.toLong
+      (id, nf, w, if (nf > 0) w / nf else 0L)
+    }
+  }
+
   // ---- sequence packing ----------------------------------------------------
 
   /** Whitespace token count mirroring `TextOps.tokenCount` (trim ASCII
@@ -718,7 +767,7 @@ object OpsGolden {
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
-    "bpeenc", "nb")
+    "bpeenc", "nb", "dsir")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -810,6 +859,15 @@ object OpsGolden {
         vocabSize = 1 << 14)
     }, Seq("doc_id", "n_toks", "lp1_micro", "lp0_micro", "margin_micro",
       "nb_label"))
+    // DSIR importance weights toward the src0 distribution — the SAME
+    // target derivation as SparkEntry's q_doc_dsir
+    write("dsir", {
+      val srcs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source").as[(Long, String)].collect().toMap
+      OpsOracle.dsirWeights(docs,
+        docs.iterator.map(_._1).filter(id => srcs(id) == "src0").toSet,
+        nBuckets = 1 << 12)
+    }, Seq("doc_id", "n_feats", "dsir_micro", "dsir_micro_per_feat"))
     // planted benchmark = mid-document excerpts of every 97th doc — the
     // SAME derivation as SparkEntry's q_decontam bench side
     write("decontam",

@@ -236,6 +236,51 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("DSIR weights == sequential oracle, parallelism-invariant") {
+    val seq = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val srcs = docs.select($"doc_id", $"source").as[(Long, String)]
+      .collect().toMap
+    // small bucket space so collisions are ACTIVE at sf0.001
+    val want = graft.oracle.OpsOracle.dsirWeights(seq,
+        seq.iterator.map(_._1).filter(id => srcs(id) == "src0").toSet,
+        nBuckets = 256)
+      .map { case (id, n, w, p) => (id, (n, w, p)) }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.dsirWeights(df, $"source" === "src0", nBuckets = 256)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3))).toMap
+    val got = run(docs)
+    got shouldBe want
+    run(docs.repartition(5)) shouldBe want
+  }
+
+  test("DSIR weights rank target-like docs above off-target docs") {
+    // target docs share a bigram vocabulary; held-out doc 5 looks like the
+    // target, doc 6 does not — its importance weight must be lower
+    val t = "solar panel energy grid storage battery"
+    val o = "soccer match referee goal penalty corner"
+    val rows = Seq(
+      (1L, s"$t $t", "tgt"), (2L, s"$t again $t", "tgt"),
+      (3L, s"$o $o", "web"), (4L, s"$o more $o", "web"),
+      (5L, s"$t", "web"), (6L, s"$o", "web"), (7L, "one", "web"))
+    val got = TextOps.dsirWeights(rows.toDF("doc_id", "text", "source"),
+        col("source") === "tgt", nBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // DSIR is a RANKING signal (the sampler takes top weights / Gumbel
+    // noise): target-like docs must outrank off-target docs; absolute sign
+    // is not meaningful once Laplace smoothing dominates tiny corpora
+    got(5L)._3 should be > got(6L)._3
+    got(1L)._3 should be > got(3L)._3
+    got(2L)._3 should be > got(4L)._3
+    got(7L) shouldBe ((0L, 0L, 0L)) // single token → no bigram features
+    val want = graft.oracle.OpsOracle.dsirWeights(
+      rows.map(r => (r._1, r._2)), Set(1L, 2L), nBuckets = 1 << 12)
+      .map { case (id, n, w, p) => (id, (n, w, p)) }.toMap
+    got shouldBe want
+  }
+
   test("dup windows: planted repeated substring is found, fractions integer-exact") {
     // doc 1 and 2 share a 6-token run; doc 2 additionally repeats it internally
     val run = "the quick brown fox jumps over"
