@@ -359,6 +359,10 @@ object SparkEntry {
           when(col("source") === "src0", 1).otherwise(0).as("label"))
       TextOps.nbQualityScore(docs, labeled)
     }),
+    // word-blocklist filter (RefinedWeb/C4 bad-words rule) — the list words
+    // are live corpus vocabulary so the per-mille threshold actually fires
+    "q_doc_blocklist" -> ((s, dir) => TextOps.blocklistFilter(
+      docsTable(s, dir), Seq("slow", "broken", "stale"), maxPm = 25)),
     // DSIR importance weights (Xie et al. 2023): hashed-bigram importance
     // log-weight of every doc toward the src0 target distribution
     "q_doc_dsir" -> ((s, dir) => {
@@ -841,6 +845,15 @@ object SparkEntry {
       "SELECT doc_id, n_toks, lp1_micro, lp0_micro, margin_micro, nb_label FROM read_parquet('/root/repo/data/golden_ops/sf0.01/nb/*.parquet')",
     "q_doc_dsir" ->
       "SELECT doc_id, n_feats, dsir_micro, dsir_micro_per_feat FROM read_parquet('/root/repo/data/golden_ops/sf0.01/dsir/*.parquet')",
+    "q_doc_blocklist" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +
+        "s AS (SELECT doc_id, len(toks) AS n, " +
+        "len(list_filter(toks, x -> list_contains(['slow', 'broken', 'stale'], lower(x)))) AS nb FROM t) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_toks, " +
+        "CAST(nb AS BIGINT) AS n_blocked, " +
+        "CAST(CASE WHEN n > 0 THEN nb * 1000 // n ELSE 0 END AS BIGINT) AS blocked_pm, " +
+        "(CASE WHEN n > 0 THEN nb * 1000 // n ELSE 0 END) > 25 AS blocked_flag FROM s"),
     "q_bpe_encode" ->
       "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpeenc/*.parquet')",
     "q_doc_gopher_rules" ->

@@ -918,6 +918,28 @@ object TextOps {
         when(col("margin_micro") > 0L, 1).otherwise(0))
   }
 
+  /** Word-blocklist filter (the RefinedWeb §3.1 / C4 "bad words" rule):
+    * count tokens whose lowercase form is on a blocklist and flag documents
+    * whose blocked-token per-mille exceeds `maxPm`. The list is tiny and
+    * ships as an array literal inside the expression — pure in-row HOF
+    * work, zero shuffle at any corpus size, whole-stage codegen'd.
+    * Integer per-mille (truncated) so every engine agrees bit-for-bit.
+    */
+  def blocklistFilter(docs: DataFrame, blocked: Seq[String],
+                      maxPm: Int = 25): DataFrame = {
+    require(blocked.nonEmpty, "blocked list must be non-empty")
+    val blockedArr = array(blocked.map(w => lit(w.toLowerCase)): _*)
+    val toks = toksOrEmpty(col("text"))
+    val nToks = size(toks).cast("long")
+    val nBlocked = size(filter(toks,
+      t => array_contains(blockedArr, lower(t)))).cast("long")
+    docs.select(col("doc_id"), nToks.as("n_toks"), nBlocked.as("n_blocked"))
+      .withColumn("blocked_pm",
+        when(col("n_toks") > 0L, expr("n_blocked * 1000 div n_toks"))
+          .otherwise(lit(0L)))
+      .withColumn("blocked_flag", col("blocked_pm") > maxPm)
+  }
+
   /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
     * score every document by how much more likely its hashed-bigram feature
     * profile is under a TARGET distribution (e.g. wiki-like, in-domain)

@@ -236,6 +236,28 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("blocklist filter: planted rows, case-insensitive, integer per-mille") {
+    val rows = Seq(
+      (1L, "clean words only here today"),                  // 0/5 → 0‰
+      (2L, "SPAM spam words spam here"),                    // 3/5 → 600‰
+      (3L, "one Spam in forty " + ("pad " * 36).trim),      // 1/40 → 25‰ (not > 25)
+      (4L, ""),                                             // blank → 0
+      (5L, "spam"))                                         // 1/1 → 1000‰
+      .toDF("doc_id", "text")
+    val got = TextOps.blocklistFilter(rows, Seq("spam"), maxPm = 25)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    got(1L) shouldBe ((5L, 0L, 0L, false))
+    got(2L) shouldBe ((5L, 3L, 600L, true))
+    got(3L) shouldBe ((40L, 1L, 25L, false)) // threshold is strict >
+    got(4L) shouldBe ((0L, 0L, 0L, false))
+    got(5L) shouldBe ((1L, 1L, 1000L, true))
+    // zero-shuffle plan: no Exchange anywhere
+    val plan = TextOps.blocklistFilter(rows, Seq("spam"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
   test("DSIR weights == sequential oracle, parallelism-invariant") {
     val seq = docs.select($"doc_id", $"text").as[(Long, String)]
       .collect().toSeq.sortBy(_._1)
