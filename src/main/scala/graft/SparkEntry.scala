@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.pipeline.Extraction
-import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing, Sketches}
+import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing, Sketches, UrlOps}
 
 /** Driver contract — see SURVEY.md §7 + SPEC.md.
   *
@@ -19,6 +19,41 @@ import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing, Sketches}
   *    are non-SQL-expressible → rows-only checks + ScalaTest self-checks.
   */
 object SparkEntry {
+
+  /** Shared DuckDB CTE chain for the URL oracles: derives the same
+    * deterministic per-doc URL as the q_doc_url_norm / q_domain_stats
+    * queries, then restates UrlOps.parse independently in DuckDB string
+    * functions. Ends with CTE `w2(doc_id, url_norm, scheme, host, domain)`.
+    */
+  private val UrlOracleCtes: String =
+    "WITH d AS (SELECT doc_id, " +
+      "(CASE WHEN doc_id%2=0 THEN 'https' ELSE 'HTTP' END) || '://WWW.' || source || " +
+      "CAST(doc_id%7 AS VARCHAR) || " +
+      "(CASE WHEN doc_id%3=0 THEN '.CO.UK' WHEN doc_id%3=1 THEN '.example.com' ELSE '.Org' END) || " +
+      "(CASE WHEN doc_id%5=0 THEN ':443' WHEN doc_id%5=1 THEN ':8080' ELSE '' END) || " +
+      "'/docs/' || CAST(doc_id AS VARCHAR) || " +
+      "'?utm_source=feed&b=' || CAST(doc_id%4 AS VARCHAR) || '&a=1#sec' || CAST(doc_id%3 AS VARCHAR) AS url " +
+      "FROM documents), " +
+    "p AS (SELECT doc_id, split_part(url,'#',1) AS nofrag FROM d), " +
+    "q AS (SELECT *, lower(split_part(nofrag,'://',1)) AS scheme, " +
+      "split_part(nofrag,'://',2) AS rest FROM p), " +
+    "r AS (SELECT *, split_part(split_part(rest,'/',1),'?',1) AS hostport, " +
+      "substr(rest, length(split_part(split_part(rest,'/',1),'?',1))+1) AS pathquery FROM q), " +
+    "s AS (SELECT *, split_part(pathquery,'?',1) AS path, " +
+      "CASE WHEN position('?' IN pathquery)>0 THEN substr(pathquery, length(split_part(pathquery,'?',1))+2) ELSE '' END AS query, " +
+      "lower(split_part(hostport,':',1)) AS host0, " +
+      "CASE WHEN position(':' IN hostport)>0 THEN split_part(hostport,':',2) ELSE '' END AS port FROM r), " +
+    "t AS (SELECT *, CASE WHEN starts_with(host0,'www.') THEN substr(host0,5) ELSE host0 END AS host FROM s), " +
+    "v AS (SELECT *, array_to_string(list_sort(list_filter(string_split(query,'&'), " +
+      "x -> x<>'' AND NOT starts_with(x,'utm_') AND NOT starts_with(x,'fbclid=') AND x<>'fbclid' " +
+      "AND NOT starts_with(x,'gclid=') AND x<>'gclid')), '&') AS qn, " +
+      "string_split(host,'.') AS labels FROM t), " +
+    "w AS (SELECT *, len(labels) AS nl, labels[-2]||'.'||labels[-1] AS last2 FROM v), " +
+    "w2 AS (SELECT doc_id, scheme||'://'||host|| " +
+      "(CASE WHEN port<>'' AND NOT((scheme='https' AND port='443') OR (scheme='http' AND port='80')) THEN ':'||port ELSE '' END)|| " +
+      "path||(CASE WHEN qn<>'' THEN '?'||qn ELSE '' END) AS url_norm, scheme, host, " +
+      "CASE WHEN nl>=3 AND list_contains(['co.uk','ac.uk','org.uk','com.au','co.jp'], last2) " +
+      "THEN labels[-3]||'.'||last2 WHEN nl>=2 THEN last2 ELSE host END AS domain FROM w) "
 
   private def docsTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -358,6 +393,38 @@ object SparkEntry {
         .select(col("doc_id"),
           when(col("source") === "src0", 1).otherwise(0).as("label"))
       TextOps.nbQualityScore(docs, labeled)
+    }),
+    // URL canonicalization: the corpus model carries no URL column, so the
+    // gate derives one deterministically per doc with every rule LIVE
+    // (mixed-case scheme/host, www., default + non-default ports, tracking
+    // params, param order, fragments, multi-part TLDs)
+    "q_doc_url_norm" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise("HTTP"),
+        lit("://WWW."), col("source"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, ".CO.UK")
+          .when(col("doc_id") % 3 === 1, ".example.com").otherwise(".Org"),
+        when(col("doc_id") % 5 === 0, ":443")
+          .when(col("doc_id") % 5 === 1, ":8080").otherwise(""),
+        lit("/docs/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&b="), (col("doc_id") % 4).cast("string"),
+        lit("&a=1#sec"), (col("doc_id") % 3).cast("string"))
+      UrlOps.urlProfile(docsTable(s, dir).withColumn("url", url))
+    }),
+    // registrable-domain rollup over the same canonical URLs
+    "q_domain_stats" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise("HTTP"),
+        lit("://WWW."), col("source"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, ".CO.UK")
+          .when(col("doc_id") % 3 === 1, ".example.com").otherwise(".Org"),
+        when(col("doc_id") % 5 === 0, ":443")
+          .when(col("doc_id") % 5 === 1, ":8080").otherwise(""),
+        lit("/docs/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&b="), (col("doc_id") % 4).cast("string"),
+        lit("&a=1#sec"), (col("doc_id") % 3).cast("string"))
+      UrlOps.domainStats(
+        UrlOps.urlProfile(docsTable(s, dir).withColumn("url", url)))
     }),
     // word-blocklist filter (RefinedWeb/C4 bad-words rule) — the list words
     // are live corpus vocabulary so the per-mille threshold actually fires
@@ -845,6 +912,11 @@ object SparkEntry {
       "SELECT doc_id, n_toks, lp1_micro, lp0_micro, margin_micro, nb_label FROM read_parquet('/root/repo/data/golden_ops/sf0.01/nb/*.parquet')",
     "q_doc_dsir" ->
       "SELECT doc_id, n_feats, dsir_micro, dsir_micro_per_feat FROM read_parquet('/root/repo/data/golden_ops/sf0.01/dsir/*.parquet')",
+    "q_doc_url_norm" -> (UrlOracleCtes +
+      "SELECT CAST(doc_id AS BIGINT) AS doc_id, url_norm, scheme, host, domain FROM w2"),
+    "q_domain_stats" -> (UrlOracleCtes +
+      "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts FROM w2 GROUP BY domain"),
     "q_doc_blocklist" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

@@ -236,6 +236,40 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("URL canonicalization: every rule exercised on constructed URLs") {
+    val rows = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/a/b?utm_source=x&z=2&a=1#frag"),
+      (2L, "http://news.example.CO.UK:80/path?gclid=abc"),
+      (3L, "https://cdn.example.com:8443/x?b=2&a=1&utm_medium=email"),
+      (4L, "http://localhost/x"),
+      (5L, "https://www.shop.example.com.au/"),
+      (6L, "http://a.b.c.d.org/deep?fbclid=1&fbclid"))
+      .toDF("doc_id", "url")
+    val got = UrlOps.urlProfile(rows).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toMap
+    // default port dropped, www. stripped, params sorted, tracking dropped
+    got(1L) shouldBe (("https://example.com/a/b?a=1&z=2", "https",
+      "example.com", "example.com"))
+    // default http port dropped; only-tracking query loses its '?'
+    got(2L) shouldBe (("http://news.example.co.uk/path", "http",
+      "news.example.co.uk", "example.co.uk"))
+    // non-default port kept; params sorted
+    got(3L) shouldBe (("https://cdn.example.com:8443/x?a=1&b=2", "https",
+      "cdn.example.com", "example.com"))
+    // single-label host: domain falls back to the host
+    got(4L) shouldBe (("http://localhost/x", "http", "localhost", "localhost"))
+    // multi-part TLD → three-label registrable domain
+    got(5L) shouldBe (("https://shop.example.com.au/", "https",
+      "shop.example.com.au", "example.com.au"))
+    // bare tracking key (no '=') also dropped
+    got(6L) shouldBe (("http://a.b.c.d.org/deep", "http", "a.b.c.d.org",
+      "d.org"))
+    // pure projection: no Exchange in the plan
+    UrlOps.urlProfile(rows).queryExecution.executedPlan.toString should
+      not include "Exchange"
+  }
+
   test("blocklist filter: planted rows, case-insensitive, integer per-mille") {
     val rows = Seq(
       (1L, "clean words only here today"),                  // 0/5 → 0‰
