@@ -430,6 +430,24 @@ object SparkEntry {
     // are live corpus vocabulary so the per-mille threshold actually fires
     "q_doc_blocklist" -> ((s, dir) => TextOps.blocklistFilter(
       docsTable(s, dir), Seq("slow", "broken", "stale"), maxPm = 25)),
+    // encoding repair (ftfy discipline): the ASCII gate corpus gets
+    // deterministic mojibake planted (%3: UTF-8-as-CP1252 'tÃ¡ble',
+    // %7: CP1252-gap 'â€™'), plus a GENUINE accent on %5 docs that must
+    // survive untouched and veto repair on docs carrying both
+    "q_doc_mojibake" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val planted = docsTable(s, dir)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          regexp_replace(col("text"), " table ", " tÃ¡ble "))
+          .otherwise(col("text")))
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          regexp_replace(col("text"), " row ", " rowâ€™s "))
+          .otherwise(col("text")))
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          regexp_replace(col("text"), " fast ", " fást "))
+          .otherwise(col("text")))
+      TextOps.mojibakeRepair(planted)
+    }),
     // DSIR importance weights (Xie et al. 2023): hashed-bigram importance
     // log-weight of every doc toward the src0 target distribution
     "q_doc_dsir" -> ((s, dir) => {
@@ -912,6 +930,8 @@ object SparkEntry {
       "SELECT doc_id, n_toks, lp1_micro, lp0_micro, margin_micro, nb_label FROM read_parquet('/root/repo/data/golden_ops/sf0.01/nb/*.parquet')",
     "q_doc_dsir" ->
       "SELECT doc_id, n_feats, dsir_micro, dsir_micro_per_feat FROM read_parquet('/root/repo/data/golden_ops/sf0.01/dsir/*.parquet')",
+    "q_doc_mojibake" ->
+      "SELECT doc_id, changed, n_chars_before, n_chars_after, text_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/moji/*.parquet')",
     "q_doc_url_norm" -> (UrlOracleCtes +
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, url_norm, scheme, host, domain FROM w2"),
     "q_domain_stats" -> (UrlOracleCtes +

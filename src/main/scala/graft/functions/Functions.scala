@@ -89,6 +89,32 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ftfy-style mojibake repair (UTF-8 mis-decoded as CP1252) as a native
+  * expression — the encoding-fix step of a web-scale text pipeline. The
+  * kernel lives in `graft.ops.TextOps.fixMojibakeStr` (conservative:
+  * whole-string strict-UTF-8 validity required, ≤ 2 rounds); generated code
+  * emits one static call, same codegen story as the siblings.
+  */
+case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "fix_mojibake"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.ops.TextOps.fixMojibakeStr(
+      input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.ops.TextOps.fixMojibakeStr($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Laplace-smoothed bigram log-probability in integer micro-nats —
   * `round(ln((cb+1)/(cu+v)) * 1e6)` — as a native ternary expression. The
   * math lives in `graft.ops.TextOps.logProbMicro` (StrictMath.log, so the
@@ -136,6 +162,11 @@ object Functions {
     org.apache.spark.sql.GraftColumnBridge.column(
       NfcNormalizeExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** Column-level API: `ds.select(fix_mojibake($"text"))`. */
+  def fix_mojibake(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      FixMojibakeExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** Column-level API: `log_prob_micro(cb, cu, v)` (all BIGINT). */
   def log_prob_micro(cb: Column, cu: Column, v: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
@@ -152,6 +183,8 @@ object Functions {
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalizeExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fix_mojibake", exprs => FixMojibakeExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "log_prob_micro",
       exprs => LogProbMicroExpr(exprs(0), exprs(1), exprs(2)), "scala_udf")

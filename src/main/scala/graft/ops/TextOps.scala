@@ -918,6 +918,81 @@ object TextOps {
         when(col("margin_micro") > 0L, 1).otherwise(0))
   }
 
+  /** Reverse CP1252 mapping for the 0x80–0x9F gap: mojibake produced by
+    * Windows-1252 (the web's de-facto "latin-1") renders UTF-8 continuation
+    * bytes in that range as these punctuation/letter characters. Maps each
+    * back to its byte. 0x81/0x8D/0x8F/0x90/0x9D are unmapped in CP1252.
+    */
+  private val Cp1252Rev: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  /** One mojibake repair round: if every char maps to a CP1252 byte AND the
+    * byte string is strictly valid UTF-8 AND the decode differs, return the
+    * decode; else null (leave the text alone). Pure-ASCII short-circuits.
+    * The whole-string validity requirement makes the repair conservative:
+    * text mixing genuine Latin-1 accents with mojibake stays untouched
+    * rather than being half-repaired.
+    */
+  private def mojibakeRound(s: String): String = {
+    var hasHigh = false
+    var i = 0
+    while (i < s.length && !hasHigh) {
+      if (s.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return null
+    val bytes = new Array[Byte](s.length)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val b = if (c < 0x100) c.toInt else Cp1252Rev.getOrElse(c, -1)
+      if (b < 0) return null
+      bytes(i) = b.toByte
+      i += 1
+    }
+    try {
+      // the convenience decode() REPORTs (throws) on malformed/unmappable
+      val out = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out == s) null else out
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** ftfy-style mojibake repair (UTF-8 bytes mis-decoded as CP1252 —
+    * "Ã©" → "é", "â€™" → "’"), up to two rounds so double-encoded text
+    * heals too. Total and deterministic: anything that isn't a whole-string
+    * valid repair is returned unchanged. Called from generated code by
+    * [[graft.functions.FixMojibakeExpr]].
+    */
+  def fixMojibakeStr(s: String): String = {
+    val r1 = mojibakeRound(s)
+    if (r1 == null) return s
+    val r2 = mojibakeRound(r1)
+    if (r2 == null) r1 else r2
+  }
+
+  /** Encoding-repair pass over the corpus: per-doc mojibake repair with the
+    * native codegen `fix_mojibake` expression — pure projection, zero
+    * shuffle; repaired text is md5-pinned so the gate checks content, not
+    * just flags.
+    */
+  def mojibakeRepair(docs: DataFrame): DataFrame = {
+    import graft.functions.Functions.fix_mojibake
+    docs.select(col("doc_id"), col("text"),
+        fix_mojibake(col("text")).as("fixed"))
+      .select(col("doc_id"),
+        (col("fixed") =!= col("text")).as("changed"),
+        length(col("text")).cast("long").as("n_chars_before"),
+        length(col("fixed")).cast("long").as("n_chars_after"),
+        md5(col("fixed").cast("binary")).as("text_md5"))
+  }
+
   /** Word-blocklist filter (the RefinedWeb §3.1 / C4 "bad words" rule):
     * count tokens whose lowercase form is on a blocklist and flag documents
     * whose blocked-token per-mille exceeds `maxPm`. The list is tiny and

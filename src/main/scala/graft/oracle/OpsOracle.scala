@@ -602,6 +602,43 @@ object OpsOracle {
     }
   }
 
+  // ---- mojibake repair --------------------------------------------------------
+
+  /** Sequential `TextOps.mojibakeRepair`, restated INDEPENDENTLY through the
+    * JDK's windows-1252 charset coders instead of the op's hand-written
+    * reverse map: strict CP1252 encode → strict UTF-8 decode, whole-string
+    * validity required, ≤ 2 rounds. (The two formulations agree on all text
+    * free of raw C1 control characters U+0080–U+009F — which no real or
+    * gate corpus contains.) Returns
+    * (doc_id, changed, n_chars_before, n_chars_after, text_md5) with char
+    * counts as CODE POINTS, mirroring Spark's `length`.
+    */
+  def fixMojibake(docs: Seq[(Long, String)]): Seq[(Long, Boolean, Long, Long, String)] = {
+    def round(s: String): String = {
+      if (s.forall(_ < 0x80)) return null
+      try {
+        val bytes = java.nio.charset.Charset.forName("windows-1252")
+          .newEncoder().encode(java.nio.CharBuffer.wrap(s))
+        val out = java.nio.charset.StandardCharsets.UTF_8
+          .newDecoder().decode(bytes).toString
+        if (out == s) null else out
+      } catch { case _: java.nio.charset.CharacterCodingException => null }
+    }
+    def fix(s: String): String = {
+      val r1 = round(s)
+      if (r1 == null) return s
+      val r2 = round(r1)
+      if (r2 == null) r1 else r2
+    }
+    docs.map { case (id, t) =>
+      val f = fix(t)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (id, f != t, t.codePointCount(0, t.length).toLong,
+        f.codePointCount(0, f.length).toLong, hex)
+    }
+  }
+
   // ---- DSIR importance weights ----------------------------------------------
 
   /** Sequential `TextOps.dsirWeights`: adjacent-token bigram features, md5
@@ -767,7 +804,7 @@ object OpsGolden {
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
-    "bpeenc", "nb", "dsir")
+    "bpeenc", "nb", "dsir", "moji")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -859,6 +896,20 @@ object OpsGolden {
         vocabSize = 1 << 14)
     }, Seq("doc_id", "n_toks", "lp1_micro", "lp0_micro", "margin_micro",
       "nb_label"))
+    // mojibake repair over the SAME deterministic corruption as SparkEntry's
+    // q_doc_mojibake: UTF-8-as-CP1252 plants on %3/%7 docs, a genuine (not
+    // mojibake) accent on %5 docs that must stay untouched and must also
+    // veto repair where both land on one doc
+    write("moji", {
+      val planted = docs.map { case (id, t) =>
+        var x = t
+        if (id % 3 == 0) x = x.replace(" table ", " tÃ¡ble ")
+        if (id % 7 == 0) x = x.replace(" row ", " rowâ€™s ")
+        if (id % 5 == 0) x = x.replace(" fast ", " fást ")
+        (id, x)
+      }
+      OpsOracle.fixMojibake(planted)
+    }, Seq("doc_id", "changed", "n_chars_before", "n_chars_after", "text_md5"))
     // DSIR importance weights toward the src0 distribution — the SAME
     // target derivation as SparkEntry's q_doc_dsir
     write("dsir", {

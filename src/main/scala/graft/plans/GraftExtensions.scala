@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.NfcNormalizeExpr].getName, "nfc_normalize"),
       exprs => graft.functions.NfcNormalizeExpr(exprs.head)))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("fix_mojibake"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.FixMojibakeExpr].getName, "fix_mojibake"),
+      exprs => graft.functions.FixMojibakeExpr(exprs.head)))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("log_prob_micro"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.LogProbMicroExpr].getName, "log_prob_micro"),

@@ -48,6 +48,17 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .head().isNullAt(0) shouldBe true
   }
 
+  test("fix_mojibake: codegen, SQL surface, kernel equality, nulls") {
+    Functions.register(spark)
+    val df = spark.range(3).select(Functions.fix_mojibake(
+      concat(lit("tÃ¡ble "), $"id".cast("string"))).as("m"))
+    df.queryExecution.executedPlan.toString should include("*(1) Project [fix_mojibake(")
+    df.as[String].collect() shouldBe (0 until 3).map(i => s"táble $i").toArray
+    spark.sql("SELECT fix_mojibake('plain') AS m").as[String].head() shouldBe "plain"
+    spark.sql("SELECT fix_mojibake(CAST(NULL AS STRING)) AS m")
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("nfc_normalize: composes decomposed forms, codegen, SQL surface") {
     Functions.register(spark)
     // decomposed e + COMBINING ACUTE → é; decomposed Hangul jamo → 한

@@ -236,6 +236,41 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("mojibake repair: classic plants heal, genuine accents survive, mixed docs veto") {
+    val dbl = graft.ops.TextOps.fixMojibakeStr("tÃ¡ble") // single round result
+    val rows = Seq(
+      (1L, "plain ascii text"),
+      (2L, "the tÃ¡ble is set"),          // UTF-8-as-latin1 → é-class repair
+      (3L, "it rowâ€™s here"),            // CP1252 0x80–0x9F gap (’)
+      (4L, "café déjà vu"),               // genuine accents: é alone is NOT valid UTF-8 bytes
+      (5L, "tÃ¡ble and fást mixed"),      // mojibake + genuine accent → whole-string veto
+      (6L, "tÃƒÂ¡ble double"))            // double-encoded: two rounds
+      .toDF("doc_id", "text")
+    val got = TextOps.mojibakeRepair(rows).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    got(1L) shouldBe ((false, 16L, 16L))
+    got(2L)._1 shouldBe true
+    got(2L)._3 shouldBe (got(2L)._2 - 1) // Ã¡ (2 chars) → á (1 char)
+    got(3L)._1 shouldBe true
+    got(3L)._3 shouldBe (got(3L)._2 - 2) // â€™ (3 chars) → ’ (1)
+    got(4L) shouldBe ((false, 12L, 12L))
+    got(5L)._1 shouldBe false
+    got(6L)._1 shouldBe true
+    // kernel vectors + double-encode round trip
+    graft.ops.TextOps.fixMojibakeStr("tÃ¡ble") shouldBe "táble"
+    graft.ops.TextOps.fixMojibakeStr("rowâ€™s") shouldBe "row’s"
+    graft.ops.TextOps.fixMojibakeStr("tÃƒÂ¡ble") shouldBe "táble"
+    dbl shouldBe "táble"
+    // the op agrees with the INDEPENDENT JDK-charset restatement
+    val seq = rows.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.fixMojibake(seq)
+      .map { case (id, c, b, a, h) => (id, (c, b, a, h)) }.toMap
+    val full = TextOps.mojibakeRepair(rows).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    full shouldBe want
+  }
+
   test("URL canonicalization: every rule exercised on constructed URLs") {
     val rows = Seq(
       (1L, "HTTPS://WWW.Example.COM:443/a/b?utm_source=x&z=2&a=1#frag"),
