@@ -579,6 +579,15 @@ object SparkEntry {
       val sf = Corpus.sfName(dir)
       Multimodal.mediaReuse(Multimodal.fromCorpus(s, Corpus.ensure(s, sf)))
     }),
+    // video-style frame sampling: decode → resize-pool → every-2nd-frame
+    // sample, bounded at 8 frames/asset — the multimodal training-pipeline
+    // chain with real Spark plumbing and a stubbed codec
+    "q_media_frames" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val sf = Corpus.sfName(dir)
+      Multimodal.frameSample(Multimodal.fromCorpus(s, Corpus.ensure(s, sf)))
+        .toDF()
+    }),
 
     // ---- classic relational ops over driver tables ---------------------
     "q_events_gap" -> ((s, dir) => {
@@ -853,6 +862,10 @@ object SparkEntry {
       "SELECT a, b, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')",
     "q_media_features" ->
       "SELECT doc_id, media_ref, n_bytes, content_h64 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/media/*.parquet')",
+    "q_media_frames" ->
+      ("SELECT doc_id, media_ref, CAST(n_frames AS INT) AS n_frames, " +
+        "CAST(frame_no AS INT) AS frame_no, frame_md5, pooled_micro " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/frames/*.parquet')"),
     "q_media_reuse" ->
       ("SELECT media_ref, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
         "CAST(count(*) AS BIGINT) AS n_spans, CAST(min(n_bytes) AS BIGINT) AS n_bytes, " +

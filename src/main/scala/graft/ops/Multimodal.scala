@@ -91,6 +91,59 @@ object Multimodal {
         min(col("doc_id")).as("keep_doc"))
   }
 
+  final case class FrameRow(
+      doc_id: String, media_ref: String, n_frames: Int, frame_no: Int,
+      frame_md5: String, pooled_micro: Long)
+
+  /** Average-pool a float embedding into `outDim` buckets of integer
+    * micro-unit SUMS (sums, not means, so the result is exact regardless of
+    * bucket sizes): each float is rounded to micro-units first, then summed
+    * — order-fixed, bit-stable on every JVM.
+    */
+  def resizePool(emb: Array[Float], outDim: Int): Array[Long] = {
+    val out = new Array[Long](outDim)
+    var i = 0
+    while (i < emb.length) {
+      out(i * outDim / emb.length) += math.round(emb(i).toDouble * 1e6d)
+      i += 1
+    }
+    out
+  }
+
+  /** Video-style frame sampling over opaque binary payloads: treat the
+    * content as consecutive `frameBytes` frames, take every `stride`-th one
+    * up to `maxFrames`, decode each sampled frame with the pooled (per
+    * partition) stub decoder and average-pool its features to a micro-unit
+    * checksum — the decode → resize → sample chain of a multimodal training
+    * pipeline with the Spark plumbing (iterator fan-out, pooled decoder,
+    * bounded output per asset) real and the codec stubbed.
+    *
+    * Pure flatMap: zero shuffle at any corpus size; output is bounded at
+    * `maxFrames` rows per asset no matter how large the payload.
+    */
+  def frameSample(media: Dataset[MediaRecord], frameBytes: Int = 64,
+                  stride: Int = 2, maxFrames: Int = 8,
+                  poolDim: Int = 4): Dataset[FrameRow] = {
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0 && poolDim > 0,
+      "frameBytes, stride, maxFrames, poolDim must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder // pooled once per partition
+      it.flatMap { m =>
+        val total = m.content.length / frameBytes // full frames only
+        (0 until total by stride).take(maxFrames).iterator.map { f =>
+          val frame = java.util.Arrays.copyOfRange(
+            m.content, f * frameBytes, (f + 1) * frameBytes)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(frame).map("%02x".format(_)).mkString
+          FrameRow(m.doc_id, m.media_ref, total, f, md5,
+            resizePool(decoder.decode(frame), poolDim).sum)
+        }
+      }
+    }
+  }
+
   /** Batched feature extraction: partition-local decoder, fixed-size batches
     * (the mapInPandas batch-shape analog for a JVM-only build).
     */

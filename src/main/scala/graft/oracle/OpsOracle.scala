@@ -777,6 +777,31 @@ object OpsOracle {
     }
   }
 
+  /** Sequential `Multimodal.frameSample`: same frame slicing, md5, stub
+    * decode and micro-unit pooling over the synthetic corpus, restated as a
+    * flat loop. Returns (doc_id, media_ref, n_frames, frame_no, frame_md5,
+    * pooled_micro).
+    */
+  def mediaFrames(spec: CorpusGen.Spec, frameBytes: Int, stride: Int,
+                  maxFrames: Int, poolDim: Int)
+      : Iterator[(String, String, Int, Int, String, Long)] = {
+    val decoder = new Multimodal.StubDecoder
+    CorpusGen.genAll(spec).flatMap { d =>
+      d.spans.filter(_.media_ref.nonEmpty).iterator.flatMap { s =>
+        val content = Multimodal.syntheticContent(s.media_ref)
+        val total = content.length / frameBytes
+        Range(0, total, stride).take(maxFrames).map { f =>
+          val frame = java.util.Arrays.copyOfRange(
+            content, f * frameBytes, (f + 1) * frameBytes)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(frame).map("%02x".format(_)).mkString
+          (d.doc_id, s.media_ref, total, f, md5,
+            Multimodal.resizePool(decoder.decode(frame), poolDim).sum)
+        }
+      }
+    }
+  }
+
   /** Sequential `Multimodal` features over the synthetic corpus: every
     * media-bearing span → (doc_id, media_ref, n_bytes, content_h64).
     */
@@ -804,7 +829,7 @@ object OpsGolden {
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
-    "bpeenc", "nb", "dsir", "moji")
+    "bpeenc", "nb", "dsir", "moji", "frames")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -871,6 +896,11 @@ object OpsGolden {
     write("media",
       OpsOracle.mediaFeatures(CorpusGen.specFor(sf)).toSeq,
       Seq("doc_id", "media_ref", "n_bytes", "content_h64"))
+    write("frames",
+      OpsOracle.mediaFrames(CorpusGen.specFor(sf), frameBytes = 64,
+        stride = 2, maxFrames = 8, poolDim = 4).toSeq,
+      Seq("doc_id", "media_ref", "n_frames", "frame_no", "frame_md5",
+        "pooled_micro"))
     write("bpe",
       OpsOracle.bpeMerges(docs, nMerges = 40, maxVocab = 1 << 16),
       Seq("rank", "left", "right", "n_occ"))

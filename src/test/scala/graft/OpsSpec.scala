@@ -236,6 +236,39 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("frame sampling: stride/cap honored, md5-pinned, parallelism-invariant") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaRecord
+    // payloads sized to exercise: exact multiple, remainder tail (dropped),
+    // sub-frame payload (zero frames), cap at maxFrames
+    val recs = Seq(
+      MediaRecord("d1", "m1", "video/mp4", Array.tabulate(256)(_.toByte), 0, 0),
+      MediaRecord("d2", "m2", "video/mp4", Array.tabulate(300)(i => (i * 7).toByte), 0, 0),
+      MediaRecord("d3", "m3", "video/mp4", Array.tabulate(40)(_.toByte), 0, 0),
+      MediaRecord("d4", "m4", "video/mp4", Array.tabulate(3000)(i => (i * 13).toByte), 0, 0))
+    val ds = spark.createDataset(recs)
+    val got = Multimodal.frameSample(ds, frameBytes = 64, stride = 2,
+      maxFrames = 8, poolDim = 4).collect()
+    val byDoc = got.groupBy(_.doc_id)
+    byDoc("d1").map(_.frame_no).sorted shouldBe Array(0, 2) // 4 frames, stride 2
+    byDoc("d1").head.n_frames shouldBe 4
+    byDoc("d2").map(_.frame_no).sorted shouldBe Array(0, 2) // tail 44 bytes dropped
+    byDoc.get("d3") shouldBe None                           // sub-frame payload
+    byDoc("d4").length shouldBe 8                           // 46 frames capped at 8
+    byDoc("d4").map(_.frame_no).sorted shouldBe Array(0, 2, 4, 6, 8, 10, 12, 14)
+    // md5 pins content; pooled checksum equals the local restatement
+    val f0 = byDoc("d1").find(_.frame_no == 0).get
+    val frame0 = recs.head.content.slice(0, 64)
+    f0.frame_md5 shouldBe java.security.MessageDigest.getInstance("MD5")
+      .digest(frame0).map("%02x".format(_)).mkString
+    f0.pooled_micro shouldBe Multimodal.resizePool(
+      new Multimodal.StubDecoder().decode(frame0), 4).sum
+    // same rows at a different parallelism
+    val got2 = Multimodal.frameSample(ds.repartition(3), frameBytes = 64,
+      stride = 2, maxFrames = 8, poolDim = 4).collect()
+    got2.toSet shouldBe got.toSet
+  }
+
   test("mojibake repair: classic plants heal, genuine accents survive, mixed docs veto") {
     val dbl = graft.ops.TextOps.fixMojibakeStr("tÃ¡ble") // single round result
     val rows = Seq(
