@@ -430,6 +430,18 @@ object SparkEntry {
     // are live corpus vocabulary so the per-mille threshold actually fires
     "q_doc_blocklist" -> ((s, dir) => TextOps.blocklistFilter(
       docsTable(s, dir), Seq("slow", "broken", "stale"), maxPm = 25)),
+    // quality-ensemble keep decision — the FineWeb-style composition of a
+    // model score (NB), token-shape signals (Gopher) and the blocklist in
+    // ONE plan: the two in-row signal sets ride a single scan projection
+    // and make exactly one exchange into the NB aggregate's partitioning
+    "q_quality_ensemble" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      val labeled = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          when(col("source") === "src0", 1).otherwise(0).as("label"))
+      TextOps.qualityEnsemble(docs, labeled, Seq("slow", "broken", "stale"))
+    }),
     // encoding repair (ftfy discipline): the ASCII gate corpus gets
     // deterministic mojibake planted (%3: UTF-8-as-CP1252 'tÃ¡ble',
     // %7: CP1252-gap 'â€™'), plus a GENUINE accent on %5 docs that must
@@ -945,6 +957,18 @@ object SparkEntry {
       "SELECT doc_id, n_feats, dsir_micro, dsir_micro_per_feat FROM read_parquet('/root/repo/data/golden_ops/sf0.01/dsir/*.parquet')",
     "q_doc_mojibake" ->
       "SELECT doc_id, changed, n_chars_before, n_chars_after, text_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/moji/*.parquet')",
+    "q_quality_ensemble" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +
+        "s AS (SELECT doc_id, len(toks) AS n, " +
+        "coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sumlen, " +
+        "len(list_filter(toks, x -> list_contains(['slow', 'broken', 'stale'], lower(x)))) AS nb FROM t), " +
+        "g AS (SELECT doc_id, n, sumlen * 1000 // greatest(n, 1) AS meanpm, " +
+        "CASE WHEN n > 0 THEN nb * 1000 // n ELSE 0 END AS blockedpm FROM s), " +
+        "m AS (SELECT doc_id, nb_label FROM read_parquet('/root/repo/data/golden_ops/sf0.01/nb/*.parquet')) " +
+        "SELECT CAST(g.doc_id AS BIGINT) AS doc_id, " +
+        "(m.nb_label = 1 AND g.blockedpm <= 25 AND g.n >= 10 AND g.meanpm BETWEEN 3000 AND 10000) AS keep " +
+        "FROM g JOIN m ON g.doc_id = m.doc_id"),
     "q_doc_url_norm" -> (UrlOracleCtes +
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, url_norm, scheme, host, domain FROM w2"),
     "q_domain_stats" -> (UrlOracleCtes +

@@ -1015,6 +1015,47 @@ object TextOps {
       .withColumn("blocked_flag", col("blocked_pm") > maxPm)
   }
 
+  /** FineWeb-style quality-ensemble keep decision: a model score
+    * ([[nbQualityScore]]), Gopher token-shape gates and the word blocklist
+    * composed into ONE plan. The three in-row signals (token count, mean
+    * token length, blocked count) are fused into a single projection over a
+    * single scan — they never join each other — and make exactly one
+    * exchange into the NB aggregate's doc_id partitioning (which the join
+    * then reuses: one side of the final join ships for free).
+    *
+    * keep = NB says in-class AND blocked per-mille ≤ maxBlockedPm AND
+    * n_tokens ≥ minTokens AND mean token length within `meanLenPm`
+    * (Gopher A1.1 keeps mean word length 3–10).
+    */
+  def qualityEnsemble(docs: DataFrame, labeled: DataFrame,
+                      blocked: Seq[String], maxBlockedPm: Int = 25,
+                      minTokens: Long = 10L,
+                      meanLenPm: (Long, Long) = (3000L, 10000L),
+                      vocabSize: Int = 1 << 14): DataFrame = {
+    val toks = toksOrEmpty(col("text"))
+    val n = size(toks)
+    val lens = transform(toks, x => length(x))
+    val sumLen = aggregate(lens, lit(0L), (acc, x) => acc + x)
+    val blockedArr = array(blocked.map(w => lit(w.toLowerCase)): _*)
+    val nBlocked = size(filter(toks,
+      t => array_contains(blockedArr, lower(t))))
+    // one fused projection: all in-row signals off one scan
+    val signals = docs.select(col("doc_id").cast("long").as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      floor(sumLen * lit(1000) / greatest(n, lit(1))).cast("long")
+        .as("mean_tok_len_pm"),
+      when(n > 0, floor(nBlocked.cast("long") * lit(1000) / n))
+        .otherwise(lit(0L)).cast("long").as("blocked_pm"))
+    val nb = nbQualityScore(docs, labeled, vocabSize)
+      .select(col("doc_id"), col("nb_label"))
+    nb.join(signals, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("nb_label") === 1 && col("blocked_pm") <= maxBlockedPm &&
+          col("n_tokens") >= minTokens &&
+          col("mean_tok_len_pm").between(meanLenPm._1, meanLenPm._2))
+          .as("keep"))
+  }
+
   /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
     * score every document by how much more likely its hashed-bigram feature
     * profile is under a TARGET distribution (e.g. wiki-like, in-domain)

@@ -236,6 +236,28 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("quality ensemble: keep equals the conjunction of its component ops") {
+    val labeled = docs.where($"doc_id" % 3 === 0)
+      .select($"doc_id", when($"source" === "src0", 1).otherwise(0).as("label"))
+    val blocked = Seq("slow", "broken", "stale")
+    val got = TextOps.qualityEnsemble(docs, labeled, blocked)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // recompute from the standalone ops
+    val nb = TextOps.nbQualityScore(docs, labeled)
+      .collect().map(r => r.getLong(0) -> r.getInt(5)).toMap
+    val gq = TextOps.gopherQuality(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bl = TextOps.blocklistFilter(docs, blocked, maxPm = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.size shouldBe nb.size
+    got.foreach { case (id, keep) =>
+      val (nTok, meanPm) = gq(id)
+      keep shouldBe (nb(id) == 1 && bl(id) <= 25 && nTok >= 10 &&
+        meanPm >= 3000 && meanPm <= 10000)
+    }
+    got.values.toSet shouldBe Set(true, false) // both outcomes live
+  }
+
   test("frame sampling: stride/cap honored, md5-pinned, parallelism-invariant") {
     import graft.ops.Multimodal
     import graft.ops.Multimodal.MediaRecord
