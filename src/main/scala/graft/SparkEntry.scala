@@ -430,6 +430,12 @@ object SparkEntry {
     // are live corpus vocabulary so the per-mille threshold actually fires
     "q_doc_blocklist" -> ((s, dir) => TextOps.blocklistFilter(
       docsTable(s, dir), Seq("slow", "broken", "stale"), maxPm = 25)),
+    // Count-Min sketch point queries for a fixed token set (10 live corpus
+    // heavy-ish hitters + one absent token) — the bounded-state companion
+    // to q_hll_shingles for when the key space is too large to groupBy
+    "q_cms_tokens" -> ((s, dir) => Sketches.cmsTokenCounts(docsTable(s, dir),
+      Seq("join", "hash", "row", "batch", "scan", "column", "customer",
+        "filter", "small", "slow", "zzz_absent"))),
     // quality-ensemble keep decision — the FineWeb-style composition of a
     // model score (NB), token-shape signals (Gopher) and the blocklist in
     // ONE plan: the two in-row signal sets ride a single scan projection
@@ -957,6 +963,18 @@ object SparkEntry {
       "SELECT doc_id, n_feats, dsir_micro, dsir_micro_per_feat FROM read_parquet('/root/repo/data/golden_ops/sf0.01/dsir/*.parquet')",
     "q_doc_mojibake" ->
       "SELECT doc_id, changed, n_chars_before, n_chars_after, text_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/moji/*.parquet')",
+    "q_cms_tokens" ->
+      ("WITH t AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END) AS tok FROM documents), " +
+        "h AS (SELECT ('0x' || substr(md5(CAST(r.range AS VARCHAR) || '|' || tok), 1, 8))::BIGINT % 1024 AS c, " +
+        "r.range AS r FROM t, range(0, 4) r), " +
+        "regs AS (SELECT r, c, count(*) AS reg FROM h GROUP BY 1, 2), " +
+        "q AS (SELECT unnest(['join','hash','row','batch','scan','column','customer','filter','small','slow','zzz_absent']) AS tok), " +
+        "qh AS (SELECT tok, r.range AS r, " +
+        "('0x' || substr(md5(CAST(r.range AS VARCHAR) || '|' || tok), 1, 8))::BIGINT % 1024 AS c " +
+        "FROM q, range(0, 4) r) " +
+        "SELECT tok, CAST(min(coalesce(regs.reg, 0)) AS BIGINT) AS cms_est " +
+        "FROM qh LEFT JOIN regs ON qh.r = regs.r AND qh.c = regs.c GROUP BY tok"),
     "q_quality_ensemble" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

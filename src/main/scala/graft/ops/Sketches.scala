@@ -105,4 +105,50 @@ object Sketches {
         i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("item"))
     hllDistinct(items, "source", "item", p)
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) point queries with the
+    * same engine-portable discipline as the HLL above: row hash i of an
+    * item is the first 8 md5 hex chars of `i || '|' || item` taken mod `w`
+    * — both engines extract it identically, and every register is an exact
+    * long, so the sketch (and therefore the estimate) is bit-equal
+    * anywhere.
+    *
+    * Scale shape: the register table is the d·w-bounded result of ONE
+    * map-side-combined aggregate over the (row, col) projection of the
+    * token stream — per map task at most d·w partial rows survive no
+    * matter how many trillions of tokens flow through, the exact reason a
+    * sketch beats `groupBy(token)` when the token space (urls, shingles,
+    * n-grams) is too large to aggregate exactly. Estimates for the query
+    * set then come from `min` over the d broadcast-joined register rows.
+    *
+    * `cmsTokenCounts` answers point queries for `queries` tokens over the
+    * corpus token stream: (tok, cms_est). One-sided error: cms_est ≥ true
+    * count always; P[overshoot > ε·N] ≤ (1/2)^d at w = e/ε.
+    */
+  def cmsTokenCounts(docs: DataFrame, queries: Seq[String], d: Int = 4,
+                     w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 1, "d, w >= 1")
+    val toks = docs.select(explode(TextOps.toksOrEmpty(col("text"))).as("tok"))
+    // (row, col) projection: d register hits per token occurrence, in-row
+    val hits = toks.select(explode(transform(
+      sequence(lit(0), lit(d - 1)),
+      i => struct(i.as("r"),
+        (conv(substring(md5(concat(i.cast("string"), lit("|"), col("tok"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % w).as("c")))).as("h"))
+      .select(col("h.r").as("r"), col("h.c").as("c"))
+    val registers = hits.groupBy("r", "c").agg(count(lit(1)).as("reg"))
+
+    // point queries: d lookups per query token, min over rows
+    val qdf = docs.sparkSession.createDataFrame(
+      queries.map(Tuple1(_))).toDF("tok")
+    val qhits = qdf.select(col("tok"), explode(transform(
+      sequence(lit(0), lit(d - 1)),
+      i => struct(i.as("r"),
+        (conv(substring(md5(concat(i.cast("string"), lit("|"), col("tok"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % w).as("c")))).as("h"))
+      .select(col("tok"), col("h.r").as("r"), col("h.c").as("c"))
+    qhits.join(registers, Seq("r", "c"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("reg"), lit(0L))).as("cms_est"))
+  }
 }

@@ -236,6 +236,24 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("CMS point queries: one-sided error vs exact counts, parallelism-invariant") {
+    val qs = Seq("join", "hash", "row", "nonexistent_tok_xyz")
+    val exact = docs.select(explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsTokenCounts(df, qs, d = 4, w = 1024)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run(docs)
+    got.keySet shouldBe qs.toSet
+    qs.foreach { t =>
+      got(t) should be >= exact.getOrElse(t, 0L) // CMS never undercounts
+    }
+    // live heavy hitters estimate close at this width (w=1024 ≫ vocab/10)
+    got("join") should be <= (exact("join") + exact.values.sum / 100)
+    run(docs.repartition(7)) shouldBe got
+  }
+
   test("quality ensemble: keep equals the conjunction of its component ops") {
     val labeled = docs.where($"doc_id" % 3 === 0)
       .select($"doc_id", when($"source" === "src0", 1).otherwise(0).as("label"))
