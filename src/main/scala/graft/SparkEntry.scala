@@ -430,6 +430,11 @@ object SparkEntry {
     // are live corpus vocabulary so the per-mille threshold actually fires
     "q_doc_blocklist" -> ((s, dir) => TextOps.blocklistFilter(
       docsTable(s, dir), Seq("slow", "broken", "stale"), maxPm = 25)),
+    // per-source token-distribution KL drift vs the corpus (micro-nats)
+    "q_source_kl" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.sourceKl(docsTable(s, dir))
+    }),
     // Count-Min sketch point queries for a fixed token set (10 live corpus
     // heavy-ish hitters + one absent token) — the bounded-state companion
     // to q_hll_shingles for when the key space is too large to groupBy
@@ -963,6 +968,8 @@ object SparkEntry {
       "SELECT doc_id, n_feats, dsir_micro, dsir_micro_per_feat FROM read_parquet('/root/repo/data/golden_ops/sf0.01/dsir/*.parquet')",
     "q_doc_mojibake" ->
       "SELECT doc_id, changed, n_chars_before, n_chars_after, text_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/moji/*.parquet')",
+    "q_source_kl" ->
+      "SELECT source, n_toks, kl_micro_scaled, kl_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/srckl/*.parquet')",
     "q_cms_tokens" ->
       ("WITH t AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END) AS tok FROM documents), " +

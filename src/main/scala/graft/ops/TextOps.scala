@@ -1015,6 +1015,60 @@ object TextOps {
       .withColumn("blocked_flag", col("blocked_pm") > maxPm)
   }
 
+  /** Per-source token-distribution drift: n_s·KL(source ‖ corpus) over
+    * Laplace-smoothed unigram distributions in integer micro-nats — the
+    * mixture-health diagnostic a curation pipeline watches as sources are
+    * added/re-crawled (a source whose token distribution drifts from the
+    * corpus is over/under-sampled or contaminated).
+    *
+    * Vocabulary is capped at top-`vocabSize` corpus tokens (deterministic
+    * order, TakeOrderedAndProject), everything else `<unk>` — so every
+    * aggregate after the first is bounded by the vocab, not the corpus.
+    * Each per-token term is c_s · (lnμ p̂_s − lnμ p̂) with both logs
+    * rounded to micro-nats first (`log_prob_micro`), making the per-source
+    * sum an exact integer at any parallelism. Emits the n_s-scaled total
+    * (`kl_micro_scaled` = n_s·KL·1e6) and the truncated per-token average.
+    *
+    * Plan: one corpus token-count shuffle (map-side combined) for the
+    * vocab, one (source, tok) count shuffle bounded by sources × (V+1)
+    * after `<unk>` normalization, the corpus row re-aggregated from the
+    * same bounded table; everything else broadcasts.
+    */
+  def sourceKl(docs: DataFrame, vocabSize: Int = 1 << 14): DataFrame = {
+    require(vocabSize >= 1, "vocabSize >= 1")
+    import graft.functions.Functions.log_prob_micro
+    val toks = docs.select(col("source"),
+      explode(toksOrEmpty(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize).select("tok")
+    val vModel = vocab.agg((count(lit(1)) + 1L).as("v_model"))
+
+    val norm = toks.join(broadcast(vocab.withColumnRenamed("tok", "v_tok")),
+        col("tok") === col("v_tok"), "left")
+      .select(col("source"), coalesce(col("v_tok"), lit(UnkTok)).as("tok_n"))
+    val perSrc = norm.groupBy("source", "tok_n")
+      .agg(count(lit(1)).as("c_s"))
+    val corpus = perSrc.groupBy("tok_n").agg(sum(col("c_s")).as("c_all"))
+    val nSrc = perSrc.groupBy("source").agg(sum(col("c_s")).as("n_s"))
+    val nAll = corpus.agg(sum(col("c_all")).as("n_all"))
+
+    perSrc
+      .join(broadcast(corpus), Seq("tok_n"))
+      .join(broadcast(nSrc), Seq("source"))
+      .crossJoin(broadcast(nAll))
+      .crossJoin(broadcast(vModel))
+      .select(col("source"), col("n_s"),
+        (col("c_s") * (log_prob_micro(col("c_s"), col("n_s"), col("v_model")) -
+          log_prob_micro(col("c_all"), col("n_all"), col("v_model"))))
+          .as("term"))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_toks"), sum(col("term")).as("kl_micro_scaled"))
+      .withColumn("kl_micro_per_tok",
+        when(col("n_toks") > 0L, expr("kl_micro_scaled div n_toks"))
+          .otherwise(lit(0L)))
+  }
+
   /** FineWeb-style quality-ensemble keep decision: a model score
     * ([[nbQualityScore]]), Gopher token-shape gates and the word blocklist
     * composed into ONE plan. The three in-row signals (token count, mean

@@ -602,6 +602,49 @@ object OpsOracle {
     }
   }
 
+  // ---- per-source KL divergence ----------------------------------------------
+
+  /** Sequential `TextOps.sourceKl`: top-`vocabSize` corpus vocab (count
+    * desc, token asc), `<unk>` normalization, per-token micro-nat log
+    * difference scaled by the source count. Returns
+    * (source, n_toks, kl_micro_scaled, kl_micro_per_tok).
+    */
+  def sourceKl(docs: Seq[(String, String)],
+               vocabSize: Int): Seq[(String, Long, Long, Long)] = {
+    def toks(text: String): Array[String] = {
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.isEmpty) Array.empty[String]
+      else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    }
+    def lpm(cb: Long, cu: Long, v: Long): Long =
+      Math.round(StrictMath.log((cb + 1.0d) / (cu.toDouble + v.toDouble)) * 1e6d)
+
+    val stream = docs.flatMap { case (src, t) => toks(t).map(src -> _) }
+    val uniCnt = stream.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val vocab = uniCnt.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(vocabSize).map(_._1).toSet
+    val vModel = vocab.size + 1L
+    def nrm(t: String): String = if (vocab(t)) t else "<unk>"
+
+    val perSrc = stream.map { case (s, t) => (s, nrm(t)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val corpus = perSrc.groupBy(_._1._2)
+      .map { case (t, xs) => t -> xs.valuesIterator.sum }
+    val nSrc = perSrc.groupBy(_._1._1)
+      .map { case (s, xs) => s -> xs.valuesIterator.sum }
+    val nAll = corpus.valuesIterator.sum
+
+    nSrc.toSeq.sortBy(_._1).map { case (src, ns) =>
+      val tot = perSrc.iterator.collect { case ((s, t), cs) if s == src =>
+        cs * (lpm(cs, ns, vModel) - lpm(corpus(t), nAll, vModel))
+      }.sum
+      (src, ns, tot, if (ns > 0) tot / ns else 0L)
+    }
+  }
+
   // ---- mojibake repair --------------------------------------------------------
 
   /** Sequential `TextOps.mojibakeRepair`, restated INDEPENDENTLY through the
@@ -829,7 +872,7 @@ object OpsGolden {
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
-    "bpeenc", "nb", "dsir", "moji", "frames")
+    "bpeenc", "nb", "dsir", "moji", "frames", "srckl")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -913,6 +956,12 @@ object OpsGolden {
         OpsOracle.bpeMerges(docs, nMerges = 40, maxVocab = 1 << 16)
           .map { case (_, l, r, _) => (l, r) }),
       Seq("doc_id", "n_words", "n_pieces", "pieces_md5"))
+    // per-source KL drift over the same (source, text) pairs the query reads
+    write("srckl", {
+      val srcDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("source", "text").as[(String, String)].collect().toSeq.sorted
+      OpsOracle.sourceKl(srcDocs, vocabSize = 1 << 14)
+    }, Seq("source", "n_toks", "kl_micro_scaled", "kl_micro_per_tok"))
     // Naive Bayes quality classifier: seed labels = every 3rd doc, positive
     // = source 'src0' — the SAME derivation as SparkEntry's
     // q_doc_nb_quality seed side

@@ -236,6 +236,32 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("source KL == sequential oracle with active vocab cap, parallelism-invariant") {
+    val seq = docs.select($"source", $"text").as[(String, String)]
+      .collect().toSeq.sorted
+    val want = graft.oracle.OpsOracle.sourceKl(seq, vocabSize = 64)
+      .map { case (s, n, k, p) => (s, (n, k, p)) }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.sourceKl(df, vocabSize = 64).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = run(docs)
+    got shouldBe want
+    run(docs.repartition(5)) shouldBe want
+  }
+
+  test("source KL: a drifted source scores higher than a corpus-like one") {
+    val common = "shared words appearing in every source here"
+    val rows = Seq.tabulate(20)(i => (s"s$i", s"base$i", "bulk")) ++ Seq(
+      (s"x1", common, "like"), (s"x2", common + " tiny", "like"),
+      (s"y1", "utterly different vocabulary entirely elsewhere", "drift"),
+      (s"y2", "nothing in common with anything whatsoever", "drift"))
+    val df = rows.toDF("doc_id0", "text", "source")
+      .select(monotonically_increasing_id().as("doc_id"), $"text", $"source")
+    val got = TextOps.sourceKl(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    got("drift") should be > got("like")
+  }
+
   test("CMS point queries: one-sided error vs exact counts, parallelism-invariant") {
     val qs = Seq("join", "hash", "row", "nonexistent_tok_xyz")
     val exact = docs.select(explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
