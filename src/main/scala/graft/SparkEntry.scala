@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.pipeline.Extraction
-import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing, Sketches, UrlOps}
+import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing, Sketches, UrlOps, Retrieval}
 
 /** Driver contract — see SURVEY.md §7 + SPEC.md.
   *
@@ -430,6 +430,16 @@ object SparkEntry {
     // are live corpus vocabulary so the per-mille threshold actually fires
     "q_doc_blocklist" -> ((s, dir) => TextOps.blocklistFilter(
       docsTable(s, dir), Seq("slow", "broken", "stale"), maxPm = 25)),
+    // BM25 top-k corpus retrieval over the fixed probe set — the READ-side
+    // family (corpus audit / decontamination triage / seed-set search);
+    // query terms ship map-side, only term HITS ever shuffle, scores are
+    // integer micro-nats via the codegen bm25_micro expression
+    "q_bm25_topk" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Retrieval.bm25TopK(docsTable(s, dir), Retrieval.GateQueries, k = 10)
+        .select(col("q_id"), col("doc_id"),
+          col("rank").cast("long").as("rank"), col("score_micro"))
+    }),
     // per-source token-distribution KL drift vs the corpus (micro-nats)
     "q_source_kl" -> ((s, dir) => {
       opsGolden(s, dir)
@@ -970,6 +980,8 @@ object SparkEntry {
       "SELECT doc_id, changed, n_chars_before, n_chars_after, text_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/moji/*.parquet')",
     "q_source_kl" ->
       "SELECT source, n_toks, kl_micro_scaled, kl_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/srckl/*.parquet')",
+    "q_bm25_topk" ->
+      "SELECT q_id, doc_id, rank, score_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bm25/*.parquet')",
     "q_cms_tokens" ->
       ("WITH t AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END) AS tok FROM documents), " +

@@ -146,6 +146,38 @@ case class LogProbMicroExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** One (doc, term) BM25 contribution in integer micro-nats — the scoring
+  * kernel of [[graft.ops.Retrieval.bm25TopK]], kept in whole-stage codegen
+  * like `log_prob_micro`. The three CHILDREN (tf, df, dl) vary per row; the
+  * four index-level constants (N, Σdl, k1‰, b‰) are case-class parameters so
+  * they compile into the generated code as literals.
+  */
+case class Bm25MicroExpr(first: Expression, second: Expression,
+                         third: Expression, nDocs: Long, sumDl: Long,
+                         k1Pm: Int, bPm: Int) extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BIGINT, BIGINT, BIGINT) arguments, got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  override def prettyName: String = "bm25_micro"
+
+  override def nullSafeEval(tf: Any, df: Any, dl: Any): Any =
+    graft.ops.Retrieval.bm25TermMicro(
+      tf.asInstanceOf[Long], df.asInstanceOf[Long], dl.asInstanceOf[Long],
+      nDocs, sumDl, k1Pm, bPm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (tf, df, dl) =>
+      s"graft.ops.Retrieval.bm25TermMicro($tf, $df, $dl, ${nDocs}L, ${sumDl}L, $k1Pm, $bPm)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object Functions {
   /** Column-level API: `ds.select(fix_typos($"text"))`. */
   def fix_typos(c: Column): Column =
@@ -174,6 +206,16 @@ object Functions {
         org.apache.spark.sql.GraftColumnBridge.expression(cb),
         org.apache.spark.sql.GraftColumnBridge.expression(cu),
         org.apache.spark.sql.GraftColumnBridge.expression(v)))
+
+  /** Column-level API: `bm25_micro(tf, df, dl, N, Σdl, k1‰, b‰)`. */
+  def bm25_micro(tf: Column, df: Column, dl: Column, nDocs: Long,
+                 sumDl: Long, k1Pm: Int, bPm: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Bm25MicroExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(tf),
+        org.apache.spark.sql.GraftColumnBridge.expression(df),
+        org.apache.spark.sql.GraftColumnBridge.expression(dl),
+        nDocs, sumDl, k1Pm, bPm))
 
   /** Register for the SQL surface on an existing session. */
   def register(spark: SparkSession): Unit = {

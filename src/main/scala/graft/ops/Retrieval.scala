@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text corpus retrieval: BM25 (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework") top-k search over the `documents`
+  * table — the missing READ-side family next to the dedup/quality WRITE-side
+  * ops. A curation pipeline runs exactly this shape for corpus audits
+  * ("which docs match this probe?"), decontamination triage, and
+  * seed-set bootstrapping for the quality classifiers ([[TextOps.nbQualityScore]]).
+  *
+  * Determinism contract (mirrored exactly by `OpsOracle.bm25TopK`):
+  *  - tokens = the corpus-wide whitespace discipline ([[TextOps.splitToks]]);
+  *    query terms are DISTINCT per query (qtf folded to 1 — the standard
+  *    short-query simplification).
+  *  - every per-(doc, term) contribution is rounded to integer MICRO-nats by
+  *    [[bm25TermMicro]] (StrictMath.log, fixed evaluation order) BEFORE the
+  *    per-doc sum, so the score is an exact long sum — bit-identical at any
+  *    parallelism, like the `log_prob_micro` family.
+  *  - ranking = (score_micro desc, doc_id asc): a total order.
+  *  - corpus stats (N, Σdl) include zero-length docs (they are indexed, they
+  *    just can never match); terms absent from the corpus contribute nothing;
+  *    a query with zero matching docs emits zero rows.
+  *
+  * Scale shape (the inverted-index-free streaming plan): the query set is
+  * tiny and ships map-side (an `isin` filter + a `broadcast` of (q_id, term)
+  * and the ≤|terms|-row df table). The corpus token stream is filtered to
+  * query-term HITS before anything widens, so the only exchanges carry
+  *  (1) (doc_id, term) tf partials — map-side combined, bounded by hits;
+  *  (2) (q_id, doc_id) score partials — bounded by hits;
+  *  (3) the two-phase top-k heap survivors — ≤ parts×k rows.
+  * Corpus text never shuffles. The (N, Σdl) corpus stats are ONE scalar
+  * aggregate collected up front — the "index statistics" pass every BM25
+  * engine precomputes; at 100 TB it is a single column scan that AQE cannot
+  * be asked to fuse anyway because the literals parameterize codegen.
+  */
+object Retrieval {
+
+  /** One (doc, term) BM25 contribution in integer micro-nats.
+    *
+    * idf = ln(1 + (N − df + ½)/(df + ½))  (the Lucene/ATIRE non-negative
+    * variant), tf-norm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with
+    * avgdl = Σdl/N. k1 and b arrive in per-mille (1200 = 1.2, 750 = 0.75)
+    * so callers cannot introduce unshared double literals. Fixed evaluation
+    * order + StrictMath.log ⇒ bit-identical on every JVM; called from
+    * generated code by [[graft.functions.Bm25MicroExpr]].
+    */
+  def bm25TermMicro(tf: Long, df: Long, dl: Long, nDocs: Long, sumDl: Long,
+                    k1Pm: Int, bPm: Int): Long = {
+    val idf = StrictMath.log(1.0d + (nDocs.toDouble - df.toDouble + 0.5d) / (df.toDouble + 0.5d))
+    val k1 = k1Pm.toDouble / 1000.0d
+    val b = bPm.toDouble / 1000.0d
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val norm = (tf.toDouble * (k1 + 1.0d)) /
+      (tf.toDouble + k1 * (1.0d - b + b * (dl.toDouble / avgdl)))
+    Math.round(idf * norm * 1e6d)
+  }
+
+  /** The fixed probe set for the driver gate (shared by the query and the
+    * golden-oracle writer so both score the same searches). q4 is an
+    * absent-term probe (zero rows by contract); q5 has a repeated term
+    * (distinct-terms contract live).
+    */
+  val GateQueries: Seq[(Long, String)] = Seq(
+    0L -> "join hash batch",
+    1L -> "customer filter",
+    2L -> "scan column row",
+    3L -> "slow small join",
+    4L -> "zzz_absent",
+    5L -> "hash hash join")
+
+  private def queryTerms(queries: Seq[(Long, String)]): Seq[(Long, String)] =
+    queries.flatMap { case (q, text) =>
+      text.trim.split(TextOps.WsPlus).filter(_.nonEmpty).distinct.map(q -> _)
+    }
+
+  /** BM25 top-k per query. Output: (q_id, doc_id, rank, score_micro). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)], k: Int = 10,
+               k1Pm: Int = 1200, bPm: Int = 750): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(queries.nonEmpty, "queries must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.Functions.bm25_micro
+
+    val qt = queryTerms(queries)
+    val terms = qt.map(_._2).distinct
+    require(terms.nonEmpty, "queries contain no terms")
+
+    val base = docs.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"),
+      TextOps.toksOrEmpty(col("text")).as("toks"))
+    val withDl = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), col("toks"))
+
+    // index statistics: one scalar aggregate (N docs, total token mass)
+    val stats = withDl.agg(count(lit(1)).cast("long"), sum(col("dl"))).head()
+    val nDocs = stats.getLong(0)
+    val sumDl = stats.getLong(1)
+    require(nDocs > 0, "empty corpus")
+
+    // hit stream: query-term tokens only survive past the scan (map-side
+    // InSet over the tiny term list), then ONE map-side-combined tf shuffle
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+
+    // document frequency per term: a second aggregate over the tf table's
+    // output (≤ |terms| rows result); broadcast back into the hit stream
+    val dfTbl = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    val qTbl = qt.toDF("q_id", "tok")
+
+    val scored = tf
+      .join(broadcast(dfTbl), Seq("tok"))
+      .join(broadcast(qTbl), Seq("tok"))
+      .select(col("q_id"), col("doc_id"),
+        bm25_micro(col("tf"), col("df"), col("dl"),
+          nDocs, sumDl, k1Pm, bPm).as("s"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+
+    Similarity.topKPerQuery(
+      scored.select(col("q_id"), col("doc_id").as("n_id"),
+        col("score").cast("double").as("score")), k)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank"),
+        col("score").cast("long").as("score_micro"))
+  }
+}

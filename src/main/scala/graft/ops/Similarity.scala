@@ -46,7 +46,7 @@ object Similarity {
     * per query. Ordering: score desc, n_id asc — a total order, so the
     * result is identical to a global rank.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     // ranks WORSE elements as greater (lower score, then larger n_id), so

@@ -645,6 +645,65 @@ object OpsOracle {
     }
   }
 
+  // ---- BM25 retrieval -----------------------------------------------------
+
+  /** Sequential `Retrieval.bm25TopK`: same tokens, same distinct-query-terms
+    * contract, the BM25 term formula restated locally (idf = ln(1 +
+    * (N−df+½)/(df+½)), Lucene tf-norm), each term contribution rounded to
+    * micro-nats BEFORE the per-doc sum, ranking (score desc, doc_id asc).
+    * Returns (q_id, doc_id, rank, score_micro); docs with zero matching
+    * terms (and queries with zero matching docs) emit nothing.
+    */
+  def bm25TopK(docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+               k: Int, k1Pm: Int, bPm: Int): Seq[(Long, Long, Long, Long)] = {
+    def toks(text: String): Array[String] = {
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.isEmpty) Array.empty[String]
+      else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    }
+    val qTerms: Seq[(Long, Seq[String])] =
+      queries.map { case (q, text) => q -> toks(text).distinct.toSeq }
+    val allTerms = qTerms.flatMap(_._2).toSet
+
+    val docToks = docs.map { case (id, t) => id -> toks(t) }
+    val nDocs = docToks.size.toLong
+    val sumDl = docToks.iterator.map(_._2.length.toLong).sum
+    // per-doc tf over query terms only, and per-term df
+    val tf: Map[Long, Map[String, Long]] = docToks.iterator.map { case (id, ts) =>
+      id -> ts.iterator.filter(allTerms).toSeq
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }.toMap
+    val df: Map[String, Long] = allTerms.iterator
+      .map(t => t -> tf.valuesIterator.count(_.contains(t)).toLong)
+      .toMap
+    val dl: Map[Long, Long] = docToks.map { case (id, ts) => id -> ts.length.toLong }.toMap
+
+    def termMicro(tfc: Long, dfc: Long, dlc: Long): Long = {
+      val idf = StrictMath.log(1.0d + (nDocs.toDouble - dfc.toDouble + 0.5d) / (dfc.toDouble + 0.5d))
+      val k1 = k1Pm.toDouble / 1000.0d
+      val b = bPm.toDouble / 1000.0d
+      val avgdl = sumDl.toDouble / nDocs.toDouble
+      val norm = (tfc.toDouble * (k1 + 1.0d)) /
+        (tfc.toDouble + k1 * (1.0d - b + b * (dlc.toDouble / avgdl)))
+      Math.round(idf * norm * 1e6d)
+    }
+
+    qTerms.flatMap { case (q, terms) =>
+      val hits = docToks.iterator.collect {
+        case (id, _) if terms.exists(t => tf(id).contains(t)) =>
+          val s = terms.iterator.flatMap(t =>
+            tf(id).get(t).map(c => termMicro(c, df(t), dl(id)))).sum
+          (id, s)
+      }.toSeq
+      hits.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex.map {
+        case ((id, s), i) => (q, id, (i + 1).toLong, s)
+      }
+    }
+  }
+
   // ---- mojibake repair --------------------------------------------------------
 
   /** Sequential `TextOps.mojibakeRepair`, restated INDEPENDENTLY through the
@@ -872,7 +931,7 @@ object OpsGolden {
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
-    "bpeenc", "nb", "dsir", "moji", "frames", "srckl")
+    "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1022,5 +1081,10 @@ object OpsGolden {
           maxTokens = 64, overlap = 8),
         capacity = 128, nBuckets = 16),
       Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
+    // BM25 retrieval over the fixed probe set (shared with q_bm25_topk)
+    write("bm25",
+      OpsOracle.bm25TopK(docs, graft.ops.Retrieval.GateQueries,
+        k = 10, k1Pm = 1200, bPm = 750),
+      Seq("q_id", "doc_id", "rank", "score_micro"))
   }
 }

@@ -183,6 +183,64 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("BM25 top-k == sequential oracle on the gate probes, parallelism-invariant") {
+    val seq = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.bm25TopK(seq, Retrieval.GateQueries,
+      k = 10, k1Pm = 1200, bPm = 750).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(df, Retrieval.GateQueries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+          r.getLong(3))).toSet
+    val got = run(docs)
+    got shouldBe want
+    run(docs.repartition(7)) shouldBe want
+    // the absent-term probe (q 4) emits nothing by contract
+    got.count(_._1 == 4L) shouldBe 0
+  }
+
+  test("BM25: planted relevance ordering, idf discrimination, distinct-terms contract") {
+    // d1 is stuffed with the query term; d2 mentions it once in a long doc;
+    // d3 has only the common filler; d4 is blank (indexed, never matches)
+    val rows = Seq(
+      (1L, "spark spark spark spark engine"),
+      (2L, "engine engine engine engine engine engine engine spark engine engine engine engine"),
+      (3L, "engine engine engine"),
+      (4L, ""))
+    val df = rows.toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(df, Seq(0L -> "spark", 1L -> "spark spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val q0 = got.filter(_._1 == 0L).sortBy(_._3)
+    // only the two docs containing "spark" appear; the stuffed short doc wins
+    q0.map(_._2).toSeq shouldBe Seq(1L, 2L)
+    q0.head._4 should be > q0.last._4
+    // a rare term out-discriminates the ubiquitous one: "spark" idf > "engine" idf
+    val both = Retrieval.bm25TopK(df, Seq(9L -> "spark engine"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    both.keySet shouldBe Set(1L, 2L, 3L)
+    // repeated query terms fold to one (distinct contract): q0 == q1 scores
+    val q1 = got.filter(_._1 == 1L).sortBy(_._3)
+    q1.map(t => (t._2, t._4)).toSeq shouldBe q0.map(t => (t._2, t._4)).toSeq
+    // agrees with the sequential restatement on the planted corpus
+    val want = graft.oracle.OpsOracle.bm25TopK(rows,
+      Seq(0L -> "spark", 1L -> "spark spark", 9L -> "spark engine"),
+      k = 10, k1Pm = 1200, bPm = 750).toSet
+    Retrieval.bm25TopK(df, Seq(0L -> "spark", 1L -> "spark spark", 9L -> "spark engine"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+      .toSet shouldBe want
+  }
+
+  test("BM25 plan: hit stream filtered before the tf exchange, query side broadcast") {
+    val plan = Retrieval.bm25TopK(docs, Retrieval.GateQueries, k = 10)
+      .queryExecution.executedPlan.toString
+    // the two small sides (df table, query-term pairs) ship as broadcasts
+    plan.linesIterator.count(_.contains("BroadcastExchange")) should be >= 2
+    // corpus text reaches no exchange: every shuffle below carries only
+    // (doc_id/q_id, tok, counts) — no `text`/`toks` attribute survives
+    val shuffleLines = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    shuffleLines.foreach { l => l should not include "text" }
+  }
+
   test("NB quality score == sequential oracle with active vocab cap, parallelism-invariant") {
     val seq = docs.select($"doc_id", $"text").as[(Long, String)]
       .collect().toSeq.sortBy(_._1)
