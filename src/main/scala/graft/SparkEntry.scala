@@ -430,6 +430,13 @@ object SparkEntry {
     // are live corpus vocabulary so the per-mille threshold actually fires
     "q_doc_blocklist" -> ((s, dir) => TextOps.blocklistFilter(
       docsTable(s, dir), Seq("slow", "broken", "stale"), maxPm = 25)),
+    // Z-order (Morton) layout key over (n_chars, doc_id) — the
+    // multi-dimensional clustering that makes parquet footer min-max
+    // statistics prune files under predicates on EITHER column; exact
+    // integer bucket + interleave arithmetic, restated verbatim in DuckDB
+    "q_zorder_key" -> ((s, dir) =>
+      graft.ops.Layout.zorderKey(docsTable(s, dir), "n_chars", "doc_id",
+        bits = 8).select(col("doc_id"), col("zkey"))),
     // BM25 top-k corpus retrieval over the fixed probe set — the READ-side
     // family (corpus audit / decontamination triage / seed-set search);
     // query terms ship map-side, only term HITS ever shuffle, scores are
@@ -598,6 +605,15 @@ object SparkEntry {
         .select(col("a"), col("b"),
           floor(col("score") * 1000).cast("long").as("score_pm"))
     }),
+    // semantic decontamination: eval set = perturbed copies of the first 15
+    // corpus embeddings (planted leaks); eval side broadcast, threshold
+    // filter below the aggregate so only qualifying pairs ever shuffle
+    "q_semantic_decontam" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val embs = embTable(s, dir)
+      Similarity.semanticDecontam(embs,
+        Similarity.perturbed(embs, n = 15), minCosinePm = 990)
+    }),
     "q_media_features" -> ((s, dir) => {
       opsGolden(s, dir)
       val sf = Corpus.sfName(dir)
@@ -611,6 +627,19 @@ object SparkEntry {
       opsGolden(s, dir)
       val sf = Corpus.sfName(dir)
       Multimodal.mediaReuse(Multimodal.fromCorpus(s, Corpus.ensure(s, sf)))
+    }),
+    // perceptual-hash near-duplicate assets: aHash at the scan (bytes never
+    // shuffle), SimHash-style Hamming banding with the hot-bucket cap,
+    // exact bit_count verify — the "re-encoded image" dedup the exact
+    // content hash (q_media_reuse) cannot catch; plants = deterministic
+    // 2-byte-bumped copies of the mod-7 residue-class assets
+    "q_media_phash_dup" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val sf = Corpus.sfName(dir)
+      val media = Multimodal.fromCorpus(s, Corpus.ensure(s, sf))
+      Multimodal.phashNearDup(
+        media.union(Multimodal.perturbedAssets(media)), maxHamming = 6)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
     // video-style frame sampling: decode → resize-pool → every-2nd-frame
     // sample, bounded at 8 frames/asset — the multimodal training-pipeline
@@ -982,6 +1011,20 @@ object SparkEntry {
       "SELECT source, n_toks, kl_micro_scaled, kl_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/srckl/*.parquet')",
     "q_bm25_topk" ->
       "SELECT q_id, doc_id, rank, score_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bm25/*.parquet')",
+    "q_media_phash_dup" ->
+      "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/phash/*.parquet')",
+    "q_semantic_decontam" ->
+      "SELECT vec_id, eval_id, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/semdecon/*.parquet')",
+    "q_zorder_key" ->
+      ("WITH s AS (SELECT min(n_chars) AS mn1, max(n_chars) AS mx1, " +
+        "min(doc_id) AS mn2, max(doc_id) AS mx2 FROM documents), " +
+        "b AS (SELECT doc_id, ((n_chars - mn1) * 256) // (mx1 - mn1 + 1) AS b1, " +
+        "((doc_id - mn2) * 256) // (mx2 - mn2 + 1) AS b2 FROM documents, s) " +
+        "SELECT doc_id, CAST(" +
+        (0 until 8).map(i =>
+          s"(((b1 >> $i) & 1) << ${2 * i + 1}) | (((b2 >> $i) & 1) << ${2 * i})")
+          .mkString(" | ") +
+        " AS BIGINT) AS zkey FROM b"),
     "q_cms_tokens" ->
       ("WITH t AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END) AS tok FROM documents), " +

@@ -144,6 +144,111 @@ object Multimodal {
     }
   }
 
+  // ---- perceptual-hash near-duplicate detection ---------------------------
+
+  /** 64-bit average hash (aHash — the blockhash/pHash family's exact-integer
+    * member) over an opaque byte payload: the stream is split into 64
+    * position cells, bit i is set iff cell i's mean byte value exceeds the
+    * global mean. Means are compared by CROSS-MULTIPLICATION
+    * (cellSum·n > total·cellCount), so the hash is pure integer arithmetic —
+    * bit-identical everywhere, no float thresholds. Small payload edits move
+    * one cell's sum by a few units and flip at most the borderline bits,
+    * which is exactly the near-duplicate property Hamming banding needs.
+    * On real decoded pixels this is the textbook aHash; here it runs on the
+    * opaque payload bytes (the stub-decode discipline of this module).
+    */
+  def phash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = (bytes(i) & 0xff).toLong
+      val c = (i.toLong * 64L / n).toInt
+      sums(c) += v; cnts(c) += 1; total += v
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (cnts(b) > 0 && sums(b) * n > total * cnts(b)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** Deterministic near-duplicate plants for the phash gate: every asset
+    * whose ref murmur-hashes into residue class 0 (mod `mod`) gains a copy
+    * (`ref~p`) with `flips` payload bytes bumped by one — the "re-encoded /
+    * slightly edited image" class a perceptual dedup must catch. Selection
+    * is content-keyed (no ordering, no sampling), so any subset of the
+    * corpus plants identically.
+    */
+  def perturbedAssets(media: Dataset[MediaRecord], flips: Int = 2,
+                      mod: Int = 7): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media
+      .filter((m: MediaRecord) =>
+        math.floorMod(MurmurHash3.stringHash(m.media_ref), mod) == 0)
+      .map { m =>
+        val c = m.content.clone()
+        var j = 0
+        while (j < flips && c.length > 0) {
+          val p = j * 31 % c.length
+          c(p) = (c(p) + 1).toByte
+          j += 1
+        }
+        m.copy(media_ref = m.media_ref + "~p", content = c)
+      }
+  }
+
+  /** Perceptual near-duplicate asset pairs: [[phash64]] at the scan (bytes
+    * never survive the first projection), then the SimHash pigeonhole
+    * discipline — `maxHamming + 1` Hamming bands, pairs meet only inside a
+    * shared band bucket, hot buckets (> `maxBucket` assets — the
+    * exact-duplicate regime, dedupe by content hash first) are dropped and
+    * singleton buckets pruned before the self-join, exact `bit_count`
+    * Hamming verify on the survivors. Output (a, b, hamming), a < b.
+    *
+    * Scale shape: the only exchanged rows are (ref, 8-byte hash) and the
+    * band keys; asset payloads stay in the scan stage. Recall is exact for
+    * hamming ≤ maxHamming within kept buckets (pigeonhole: ≤ maxHamming
+    * differing bits cannot touch all maxHamming+1 bands).
+    */
+  def phashNearDup(media: Dataset[MediaRecord], maxHamming: Int = 6,
+                   maxBucket: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming must be in [1, 15] (got $maxHamming); dedupe exact copies by content hash first")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    import org.apache.spark.sql.functions._
+    val spark = media.sparkSession
+    import spark.implicits._
+    // hash map-side; one narrow (ref, hash) exchange dedupes assets shared
+    // across documents so each asset is banded once
+    val hashed = media.map(m => (m.media_ref, phash64(m.content)))
+      .toDF("ref", "ph").groupBy("ref").agg(min(col("ph")).as("ph"))
+    val banded = hashed
+      .select(col("ref"), col("ph"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("key", expr(s"shiftrightunsigned(ph, band * $width)")
+        .bitwiseAND(lit((1L << width) - 1)))
+    val keepK = banded.groupBy("band", "key").agg(count(lit(1)).as("m"))
+      .where(col("m").between(2, maxBucket))
+      .select("band", "key")
+    val pruned = banded.join(keepK, Seq("band", "key"), "left_semi")
+    val a = pruned.select(col("ref").as("a"), col("ph").as("ph_a"), col("band"), col("key"))
+    val b = pruned.select(col("ref").as("b"), col("ph").as("ph_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Batched feature extraction: partition-local decoder, fixed-size batches
     * (the mapInPandas batch-shape analog for a JVM-only build).
     */

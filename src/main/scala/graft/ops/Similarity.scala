@@ -410,6 +410,40 @@ object Similarity {
         col("dup_of").isNull.cast("long").as("keep"))
   }
 
+  /** Semantic decontamination — the embedding-space companion to
+    * `Dedup.decontaminate`'s n-gram overlap check: flag every corpus vector
+    * whose cosine to ANY benchmark/eval embedding reaches
+    * `minCosinePm`/1000, with the best qualifying match as provenance
+    * (GPT-3 §4 runs the n-gram form; embedding-similarity decontamination
+    * is the modern complement for paraphrased leaks). Output, one row per
+    * FLAGGED corpus vector: (vec_id, eval_id, score_pm) where eval_id is
+    * the best match (score desc, eval_id asc — a total order) and score_pm
+    * = floor(cos·1000).
+    *
+    * Scale shape: the eval set is ≪ corpus and ships as a BROADCAST
+    * nested-loop join — the corpus never shuffles for scoring; the
+    * threshold filter runs BELOW the aggregate, so the only exchange
+    * carries the sparse (vec_id, eval_id, score) qualifying pairs, not a
+    * row per corpus vector. Scoring stays in codegen'd higher-order
+    * functions ([[cosine]]).
+    */
+  def semanticDecontam(embs: DataFrame, evalEmbs: DataFrame,
+                       minCosinePm: Int = 990): DataFrame = {
+    val corpus = embs.select(Dedup.idLong(col("vec_id"), "vec_id").as("vec_id"),
+      col("embedding"))
+    val evals = evalEmbs.select(
+      Dedup.idLong(col("vec_id"), "eval vec_id").as("eval_id"),
+      col("embedding").as("eval_emb"))
+    corpus.join(broadcast(evals))
+      .select(col("vec_id"), col("eval_id"),
+        cosine(col("embedding"), col("eval_emb")).as("score"))
+      .where(col("score") * 1000 >= minCosinePm)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), negate(col("eval_id")).as("neg_id"))).as("m"))
+      .select(col("vec_id"), negate(col("m.neg_id")).cast("long").as("eval_id"),
+        floor(col("m.score") * 1000).cast("long").as("score_pm"))
+  }
+
   /** Per-label embedding centroids in integer micro-units: each float
     * component is floored to micros FIRST (float→double widening is exact, so
     * both engines floor the same value), then summed as longs — making the

@@ -364,6 +364,24 @@ object OpsOracle {
   }
 
   /** Sequential `Similarity.perturbed` (shared perturbation leaf). */
+  /** Sequential `Similarity.semanticDecontam`: for every corpus vector, the
+    * best (score desc, eval_id asc) eval match with cos·1000 ≥ minCosinePm,
+    * or nothing. The threshold compares the raw double (like the
+    * distributed `where`); only the OUTPUT is floored to per-mille.
+    */
+  def semanticDecontam(corpus: Seq[(Long, Array[Float])],
+                       evals: Seq[(Long, Array[Float])],
+                       minCosinePm: Int): Seq[(Long, Long, Long)] =
+    corpus.flatMap { case (id, v) =>
+      val qual = evals.map { case (eid, ev) => (eid, cosineF(v, ev)) }
+        .filter(_._2 * 1000 >= minCosinePm)
+      if (qual.isEmpty) Nil
+      else {
+        val best = qual.maxBy { case (eid, s) => (s, -eid) }
+        Seq((id, best._1, math.floor(best._2 * 1000).toLong))
+      }
+    }
+
   def perturbed(embs: Seq[(Long, Array[Float])], n: Int, seed: Long = 7,
                 noise: Float = 0.002f, idOffset: Long = 1000000L): Seq[(Long, Array[Float])] =
     embs.filter(_._1 < n).map { case (id, v) =>
@@ -904,6 +922,57 @@ object OpsOracle {
     }
   }
 
+  /** Sequential `Multimodal.phashNearDup` over the synthetic corpus plus the
+    * SAME deterministic perturbed plants as `Multimodal.perturbedAssets`:
+    * brute-force all-pairs Hamming over the per-asset [[Multimodal.phash64]]
+    * values (the shared hash kernel, like `simhashPairs` shares
+    * `Dedup.simhash64` — the banding/join machinery is what this restates
+    * independently), with the distributed op's maxBucket contract mirrored
+    * the standard way. Returns (a, b, hamming) with a < b.
+    */
+  def phashPairs(spec: CorpusGen.Spec, flips: Int, mod: Int,
+                 maxHamming: Int, maxBucket: Int = 10000): Seq[(String, String, Long)] = {
+    val baseRefs = CorpusGen.genAll(spec)
+      .flatMap(_.spans.iterator.map(_.media_ref).filter(_.nonEmpty))
+      .toSeq.distinct
+    def perturb(c: Array[Byte]): Array[Byte] = {
+      val x = c.clone()
+      var j = 0
+      while (j < flips && x.length > 0) {
+        val p = j * 31 % x.length
+        x(p) = (x(p) + 1).toByte
+        j += 1
+      }
+      x
+    }
+    // IndexedSeq: the all-pairs loop below does O(n^2) positional reads
+    val assets: IndexedSeq[(String, Long)] = (baseRefs.map(r =>
+        r -> Multimodal.phash64(Multimodal.syntheticContent(r))) ++
+      baseRefs.filter(r => math.floorMod(MurmurHash3.stringHash(r), mod) == 0)
+        .map(r => (r + "~p") ->
+          Multimodal.phash64(perturb(Multimodal.syntheticContent(r))))
+      ).sortBy(_._1).toIndexedSeq
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    def bandKeys(h: Long): Seq[(Int, Long)] =
+      (0 until nBands).map(b => (b, (h >>> (b * width)) & mask))
+    val bucketSize = scala.collection.mutable.Map.empty[(Int, Long), Int]
+    assets.foreach { case (_, h) =>
+      bandKeys(h).foreach(k => bucketSize(k) = bucketSize.getOrElse(k, 0) + 1)
+    }
+    def meetsInKeptBucket(h1: Long, h2: Long): Boolean =
+      bandKeys(h1).exists { case (b, k) =>
+        ((h2 >>> (b * width)) & mask) == k && bucketSize((b, k)) <= maxBucket
+      }
+    (for {
+      i <- assets.indices.iterator
+      j <- (i + 1) until assets.length
+      h = java.lang.Long.bitCount(assets(i)._2 ^ assets(j)._2)
+      if h <= maxHamming && meetsInKeptBucket(assets(i)._2, assets(j)._2)
+    } yield (assets(i)._1, assets(j)._1, h.toLong)).toSeq.sorted
+  }
+
   /** Sequential `Multimodal` features over the synthetic corpus: every
     * media-bearing span → (doc_id, media_ref, n_bytes, content_h64).
     */
@@ -931,7 +1000,8 @@ object OpsGolden {
   private val names = Seq("ngram", "minhash", "simhash", "clusters", "ann_brute",
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
-    "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25")
+    "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
+    "semdecon")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1081,6 +1151,18 @@ object OpsGolden {
           maxTokens = 64, overlap = 8),
         capacity = 128, nBuckets = 16),
       Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
+    // semantic decontamination: eval set = perturbed copies of the first 15
+    // corpus vectors (planted leaks) — the SAME derivation as SparkEntry's
+    // q_semantic_decontam eval side
+    write("semdecon",
+      OpsOracle.semanticDecontam(embs,
+        OpsOracle.perturbed(embs, n = 15), minCosinePm = 990),
+      Seq("vec_id", "eval_id", "score_pm"))
+    // perceptual-hash media near-dup over corpus assets + perturbed plants
+    write("phash",
+      OpsOracle.phashPairs(CorpusGen.specFor(sf), flips = 2, mod = 7,
+        maxHamming = 6),
+      Seq("a", "b", "hamming"))
     // BM25 retrieval over the fixed probe set (shared with q_bm25_topk)
     write("bm25",
       OpsOracle.bm25TopK(docs, graft.ops.Retrieval.GateQueries,

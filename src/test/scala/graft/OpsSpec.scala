@@ -605,6 +605,100 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got("solo.png") shouldBe ((1L, 1L, "d3"))
   }
 
+  test("semantic decontam == sequential oracle, planted leaks caught, parallelism-invariant") {
+    val seqEmb = embs.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val evalSeq = graft.oracle.OpsOracle.perturbed(seqEmb, n = 15)
+    val want = graft.oracle.OpsOracle.semanticDecontam(seqEmb, evalSeq,
+      minCosinePm = 990).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDecontam(df, Similarity.perturbed(embs, n = 15),
+        minCosinePm = 990)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run(embs)
+    got shouldBe want
+    run(embs.repartition(5)) shouldBe want
+    // every planted leak (corpus vec i ≈ eval 1000000+i) is flagged
+    (0 until 15).foreach { i =>
+      got.find(_._1 == i.toLong).map(_._2) shouldBe Some(1000000L + i)
+    }
+    // eval side broadcasts; corpus embeddings reach no shuffle
+    val plan = Similarity.semanticDecontam(embs,
+      Similarity.perturbed(embs, n = 15)).queryExecution.executedPlan.toString
+    plan should include ("BroadcastNestedLoopJoin")
+  }
+
+  test("zorder key: exact bucket+interleave arithmetic on crafted values") {
+    // values 0..15 with bits=4 bucketize to themselves; hand-check corners
+    val df = spark.range(16).selectExpr("id AS a", "cast(15 - id AS bigint) AS b")
+    val got = Layout.zorderKey(df, "a", "b", bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got(0L) shouldBe 85L   // a=0  (odd bits 0), b=15 (even bits 1111) = 0b01010101
+    got(15L) shouldBe 170L // a=15 (odd bits 1), b=0 = 0b10101010
+    // interleave is a bijection on the crafted grid: all keys distinct
+    got.values.toSet.size shouldBe 16
+    // deterministic under repartitioning (stats pass + pure projection)
+    Layout.zorderKey(df.repartition(5), "a", "b", bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap shouldBe got
+  }
+
+  test("zorder layout: footer-stats pruning works on BOTH dimensions") {
+    // two independent deterministic dimensions over 4096 rows
+    val df = spark.range(4096).selectExpr("id AS a",
+      "cast((id * 2654435761) % 4096 AS bigint) AS b")
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString + "/z"
+    val adir = java.nio.file.Files.createTempDirectory("zorder").toString + "/a"
+    Layout.clusterBy(df, "a", "b", nFiles = 16, bits = 12)
+      .write.parquet(zdir)
+    df.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.parquet(adir)
+    val zs = Layout.fileStats(spark, zdir, Seq("a", "b")).cache()
+    val as = Layout.fileStats(spark, adir, Seq("a", "b")).cache()
+    zs.count() shouldBe 16L
+    // a narrow predicate on EITHER column skips most z-ordered files ...
+    Layout.prunedFraction(zs, "a", 100, 180) should be >= 0.5
+    Layout.prunedFraction(zs, "b", 100, 180) should be >= 0.5
+    // ... while the single-column layout prunes only its own dimension
+    Layout.prunedFraction(as, "a", 100, 180) should be >= 0.8
+    Layout.prunedFraction(as, "b", 100, 180) should be <= 0.2
+    zs.unpersist(); as.unpersist()
+  }
+
+  test("phash near-dup == sequential brute force incl. plants, parallelism-invariant") {
+    val sf = "sf0.001"
+    graft.corpus.Corpus.ensure(spark, sf)
+    val spec = graft.corpus.CorpusGen.specFor(sf)
+    val want = graft.oracle.OpsOracle.phashPairs(spec, flips = 2, mod = 7,
+      maxHamming = 6).toSet
+    val media = Multimodal.fromCorpus(spark, graft.corpus.Corpus.ensure(spark, sf))
+    def run(m: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) =
+      Multimodal.phashNearDup(m.union(Multimodal.perturbedAssets(m)), maxHamming = 6)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2).toLong)).toSet
+    val got = run(media)
+    got shouldBe want
+    run(media.repartition(5)) shouldBe want
+    // the plants are LIVE: at least one planted (ref, ref~p) pair is caught
+    got.count { case (a, b, _) => b == a + "~p" } should be > 0
+  }
+
+  test("phash64: integer-exact, edit-local, order-of-magnitude separation") {
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(512)(rng.nextInt(256).toByte)
+    // determinism
+    Multimodal.phash64(base) shouldBe Multimodal.phash64(base.clone())
+    // a 2-byte bump moves the hash at most a few bits
+    val edited = base.clone(); edited(0) = (edited(0) + 1).toByte
+    edited(31) = (edited(31) + 1).toByte
+    java.lang.Long.bitCount(
+      Multimodal.phash64(base) ^ Multimodal.phash64(edited)) should be <= 6
+    // an unrelated payload lands far away (random 64-bit hamming ≈ 32)
+    val other = Array.fill(512)(rng.nextInt(256).toByte)
+    java.lang.Long.bitCount(
+      Multimodal.phash64(base) ^ Multimodal.phash64(other)) should be > 6
+    // empty payload is defined
+    Multimodal.phash64(Array.emptyByteArray) shouldBe 0L
+  }
+
   test("hll sketch: large-range accuracy, small-range n_hit, parallelism invariance") {
     // large range: 50k distinct items at p=12 (n/m ≈ 12 > 2.5) — raw
     // estimator regime, sigma = 1.04/sqrt(4096) = 1.6%; assert 6%
