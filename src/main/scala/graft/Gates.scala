@@ -90,6 +90,34 @@ object Gates {
     graft.pipeline.Extraction.explodeSpans(
       TableIO.readCommitted(spark, resumeTable(spark, sfDir)).get)
 
+  private def copyTree(src: String, dst: String): Unit = {
+    val s = Paths.get(src); val d = Paths.get(dst)
+    Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Compaction gate: copy the two-snapshot resume table, OPTIMIZE it into
+    * a single full-rewrite snapshot (4 range-clustered files), expire the
+    * replaced snapshots, and return the full span scan read back from the
+    * compacted table — which must STILL equal the golden span set exactly
+    * (compaction moves bytes, never rows).
+    */
+  def compactedExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = resumeTable(spark, sfDir)
+    val work = s"${Corpus.Root}/gates/${Corpus.sfName(sfDir)}/compact"
+    clean(work)
+    copyTree(src, work)
+    val rows = TableIO.readCommitted(spark, work).get.count()
+    TableIO.compact(spark, work, "gate-opt",
+      rowsPerFile = math.max(1L, rows / 4)).get
+    TableIO.expireSnapshots(work)
+    graft.pipeline.Extraction.explodeSpans(
+      TableIO.readCommitted(spark, work).get)
+  }
+
   /** Time-travel scan of the FIRST snapshot (Iceberg VERSION AS OF analog)
     * after both commits exist — must see only the phase-1 docs.
     */

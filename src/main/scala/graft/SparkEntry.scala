@@ -181,6 +181,10 @@ object SparkEntry {
     "q_resume_extract" -> ((s, dir) => Gates.resumeExtract(s, dir)),
     // Iceberg VERSION-AS-OF analog: time-travel scan of snapshot 1 only
     "q_snapshot_asof" -> ((s, dir) => Gates.snapshotAsOf(s, dir)),
+    // Iceberg rewrite_data_files / OPTIMIZE analog: compact the committed
+    // table into one full-rewrite snapshot, expire the replaced ones, read
+    // back — rows must survive compaction byte-exactly
+    "q_compacted_extract" -> ((s, dir) => Gates.compactedExtract(s, dir)),
     // co-located bucketed join (zero-exchange layout; plan pinned in
     // BucketingSpec, result pinned here)
     "q_bucketed_join" -> ((s, dir) => Gates.bucketedJoin(s, dir)),
@@ -777,6 +781,8 @@ object SparkEntry {
     "q_snapshot_asof" ->
       ("SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet') " +
         "WHERE substr(doc_id, 13, 1) IN ('0','2','4','6','8')"),
+    "q_compacted_extract" ->
+      "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
     "q_bucketed_join" ->
       ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +

@@ -23,7 +23,12 @@ import scala.jdk.CollectionConverters._
   */
 object TableIO {
 
-  final case class Snapshot(id: String, dir: Path, parent: Option[String])
+  /** `replaces` non-empty marks a FULL-REWRITE snapshot (compaction): its
+    * data alone is the table at that version, so committed-scan and
+    * time-travel chain walks stop there instead of unioning ancestors.
+    */
+  final case class Snapshot(id: String, dir: Path, parent: Option[String],
+                            replaces: Seq[String] = Nil)
 
   private def manifestPath(dir: Path): Path = dir.resolve("manifest.json")
 
@@ -36,13 +41,44 @@ object TableIO {
       .map { p =>
         val json = new String(Files.readAllBytes(manifestPath(p)), "UTF-8")
         val parent = """"parent"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
-        Snapshot(p.getFileName.toString.stripPrefix("snap-"), p, parent)
+        val replaces = """"replaces"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+          .map(_.group(1).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        Snapshot(p.getFileName.toString.stripPrefix("snap-"), p, parent, replaces)
       }
   }
 
-  /** Union of all committed snapshots' data — the "table scan". */
+  /** The snapshot chain visible at `snapshotId`: walk the manifest parent
+    * lineage backwards, stopping at (and including) the first full-rewrite
+    * snapshot — everything it replaced is no longer part of the table at
+    * this version. Oldest first.
+    */
+  private def chainAsOf(root: String, snapshotId: String): Seq[Snapshot] = {
+    val byId = committedSnapshots(root).map(s => s.id -> s).toMap
+    var chain = List.empty[Snapshot]
+    var cur = byId.get(snapshotId)
+    // seen-guard: a corrupted/hand-edited manifest whose parent chain loops
+    // must terminate the walk, not hang the driver
+    val seen = scala.collection.mutable.Set.empty[String]
+    while (cur.isDefined && seen.add(cur.get.id)) {
+      chain = cur.get :: chain
+      cur = if (cur.get.replaces.nonEmpty) None // full rewrite: chain ends
+            else cur.get.parent.flatMap(byId.get)
+    }
+    chain
+  }
+
+  /** The snapshots whose data constitutes the CURRENT table: the chain of
+    * the latest committed snapshot.
+    */
+  def liveSnapshots(root: String): Seq[Snapshot] =
+    committedSnapshots(root).lastOption
+      .map(last => chainAsOf(root, last.id)).getOrElse(Nil)
+
+  /** Union of the live snapshots' data — the "table scan". */
   def readCommitted(spark: SparkSession, root: String): Option[DataFrame] = {
-    val dirs = committedSnapshots(root).map(_.dir.resolve("data").toString)
+    val dirs = liveSnapshots(root).map(_.dir.resolve("data").toString)
       .filter(d => Files.isDirectory(Paths.get(d)))
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
@@ -101,23 +137,72 @@ object TableIO {
     * committed snapshot chain up to and including `snapshotId`, walking the
     * manifest parent lineage backwards — directory order is presentation,
     * the parent chain is the source of truth. None if the id is unknown or
-    * uncommitted.
+    * uncommitted (including snapshots already removed by
+    * [[expireSnapshots]] — expiration is what bounds time travel).
     */
   def readAsOf(spark: SparkSession, root: String,
                snapshotId: String): Option[DataFrame] = {
-    val byId = committedSnapshots(root).map(s => s.id -> s).toMap
-    var chain = List.empty[Snapshot]
-    var cur = byId.get(snapshotId)
-    // seen-guard: a corrupted/hand-edited manifest whose parent chain loops
-    // must terminate the walk, not hang the driver
-    val seen = scala.collection.mutable.Set.empty[String]
-    while (cur.isDefined && seen.add(cur.get.id)) {
-      chain = cur.get :: chain
-      cur = cur.get.parent.flatMap(byId.get)
-    }
-    val dirs = chain.map(_.dir.resolve("data").toString)
+    val dirs = chainAsOf(root, snapshotId).map(_.dir.resolve("data").toString)
       .filter(d => Files.isDirectory(Paths.get(d)))
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Small-file compaction (Iceberg `rewrite_data_files` / Delta `OPTIMIZE`
+    * analog): rewrite the CURRENT table as one new full-rewrite snapshot
+    * whose data is range-clustered on doc_id into ceil(rows / rowsPerFile)
+    * files, committed with the same atomic-manifest discipline. Readers see
+    * either the old live set or the compacted snapshot, never both; the
+    * replaced snapshots stay on disk for time travel until
+    * [[expireSnapshots]]. Returns the new snapshot id, or None on an empty
+    * table.
+    *
+    * Scale shape: ONE range exchange of the table (the rewrite every
+    * compactor pays, planned off a row-count pass that table metadata would
+    * normally supply); range-partitioning on doc_id leaves every output
+    * file with a tight doc_id envelope, so the committed-skip anti-join and
+    * doc_id lookups prune files afterwards.
+    */
+  def compact(spark: SparkSession, root: String, runId: String,
+              rowsPerFile: Long = 1000000L): Option[String] = {
+    require(rowsPerFile >= 1, "rowsPerFile >= 1")
+    val live = liveSnapshots(root)
+    val data = readCommitted(spark, root).getOrElse(return None)
+    val rows = data.count()
+    if (rows == 0) return None
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+
+    val snaps = committedSnapshots(root)
+    val snapshotId = f"${snaps.length}%06d-$runId"
+    val dir = Paths.get(root, s"snap-$snapshotId")
+    Files.createDirectories(dir)
+    data.repartitionByRange(nFiles, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(dir.resolve("data").toString)
+    // metrics roll forward untouched (lineage is per original run)
+
+    val parent = snaps.lastOption.map(s => s""""parent": "${s.id}", """).getOrElse("")
+    val replaces = live.map(s => "\"" + s.id + "\"").mkString("[", ", ", "]")
+    val json = s"""{"snapshot_id": "$snapshotId", $parent"run_id": "$runId", "replaces": $replaces}"""
+    val tmp = dir.resolve("manifest.json.tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE)
+    Some(snapshotId)
+  }
+
+  /** Snapshot expiration (Iceberg `expire_snapshots` analog): delete the
+    * data of every committed snapshot that is no longer in the live chain —
+    * i.e. everything a later full-rewrite replaced. Time travel to expired
+    * ids returns None afterwards; the live table is untouched. Returns the
+    * expired ids.
+    */
+  def expireSnapshots(root: String): Seq[String] = {
+    val liveIds = liveSnapshots(root).map(_.id).toSet
+    val expired = committedSnapshots(root).filterNot(s => liveIds(s.id))
+    expired.foreach { s =>
+      Files.walk(s.dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+    expired.map(_.id)
   }
 
   /** All committed metrics rows. */

@@ -65,6 +65,48 @@ class ResumeSpec extends AnyFunSuite with Matchers {
     TableIO.readAsOf(spark, s"$tmp/out", "no-such-snapshot") shouldBe None
   }
 
+  test("compaction: full-rewrite snapshot preserves rows, bounds files, keeps time travel until expiry") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val all = CorpusGen.genAll(spec).toSeq
+    val (first, rest) = all.splitAt(25)
+    writeInput(s"$tmp/input1", first)
+    val s1 = TableIO.runAndCommit(spark, s"$tmp/input1", s"$tmp/out", "run1", 4).get
+    writeInput(s"$tmp/input", all)
+    TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "run2", 4).get
+
+    val before = TableIO.readCommitted(spark, s"$tmp/out").get
+      .select($"doc_id", $"spans").as[(String, Seq[OutSpan])].collect().toMap
+
+    val c = TableIO.compact(spark, s"$tmp/out", "opt1", rowsPerFile = 10L).get
+    // the compacted snapshot ALONE is the live table now, content-identical
+    TableIO.liveSnapshots(s"$tmp/out").map(_.id) shouldBe Seq(c)
+    val after = TableIO.readCommitted(spark, s"$tmp/out").get
+      .select($"doc_id", $"spans").as[(String, Seq[OutSpan])].collect().toMap
+    after shouldBe before
+    // file count bounded by the target: ceil(60 / 10) data files
+    val dataDir = java.nio.file.Paths.get(s"$tmp/out/snap-$c/data")
+    import scala.jdk.CollectionConverters._
+    Files.list(dataDir).iterator().asScala.count(
+      _.getFileName.toString.endsWith(".parquet")) shouldBe 6
+    // time travel to the pre-compaction snapshot still works
+    TableIO.readAsOf(spark, s"$tmp/out", s1).get
+      .select("doc_id").as[String].collect().sorted shouldBe
+      first.map(_.doc_id).sorted.toArray
+    // resume against the compacted table still skips committed docs
+    TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "run3", 4) shouldBe None
+    // a genuinely new doc commits on top of the compacted snapshot
+    writeInput(s"$tmp/input2", rest.take(1).map(d => d.copy(doc_id = d.doc_id + "-new")))
+    val s4 = TableIO.runAndCommit(spark, s"$tmp/input2", s"$tmp/out", "run4", 4).get
+    TableIO.readCommitted(spark, s"$tmp/out").get.count() shouldBe (all.size + 1L)
+    TableIO.liveSnapshots(s"$tmp/out").map(_.id) shouldBe Seq(c, s4)
+    // expiry removes the replaced snapshots; live table unaffected,
+    // time travel to expired ids now returns None
+    val expired = TableIO.expireSnapshots(s"$tmp/out")
+    expired should contain (s1)
+    TableIO.readCommitted(spark, s"$tmp/out").get.count() shouldBe (all.size + 1L)
+    TableIO.readAsOf(spark, s"$tmp/out", s1) shouldBe None
+  }
+
   test("uncommitted snapshot (no manifest) is invisible to readers") {
     val tmp = Files.createTempDirectory("graft-uncommitted").toString
     val all = CorpusGen.genAll(CorpusGen.Spec(5, 4)).toSeq
