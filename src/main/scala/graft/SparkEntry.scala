@@ -507,6 +507,31 @@ object SparkEntry {
     // deterministic corpus-mixture sampling to target source proportions
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docsTable(s, dir),
       Seq("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))),
+    // temperature-based (α=0.3) mixture: targets ∝ n_s^α from the stats
+    // pass (mT5-style tail upweighting), then the same hash-Bernoulli
+    // sampler — targets and sampler share one deterministic arithmetic
+    "q_temperature_mixture" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      TextOps.mixtureSample(docs,
+        TextOps.temperatureTargets(docs, alphaPm = 300))
+    }),
+    // explicit salted enrichment join: the 3-hot-key source column is the
+    // genuinely skewed case — the salt spreads each source over 8 reducer
+    // slices; result must equal the plain join exactly
+    "q_salted_join" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val dim = docs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs_source"))
+      graft.ops.Skew.saltedJoin(
+        docs.select(col("doc_id").cast("long").as("doc_id"), col("source")),
+        dim, key = "source", saltBy = "doc_id", saltFactor = 8)
+        .select(col("doc_id"), col("source"), col("n_docs_source"))
+    }),
+    // partition-pressure diagnostic over the skewed source key: the
+    // content-keyed bucket histogram that sizes saltFactor
+    "q_key_pressure" -> ((s, dir) =>
+      graft.ops.Skew.keyPressure(docsTable(s, dir), "source", nBuckets = 32)),
     // overlapping token-window chunking (zero-shuffle map work)
     "q_doc_chunks" -> ((s, dir) => TextOps.chunkDocs(docsTable(s, dir))),
     // integer-exact TF-IDF-style salient term per doc
@@ -1021,6 +1046,16 @@ object SparkEntry {
       "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/phash/*.parquet')",
     "q_semantic_decontam" ->
       "SELECT vec_id, eval_id, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/semdecon/*.parquet')",
+    "q_temperature_mixture" ->
+      "SELECT doc_id, source, mix_ppm, rate_ppm, keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/tempmix/*.parquet')",
+    "q_salted_join" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_source FROM documents GROUP BY source) " +
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, c.n_docs_source " +
+        "FROM documents d JOIN c USING (source)"),
+    "q_key_pressure" ->
+      ("SELECT ('0x' || substr(md5(source), 1, 8))::BIGINT % 32 AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT source) AS BIGINT) AS n_keys " +
+        "FROM documents GROUP BY 1"),
     "q_zorder_key" ->
       ("WITH s AS (SELECT min(n_chars) AS mn1, max(n_chars) AS mx1, " +
         "min(doc_id) AS mn2, max(doc_id) AS mx2 FROM documents), " +

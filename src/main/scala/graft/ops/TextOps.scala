@@ -377,6 +377,50 @@ object TextOps {
         (col("mix_ppm") < col("rate_ppm")).cast("long").as("keep"))
   }
 
+  /** Temperature-based mixture targets: per-source sampling proportions
+    * p_s ∝ n_s^α with α = `alphaPm`/1000 — the multilingual/multi-source
+    * temperature sampling of mT5 / mBERT (Arivazhagan et al. 2019 §5;
+    * Xue et al. 2021 §3.2): α < 1 upweights tail sources relative to their
+    * raw frequency, α = 1 is proportional, α = 0 uniform. Computed
+    * driver-side over the |sources|-row count table (one map-side-combined
+    * aggregate — the same stats pass as [[sourceStats]]): StrictMath.pow in
+    * a FIXED summation order (source asc), then LARGEST-REMAINDER rounding
+    * to per-mille (ties: larger remainder first, then source asc — a total
+    * order) so the targets sum to exactly 1000 and feed [[mixtureSample]]
+    * unchanged. The sequential oracle restates this verbatim.
+    */
+  def temperatureTargets(docs: DataFrame, alphaPm: Int = 300): Seq[(String, Long)] = {
+    require(alphaPm >= 0 && alphaPm <= 1000, s"alphaPm in [0, 1000] (got $alphaPm)")
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "no sources")
+    temperatureTargetsSeq(counts, alphaPm)
+  }
+
+  /** The pure arithmetic of [[temperatureTargets]] over a materialized
+    * (source, count) table — shared with the sequential oracle so the two
+    * formulations cannot drift.
+    */
+  def temperatureTargetsSeq(counts: Seq[(String, Long)], alphaPm: Int): Seq[(String, Long)] = {
+    val alpha = alphaPm.toDouble / 1000.0d
+    val sorted = counts.sortBy(_._1)
+    val pows = sorted.map { case (s, n) => (s, StrictMath.pow(n.toDouble, alpha)) }
+    val tot = pows.iterator.map(_._2).sum // fixed order: source asc
+    val base = pows.map { case (s, p) =>
+      val x = p * 1000.0d / tot
+      (s, math.floor(x).toLong, x - math.floor(x))
+    }
+    val rem = 1000L - base.iterator.map(_._2).sum
+    val bumped = base.sortBy { case (s, _, frac) => (-frac, s) }
+      .zipWithIndex
+      .map { case ((s, b, _), i) => (s, if (i < rem) b + 1 else b) }
+      .sortBy(_._1)
+    require(bumped.forall(_._2 > 0),
+      "a source's target rounded to 0 per-mille — raise alphaPm or drop the source explicitly")
+    bumped
+  }
+
   /** Per-source document-length quantile profile as DISCRETE quantiles: the
     * element at sorted rank floor(q·(n−1)). Interpolating percentiles
     * (`percentile`/`quantile_cont`) associate their floating arithmetic

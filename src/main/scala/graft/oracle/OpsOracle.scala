@@ -663,6 +663,41 @@ object OpsOracle {
     }
   }
 
+  // ---- temperature mixture sampling ----------------------------------------
+
+  private def md5Hex8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  /** Sequential `TextOps.mixtureSample(docs, temperatureTargets(docs, α))`:
+    * targets via the SHARED `temperatureTargetsSeq` arithmetic (driver-side
+    * in both formulations by design), then the mixture-sample floor-of-
+    * double chain and the md5 hash-Bernoulli keep restated locally with the
+    * distributed expressions' exact operand order. Returns
+    * (doc_id, source, mix_ppm, rate_ppm, keep).
+    */
+  def temperatureMixture(docs: Seq[(Long, String)],
+                         alphaPm: Int): Seq[(Long, String, Long, Long, Long)] = {
+    val counts = docs.groupBy(_._2).map { case (s, xs) => (s, xs.size.toLong) }.toSeq
+    val n = counts.toMap
+    val targets = graft.ops.TextOps.temperatureTargetsSeq(counts, alphaPm)
+    val tTotal = targets.map { case (s, pm) =>
+      math.floor((n(s) * 1000L).toDouble / pm).toLong
+    }.min
+    val rates = targets.map { case (s, pm) =>
+      val keepS = math.floor((tTotal * pm).toDouble / 1000.0d).toLong
+      s -> math.min(1000000L,
+        math.floor((keepS * 1000000L).toDouble / n(s)).toLong)
+    }.toMap
+    docs.map { case (id, s) =>
+      val mix = md5Hex8("mix:" + id) % 1000000L
+      val rate = rates(s)
+      (id, s, mix, rate, if (mix < rate) 1L else 0L)
+    }
+  }
+
   // ---- BM25 retrieval -----------------------------------------------------
 
   /** Sequential `Retrieval.bm25TopK`: same tokens, same distinct-query-terms
@@ -1001,7 +1036,7 @@ object OpsGolden {
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
-    "semdecon")
+    "semdecon", "tempmix")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1151,6 +1186,12 @@ object OpsGolden {
           maxTokens = 64, overlap = 8),
         capacity = 128, nBuckets = 16),
       Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
+    // temperature (α=0.3) mixture over the gate corpus's (doc_id, source)
+    write("tempmix", {
+      val srcDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source").as[(Long, String)].collect().toSeq.sortBy(_._1)
+      OpsOracle.temperatureMixture(srcDocs, alphaPm = 300)
+    }, Seq("doc_id", "source", "mix_ppm", "rate_ppm", "keep"))
     // semantic decontamination: eval set = perturbed copies of the first 15
     // corpus vectors (planted leaks) — the SAME derivation as SparkEntry's
     // q_semantic_decontam eval side

@@ -605,6 +605,51 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got("solo.png") shouldBe ((1L, 1L, "d3"))
   }
 
+  test("temperature targets: first-principles arithmetic, sum-to-1000, mixture == sequential") {
+    // α=0 is uniform regardless of counts
+    TextOps.temperatureTargetsSeq(Seq(("a", 8L), ("b", 1L)), alphaPm = 0) shouldBe
+      Seq(("a", 500L), ("b", 500L))
+    // α=1 is proportional: 8000/9 = 888.8..., largest remainder bumps a
+    TextOps.temperatureTargetsSeq(Seq(("a", 8L), ("b", 1L)), alphaPm = 1000) shouldBe
+      Seq(("a", 889L), ("b", 111L))
+    // α=0.3 sits strictly between uniform and proportional for the tail
+    val t = TextOps.temperatureTargetsSeq(Seq(("a", 8L), ("b", 1L)), alphaPm = 300).toMap
+    t("b") should be > 111L
+    t("b") should be < 500L
+    (t("a") + t("b")) shouldBe 1000L
+    // corpus targets sum to exactly 1000 and the sampler agrees with the
+    // sequential restatement at two parallelisms
+    val targets = TextOps.temperatureTargets(docs, alphaPm = 300)
+    targets.map(_._2).sum shouldBe 1000L
+    val seq = docs.select($"doc_id".cast("long"), $"source").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.temperatureMixture(seq, alphaPm = 300).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.mixtureSample(df, TextOps.temperatureTargets(df, alphaPm = 300))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    run(docs) shouldBe want
+    run(docs.repartition(7)) shouldBe want
+  }
+
+  test("salted join == plain join; salt reaches the join key; pressure diagnostic conserves rows") {
+    val fact = docs.select($"doc_id".cast("long").as("doc_id"), $"source")
+    val dim = docs.groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs_source"))
+    val salted = Skew.saltedJoin(fact, dim, key = "source",
+      saltBy = "doc_id", saltFactor = 8)
+      .select($"doc_id", $"source", $"n_docs_source")
+    val plain = fact.join(dim, Seq("source"))
+      .select($"doc_id", $"source", $"n_docs_source")
+    salted.collect().map(_.toSeq).toSet shouldBe plain.collect().map(_.toSeq).toSet
+    // the exchange partitions on (source, _salt), not source alone
+    salted.queryExecution.executedPlan.toString should include ("_salt")
+    // pressure histogram: row total conserved, per-bucket keys ≥ 1
+    val p = Skew.keyPressure(docs, "source", nBuckets = 32).collect()
+    p.map(_.getLong(1)).sum shouldBe docs.count()
+    all(p.map(_.getLong(2))) should be >= 1L
+  }
+
   test("semantic decontam == sequential oracle, planted leaks caught, parallelism-invariant") {
     val seqEmb = embs.select($"vec_id".cast("long"), $"embedding")
       .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
