@@ -118,6 +118,41 @@ object Gates {
       TableIO.readCommitted(spark, work).get)
   }
 
+  /** Upsert + row-level-delete gate (Iceberg v2 merge-on-read analog):
+    * phase 1 commits the true even docs plus a STALE version of every odd
+    * doc (first half of its spans); an upsert then replaces the odd docs
+    * with their true extraction via same-snapshot tombstones; three docs
+    * are row-level deleted and re-ingested by a resumed run (the
+    * committed-skip anti-join must see the post-delete view). The final
+    * table must equal the golden span set exactly — stale spans gone, every
+    * doc exactly once.
+    */
+  def upsertExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = Corpus.sfName(sfDir)
+    val corpusPath = Corpus.ensure(spark, sf)
+    if (sf != "sf0.1") Corpus.ensureGolden(spark, sf)
+    val work = s"${Corpus.Root}/gates/$sf/upsert"
+    clean(work)
+    import spark.implicits._
+    val docs = graft.pipeline.Extraction.readInput(spark, corpusPath)
+    def odd(d: graft.model.Doc): Boolean = (d.doc_id.last - '0') % 2 == 1
+    val phase1 = docs.map { d =>
+      if (odd(d)) d.copy(spans = d.spans.take(math.max(1, d.spans.length / 2)))
+      else d
+    }
+    phase1.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$work/phase1")
+    TableIO.runAndCommit(spark, s"$work/phase1", s"$work/table", "gate-u1")
+    TableIO.upsertDocs(spark, docs.filter(odd _), s"$work/table", "gate-u2")
+    TableIO.deleteDocs(spark,
+      Seq("doc-000000000", "doc-000000002", "doc-000000004").toDF("doc_id"),
+      s"$work/table", "gate-del")
+    // resumed run re-extracts exactly the deleted docs
+    TableIO.runAndCommit(spark, corpusPath, s"$work/table", "gate-u3")
+    graft.pipeline.Extraction.explodeSpans(
+      TableIO.readCommitted(spark, s"$work/table").get)
+  }
+
   /** Time-travel scan of the FIRST snapshot (Iceberg VERSION AS OF analog)
     * after both commits exist — must see only the phase-1 docs.
     */

@@ -185,6 +185,10 @@ object SparkEntry {
     // table into one full-rewrite snapshot, expire the replaced ones, read
     // back — rows must survive compaction byte-exactly
     "q_compacted_extract" -> ((s, dir) => Gates.compactedExtract(s, dir)),
+    // Iceberg v2 merge-on-read analog: upsert stale docs via same-snapshot
+    // tombstones, row-level delete + re-ingest, read back — the final
+    // table must equal the golden span set exactly
+    "q_upsert_extract" -> ((s, dir) => Gates.upsertExtract(s, dir)),
     // co-located bucketed join (zero-exchange layout; plan pinned in
     // BucketingSpec, result pinned here)
     "q_bucketed_join" -> ((s, dir) => Gates.bucketedJoin(s, dir)),
@@ -807,6 +811,8 @@ object SparkEntry {
       ("SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet') " +
         "WHERE substr(doc_id, 13, 1) IN ('0','2','4','6','8')"),
     "q_compacted_extract" ->
+      "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
+    "q_upsert_extract" ->
       "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_spans/sf0.01/*.parquet')",
     "q_bucketed_join" ->
       ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +

@@ -76,11 +76,38 @@ object TableIO {
     committedSnapshots(root).lastOption
       .map(last => chainAsOf(root, last.id)).getOrElse(Nil)
 
-  /** Union of the live snapshots' data — the "table scan". */
-  def readCommitted(spark: SparkSession, root: String): Option[DataFrame] = {
-    val dirs = liveSnapshots(root).map(_.dir.resolve("data").toString)
-      .filter(d => Files.isDirectory(Paths.get(d)))
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  /** Union of the live snapshots' data — the "table scan" — with
+    * merge-on-read equality deletes applied: a snapshot's `deletes` parquet
+    * (doc_id tombstones, Iceberg v2 equality-delete analog) removes matching
+    * rows from every STRICTLY OLDER snapshot in the chain. Delete files are
+    * sparse by construction, so the anti-join broadcasts; compaction
+    * materializes deletes away (a full rewrite carries no tombstones).
+    */
+  def readCommitted(spark: SparkSession, root: String): Option[DataFrame] =
+    committedSnapshots(root).lastOption
+      .flatMap(last => readChain(spark, chainAsOf(root, last.id)))
+
+  private def readChain(spark: SparkSession, chain: Seq[Snapshot]): Option[DataFrame] = {
+    val withData = chain.zipWithIndex
+      .filter { case (s, _) => Files.isDirectory(s.dir.resolve("data")) }
+    if (withData.isEmpty) return None
+    val data = withData.map { case (s, ord) =>
+      spark.read.parquet(s.dir.resolve("data").toString)
+        .withColumn("_ord", lit(ord))
+    }.reduce(_ unionByName _)
+    val dels = chain.zipWithIndex
+      .filter { case (s, _) => Files.isDirectory(s.dir.resolve("deletes")) }
+      .map { case (s, ord) =>
+        spark.read.parquet(s.dir.resolve("deletes").toString)
+          .select(col("doc_id").as("_del_id"), lit(ord).as("_del_ord"))
+      }
+    val merged =
+      if (dels.isEmpty) data
+      else data.join(
+        org.apache.spark.sql.functions.broadcast(dels.reduce(_ unionByName _)),
+        col("doc_id") === col("_del_id") && col("_ord") < col("_del_ord"),
+        "left_anti")
+    Some(merged.drop("_ord"))
   }
 
   /** Run the extraction over `inputPath`, skipping docs already committed
@@ -124,12 +151,74 @@ object TableIO {
         .write.mode(SaveMode.Overwrite).parquet(dir.resolve("metrics").toString)
     } finally parsed.unpersist()
 
-    // atomic commit: manifest written via temp file + move
-    val parent = snaps.lastOption.map(s => s""""parent": "${s.id}", """).getOrElse("")
-    val json = s"""{"snapshot_id": "$snapshotId", $parent"run_id": "$runId"}"""
+    writeManifest(dir, snapshotId, runId, snaps.lastOption.map(_.id))
+    Some(snapshotId)
+  }
+
+  /** Atomic commit point: manifest written via temp file + move. */
+  private def writeManifest(dir: Path, snapshotId: String, runId: String,
+                            parentId: Option[String],
+                            extraJson: String = ""): Unit = {
+    val parent = parentId.map(p => s""""parent": "$p", """).getOrElse("")
+    val json = s"""{"snapshot_id": "$snapshotId", $parent"run_id": "$runId"$extraJson}"""
     val tmp = dir.resolve("manifest.json.tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** MERGE-style upsert (Iceberg v2 merge-on-read analog): re-extract
+    * `docs` and commit ONE snapshot carrying both the new data AND
+    * equality tombstones for the same doc_ids — the manifest move
+    * atomically switches readers from the old versions to the new (unlike
+    * [[commitDocs]], already-committed doc_ids are REPLACED, not skipped).
+    * Tombstones hide rows of strictly older snapshots only, so the
+    * snapshot's own data survives its own deletes.
+    */
+  def upsertDocs(spark: SparkSession, docs: org.apache.spark.sql.Dataset[graft.model.Doc],
+                 outRoot: String, runId: String,
+                 numPartitions: Int = 0): Option[String] = {
+    if (docs.isEmpty) return None
+    val snaps = committedSnapshots(outRoot)
+    val snapshotId = f"${snaps.length}%06d-$runId"
+    val dir = Paths.get(outRoot, s"snap-$snapshotId")
+    Files.createDirectories(dir)
+
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism * 2
+    val parsed = Extraction.parsePages(docs, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      Extraction.assemble(parsed)
+        .write.mode(SaveMode.Overwrite).parquet(dir.resolve("data").toString)
+      Extraction.metrics(parsed, runId, snapshotId)
+        .write.mode(SaveMode.Overwrite).parquet(dir.resolve("metrics").toString)
+    } finally parsed.unpersist()
+    docs.select(col("doc_id")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(dir.resolve("deletes").toString)
+
+    writeManifest(dir, snapshotId, runId, snaps.lastOption.map(_.id))
+    Some(snapshotId)
+  }
+
+  /** Row-level delete (retention / right-to-be-forgotten / bad-batch
+    * retraction): commit a DELETE-ONLY snapshot whose equality tombstones
+    * hide `docIds` from every older snapshot immediately — a metadata-sized
+    * write, no data rewrite. The bytes are physically purged by the next
+    * [[compact]] + [[expireSnapshots]] (a full rewrite carries no
+    * tombstones and expiry removes the replaced data files) — logical
+    * deletion now, physical erasure at the next maintenance window.
+    */
+  def deleteDocs(spark: SparkSession, docIds: DataFrame, outRoot: String,
+                 runId: String): Option[String] = {
+    val ids = docIds.select(col("doc_id").cast("string").as("doc_id")).distinct()
+    if (ids.isEmpty) return None
+    val snaps = committedSnapshots(outRoot)
+    if (snaps.isEmpty) return None
+    val snapshotId = f"${snaps.length}%06d-$runId"
+    val dir = Paths.get(outRoot, s"snap-$snapshotId")
+    Files.createDirectories(dir)
+    ids.write.mode(SaveMode.Overwrite).parquet(dir.resolve("deletes").toString)
+    writeManifest(dir, snapshotId, runId, snaps.lastOption.map(_.id))
     Some(snapshotId)
   }
 
@@ -141,11 +230,8 @@ object TableIO {
     * [[expireSnapshots]] — expiration is what bounds time travel).
     */
   def readAsOf(spark: SparkSession, root: String,
-               snapshotId: String): Option[DataFrame] = {
-    val dirs = chainAsOf(root, snapshotId).map(_.dir.resolve("data").toString)
-      .filter(d => Files.isDirectory(Paths.get(d)))
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-  }
+               snapshotId: String): Option[DataFrame] =
+    readChain(spark, chainAsOf(root, snapshotId))
 
   /** Small-file compaction (Iceberg `rewrite_data_files` / Delta `OPTIMIZE`
     * analog): rewrite the CURRENT table as one new full-rewrite snapshot
@@ -180,12 +266,9 @@ object TableIO {
       .write.mode(SaveMode.Overwrite).parquet(dir.resolve("data").toString)
     // metrics roll forward untouched (lineage is per original run)
 
-    val parent = snaps.lastOption.map(s => s""""parent": "${s.id}", """).getOrElse("")
     val replaces = live.map(s => "\"" + s.id + "\"").mkString("[", ", ", "]")
-    val json = s"""{"snapshot_id": "$snapshotId", $parent"run_id": "$runId", "replaces": $replaces}"""
-    val tmp = dir.resolve("manifest.json.tmp")
-    Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE)
+    writeManifest(dir, snapshotId, runId, snaps.lastOption.map(_.id),
+      extraJson = s""", "replaces": $replaces""")
     Some(snapshotId)
   }
 

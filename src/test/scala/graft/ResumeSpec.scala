@@ -107,6 +107,55 @@ class ResumeSpec extends AnyFunSuite with Matchers {
     TableIO.readAsOf(spark, s"$tmp/out", s1) shouldBe None
   }
 
+  test("upsert + row-level delete: merge-on-read tombstones, re-ingest after delete, purge at compaction") {
+    val tmp = Files.createTempDirectory("graft-upsert").toString
+    val all = CorpusGen.genAll(spec).toSeq
+    def isOdd(d: Doc) = (d.doc_id.last - '0') % 2 == 1
+    val (odds, evens) = all.partition(isOdd)
+    def stale(d: Doc): Doc = d.copy(spans = d.spans.take(math.max(1, d.spans.length / 2)))
+
+    // phase 1 commits the true evens + a STALE version of every odd doc
+    writeInput(s"$tmp/input1", evens ++ odds.map(stale))
+    val s1 = TableIO.runAndCommit(spark, s"$tmp/input1", s"$tmp/out", "run1", 4).get
+    // upsert replaces the odd docs with their true extraction
+    writeInput(s"$tmp/input2", odds)
+    TableIO.upsertDocs(spark,
+      graft.pipeline.Extraction.readInput(spark, s"$tmp/input2"),
+      s"$tmp/out", "run2", 4).get
+
+    val golden = all.map(d => d.doc_id -> Oracle.golden(d).spans).toMap
+    def table() = TableIO.readCommitted(spark, s"$tmp/out").get
+      .select($"doc_id", $"spans").as[(String, Seq[OutSpan])].collect().toMap
+    val got = table()
+    got.keySet shouldBe golden.keySet
+    for ((id, g) <- golden) withClue(s"doc $id: ") { got(id) shouldBe g }
+    // time travel still sees the stale pre-upsert version
+    val rich = odds.find(_.spans.length >= 4).get
+    val atS1 = TableIO.readAsOf(spark, s"$tmp/out", s1).get
+      .select($"doc_id", $"spans").as[(String, Seq[OutSpan])].collect().toMap
+    atS1(rich.doc_id) should not be golden(rich.doc_id)
+
+    // delete 3 docs: immediately invisible, everything else intact
+    val victims = all.take(3).map(_.doc_id)
+    TableIO.deleteDocs(spark, victims.toDF("doc_id"), s"$tmp/out", "gdpr").get
+    val afterDel = table()
+    afterDel.keySet shouldBe (golden.keySet -- victims)
+    // resume over the full input re-extracts EXACTLY the deleted docs
+    writeInput(s"$tmp/input", all)
+    TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "run3", 4).get
+    table().keySet shouldBe golden.keySet
+    // compaction + expiry physically purge tombstones and stale bytes
+    TableIO.compact(spark, s"$tmp/out", "opt", rowsPerFile = 20L).get
+    TableIO.expireSnapshots(s"$tmp/out")
+    val finalT = table()
+    finalT.keySet shouldBe golden.keySet
+    for ((id, g) <- golden) withClue(s"doc $id: ") { finalT(id) shouldBe g }
+    // no tombstone dirs survive in the live chain
+    TableIO.liveSnapshots(s"$tmp/out").foreach { s =>
+      Files.isDirectory(s.dir.resolve("deletes")) shouldBe false
+    }
+  }
+
   test("uncommitted snapshot (no manifest) is invisible to readers") {
     val tmp = Files.createTempDirectory("graft-uncommitted").toString
     val all = CorpusGen.genAll(CorpusGen.Spec(5, 4)).toSeq
