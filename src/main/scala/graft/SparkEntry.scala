@@ -647,6 +647,15 @@ object SparkEntry {
       Similarity.semanticDecontam(embs,
         Similarity.perturbed(embs, n = 15), minCosinePm = 990)
     }),
+    // JL ±1 random projection (the pre-ANN shrink): seeded md5-parity sign
+    // matrix rebuilt per partition, micro-first integer arithmetic — zero
+    // shuffle; output exploded to scalar rows for the gate
+    "q_emb_project" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Similarity.randomProject(embTable(s, dir), outDim = 8, seed = 42)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "out_micro")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("out_micro"))
+    }),
     "q_media_features" -> ((s, dir) => {
       opsGolden(s, dir)
       val sf = Corpus.sfName(dir)
@@ -1054,6 +1063,8 @@ object SparkEntry {
       "SELECT vec_id, eval_id, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/semdecon/*.parquet')",
     "q_temperature_mixture" ->
       "SELECT doc_id, source, mix_ppm, rate_ppm, keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/tempmix/*.parquet')",
+    "q_emb_project" ->
+      "SELECT vec_id, dim, out_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/rproj/*.parquet')",
     "q_salted_join" ->
       ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_source FROM documents GROUP BY source) " +
         "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, c.n_docs_source " +

@@ -410,6 +410,63 @@ object Similarity {
         col("dup_of").isNull.cast("long").as("keep"))
   }
 
+  /** The deterministic ±1 projection matrix of [[randomProject]]: sign(j, i)
+    * = parity of the first 8 md5 hex chars of "rp:seed:j:i" — content-keyed
+    * like every other hash in this engine, so any engine (and the
+    * sequential oracle) rebuilds the identical matrix from the seed alone.
+    */
+  def projectionSigns(dim: Int, outDim: Int, seed: Long): Array[Array[Int]] =
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$seed:$j:$i".getBytes("UTF-8"))
+      if ((java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) & 1L) == 0L) 1 else -1
+    }
+
+  /** Johnson–Lindenstrauss dimensionality reduction by a seeded ±1
+    * (Achlioptas 2003) projection: out_j = Σ_i micro(v_i) · sign(j, i),
+    * where micro(x) = round(x·10^6) — each input component is rounded to
+    * integer micro-units FIRST, so the projection is pure integer
+    * arithmetic: bit-exact at any parallelism and engine-portable. The
+    * standard pre-ANN shrink at corpus scale (project 1024-d embeddings to
+    * 64-d before LSH/IVF bucketing cuts the index bytes and the pair-verify
+    * dot products ~16×; JL keeps relative distances within (1±ε) for
+    * k = O(log n / ε²)).
+    *
+    * Scale shape: the sign matrix is rebuilt per PARTITION from the seed
+    * (outDim × dim ints — no broadcast, no driver probe; the row length
+    * supplies `dim` lazily). Scan → map, zero shuffle. Output
+    * (vec_id, proj array<long> in micro-units).
+    */
+  def randomProject(embs: DataFrame, outDim: Int, seed: Long = 42): DataFrame = {
+    require(outDim >= 1, "outDim >= 1")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        var signs: Array[Array[Int]] = null
+        it.map { case (id, v) =>
+          if (signs == null || signs(0).length != v.length)
+            signs = projectionSigns(v.length, outDim, seed)
+          val out = new Array[Long](outDim)
+          var j = 0
+          while (j < outDim) {
+            val row = signs(j)
+            var acc = 0L
+            var i = 0
+            while (i < v.length) {
+              acc += math.round(v(i).toDouble * 1e6d) * row(i)
+              i += 1
+            }
+            out(j) = acc
+            j += 1
+          }
+          (id, out)
+        }
+      }
+      .toDF("vec_id", "proj")
+  }
+
   /** Semantic decontamination — the embedding-space companion to
     * `Dedup.decontaminate`'s n-gram overlap check: flag every corpus vector
     * whose cosine to ANY benchmark/eval embedding reaches

@@ -382,6 +382,23 @@ object OpsOracle {
       }
     }
 
+  /** Sequential `Similarity.randomProject`: identical md5-parity sign
+    * matrix and micro-first integer arithmetic, restated as a flat loop.
+    */
+  def randomProject(embs: Seq[(Long, Array[Float])], outDim: Int,
+                    seed: Long): Seq[(Long, Array[Long])] = {
+    def signs(dim: Int): Array[Array[Int]] =
+      Array.tabulate(outDim, dim) { (j, i) =>
+        if ((md5Hex8(s"rp:$seed:$j:$i") & 1L) == 0L) 1 else -1
+      }
+    var s: Array[Array[Int]] = null
+    embs.map { case (id, v) =>
+      if (s == null || s(0).length != v.length) s = signs(v.length)
+      (id, Array.tabulate(outDim)(j =>
+        v.indices.map(i => math.round(v(i).toDouble * 1e6d) * s(j)(i)).sum))
+    }
+  }
+
   def perturbed(embs: Seq[(Long, Array[Float])], n: Int, seed: Long = 7,
                 noise: Float = 0.002f, idOffset: Long = 1000000L): Seq[(Long, Array[Float])] =
     embs.filter(_._1 < n).map { case (id, v) =>
@@ -1036,7 +1053,7 @@ object OpsGolden {
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
-    "semdecon", "tempmix")
+    "semdecon", "tempmix", "rproj")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1186,6 +1203,12 @@ object OpsGolden {
           maxTokens = 64, overlap = 8),
         capacity = 128, nBuckets = 16),
       Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
+    // JL ±1 random projection to 8 dims, exploded to scalar rows
+    write("rproj",
+      OpsOracle.randomProject(embs, outDim = 8, seed = 42)
+        .flatMap { case (id, p) =>
+          p.iterator.zipWithIndex.map { case (v, j) => (id, j.toLong, v) } },
+      Seq("vec_id", "dim", "out_micro"))
     // temperature (α=0.3) mixture over the gate corpus's (doc_id, source)
     write("tempmix", {
       val srcDocs = spark.read.parquet(s"$sfDir/documents.parquet")

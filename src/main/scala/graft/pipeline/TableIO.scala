@@ -91,10 +91,13 @@ object TableIO {
     val withData = chain.zipWithIndex
       .filter { case (s, _) => Files.isDirectory(s.dir.resolve("data")) }
     if (withData.isEmpty) return None
+    // allowMissingColumns = schema evolution (Iceberg add-column analog):
+    // snapshots written before a column existed surface it as NULL; readers
+    // never rewrite old data to pick up a widened schema
     val data = withData.map { case (s, ord) =>
       spark.read.parquet(s.dir.resolve("data").toString)
         .withColumn("_ord", lit(ord))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val dels = chain.zipWithIndex
       .filter { case (s, _) => Files.isDirectory(s.dir.resolve("deletes")) }
       .map { case (s, ord) =>
@@ -164,6 +167,24 @@ object TableIO {
     val tmp = dir.resolve("manifest.json.tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Commit an arbitrary DataFrame as a snapshot (no extraction, no resume
+    * skip) — the writer primitive behind compaction, and the
+    * schema-evolution path: a later snapshot may carry ADDITIONAL columns
+    * (e.g. a quality score added to the pipeline mid-corpus); readers union
+    * by name and surface them as NULL on pre-evolution data, so widening
+    * the schema never rewrites committed bytes.
+    */
+  def commitData(spark: SparkSession, df: DataFrame, outRoot: String,
+                 runId: String): String = {
+    val snaps = committedSnapshots(outRoot)
+    val snapshotId = f"${snaps.length}%06d-$runId"
+    val dir = Paths.get(outRoot, s"snap-$snapshotId")
+    Files.createDirectories(dir)
+    df.write.mode(SaveMode.Overwrite).parquet(dir.resolve("data").toString)
+    writeManifest(dir, snapshotId, runId, snaps.lastOption.map(_.id))
+    snapshotId
   }
 
   /** MERGE-style upsert (Iceberg v2 merge-on-read analog): re-extract

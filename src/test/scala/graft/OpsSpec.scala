@@ -650,6 +650,29 @@ class OpsSpec extends AnyFunSuite with Matchers {
     all(p.map(_.getLong(2))) should be >= 1L
   }
 
+  test("random projection == sequential oracle; JL distance preservation on planted near-dups") {
+    val seqEmb = embs.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.randomProject(seqEmb, outDim = 8, seed = 42)
+      .map { case (id, p) => id -> p.toSeq }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.randomProject(df, outDim = 8, seed = 42)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    run(embs) shouldBe want
+    run(embs.repartition(5)) shouldBe want
+    // planted near-dups stay near after projection: for every perturbed
+    // copy, the projected L2 distance to its original is far below the
+    // median inter-vector distance (the JL property, deterministic here)
+    val pert = graft.oracle.OpsOracle.perturbed(seqEmb, n = 15)
+    val projAll = graft.oracle.OpsOracle.randomProject(seqEmb ++ pert,
+      outDim = 8, seed = 42).toMap
+    def d2(a: Array[Long], b: Array[Long]): Double =
+      a.indices.map(i => (a(i) - b(i)).toDouble).map(x => x * x).sum
+    val nearDs = (0 until 15).map(i => d2(projAll(i.toLong), projAll(1000000L + i)))
+    val farDs = (0 until 15).map(i => d2(projAll(i.toLong), projAll(((i + 40) % seqEmb.size).toLong)))
+    nearDs.max should be < farDs.min
+  }
+
   test("semantic decontam == sequential oracle, planted leaks caught, parallelism-invariant") {
     val seqEmb = embs.select($"vec_id".cast("long"), $"embedding")
       .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)

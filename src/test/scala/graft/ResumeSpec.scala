@@ -156,6 +156,26 @@ class ResumeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("schema evolution: columns added by later snapshots read as NULL on older data") {
+    val tmp = Files.createTempDirectory("graft-evolve").toString
+    TableIO.commitData(spark, Seq(("a", 1L)).toDF("doc_id", "x"), tmp, "v1")
+    TableIO.commitData(spark,
+      Seq(("b", 2L, 9L)).toDF("doc_id", "x", "quality"), tmp, "v2")
+    val t = TableIO.readCommitted(spark, tmp).get
+    t.columns.toSet shouldBe Set("doc_id", "x", "quality")
+    val rows = t.collect().map(r =>
+      r.getString(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("x")),
+          if (r.isNullAt(r.fieldIndex("quality"))) None
+          else Some(r.getLong(r.fieldIndex("quality"))))).toMap
+    rows("a") shouldBe ((1L, None))
+    rows("b") shouldBe ((2L, Some(9L)))
+    // tombstones apply across schema versions
+    TableIO.deleteDocs(spark, Seq("a").toDF("doc_id"), tmp, "del")
+    TableIO.readCommitted(spark, tmp).get.select("doc_id")
+      .as[String].collect().toSeq shouldBe Seq("b")
+  }
+
   test("uncommitted snapshot (no manifest) is invisible to readers") {
     val tmp = Files.createTempDirectory("graft-uncommitted").toString
     val all = CorpusGen.genAll(CorpusGen.Spec(5, 4)).toSeq
