@@ -538,6 +538,24 @@ object SparkEntry {
       graft.ops.Skew.keyPressure(docsTable(s, dir), "source", nBuckets = 32)),
     // overlapping token-window chunking (zero-shuffle map work)
     "q_doc_chunks" -> ((s, dir) => TextOps.chunkDocs(docsTable(s, dir))),
+    // content-defined (gear-hash) chunking — the edit-robust CAS chunker,
+    // via the native codegen cdc_chunks expression; zero shuffle
+    "q_doc_cdc_chunks" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.cdcChunks(docsTable(s, dir))
+    }),
+    // one-row corpus datasheet (Gebru et al. 2021 "Datasheets for
+    // Datasets" summary stats): a single two-phase aggregate — at 100 TB
+    // this is ONE pass, partials combine map-side, one row moves
+    "q_corpus_profile" -> ((s, dir) => docsTable(s, dir).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      countDistinct(col("source")).cast("long").as("n_sources"),
+      sum(length(col("text"))).cast("long").as("n_chars"),
+      sum(TextOps.tokenCount(col("text"))).cast("long").as("n_tokens"),
+      countDistinct(md5(col("text").cast("binary"))).cast("long").as("n_unique_texts"),
+      sum((length(trim(col("text"))) === 0).cast("long")).cast("long").as("n_blank"),
+      min(length(col("text"))).cast("long").as("min_chars"),
+      max(length(col("text"))).cast("long").as("max_chars"))),
     // integer-exact TF-IDF-style salient term per doc
     "q_doc_salient_term" -> ((s, dir) => TextOps.salientTerms(docsTable(s, dir))),
     // composed training-shard manifest: chunk over-length docs into 64/8
@@ -1065,6 +1083,17 @@ object SparkEntry {
       "SELECT doc_id, source, mix_ppm, rate_ppm, keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/tempmix/*.parquet')",
     "q_emb_project" ->
       "SELECT vec_id, dim, out_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/rproj/*.parquet')",
+    "q_doc_cdc_chunks" ->
+      "SELECT doc_id, chunk_no, n_chars, chunk_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/cdc/*.parquet')",
+    "q_corpus_profile" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts, " +
+        "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank, " +
+        "CAST(min(length(text)) AS BIGINT) AS min_chars, " +
+        "CAST(max(length(text)) AS BIGINT) AS max_chars FROM documents"),
     "q_salted_join" ->
       ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_source FROM documents GROUP BY source) " +
         "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, c.n_docs_source " +

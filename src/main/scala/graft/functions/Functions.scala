@@ -178,6 +178,43 @@ case class Bm25MicroExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Runtime bridge for [[CdcChunksExpr]]: builds the Catalyst ArrayData from
+  * the kernel's chunk array (called from generated code).
+  */
+object CdcRuntime {
+  def chunks(s: UTF8String, maskBits: Int, minLen: Int,
+             maxLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = graft.ops.TextOps.cdcChunksStr(s.toString, maskBits, minLen, maxLen)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      arr.map(UTF8String.fromString).asInstanceOf[Array[Any]])
+  }
+}
+
+/** Content-defined chunk boundaries (FastCDC gear-hash) as a native
+  * codegen expression returning `array<string>` — the chunker stays inside
+  * whole-stage codegen; chunk parameters compile in as literals.
+  */
+case class CdcChunksExpr(child: Expression, maskBits: Int, minLen: Int,
+                         maxLen: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcRuntime.chunks(input.asInstanceOf[UTF8String], maskBits, minLen, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcRuntime.chunks($c, $maskBits, $minLen, $maxLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Functions {
   /** Column-level API: `ds.select(fix_typos($"text"))`. */
   def fix_typos(c: Column): Column =
@@ -217,6 +254,13 @@ object Functions {
         org.apache.spark.sql.GraftColumnBridge.expression(dl),
         nDocs, sumDl, k1Pm, bPm))
 
+  /** Column-level API: `cdc_chunks(text, maskBits, minLen, maxLen)`. */
+  def cdc_chunks(c: Column, maskBits: Int = 6, minLen: Int = 16,
+                 maxLen: Int = 256): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CdcChunksExpr(org.apache.spark.sql.GraftColumnBridge.expression(c),
+        maskBits, minLen, maxLen))
+
   /** Register for the SQL surface on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -230,5 +274,7 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "log_prob_micro",
       exprs => LogProbMicroExpr(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks", exprs => CdcChunksExpr(exprs.head, 6, 16, 256), "scala_udf")
   }
 }

@@ -377,6 +377,66 @@ object TextOps {
         (col("mix_ppm") < col("rate_ppm")).cast("long").as("keep"))
   }
 
+  /** Gear table for [[cdcChunksStr]]: 256 deterministic 63-bit values from
+    * md5("gear:i") — content-keyed like every other constant in the engine,
+    * so any restatement rebuilds the identical table.
+    */
+  private[graft] lazy val GearTable: Array[Long] = Array.tabulate(256) { i =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"gear:$i".getBytes("UTF-8"))
+    d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) >>> 1
+  }
+
+  /** Content-defined chunking (the FastCDC/gear-hash discipline, Xia et al.
+    * 2016): split text where a rolling gear hash hits a `maskBits`-bit zero
+    * pattern, with `minLen` skip and `maxLen` force-cut. Boundaries depend
+    * only on LOCAL content, so an insertion early in a document shifts byte
+    * offsets but re-aligns every later chunk — unlike fixed windows, where
+    * one inserted character re-keys every window after it. This is the
+    * CAS-level storage/dedup chunker (restic/borg/LBFS lineage) and the
+    * edit-robust complement to [[chunkDocs]]' fixed token windows.
+    *
+    * Deterministic contract (mirrored by the sequential oracle): the hash
+    * rolls over Java chars (UTF-16 code units, `c & 0xff` into the gear
+    * table); a boundary closes AFTER position i when the hash masks to zero
+    * and the current chunk is ≥ minLen; chunks force-close at maxLen; the
+    * tail (possibly < minLen) is always emitted; empty text → no chunks.
+    */
+  def cdcChunksStr(text: String, maskBits: Int = 6, minLen: Int = 16,
+                   maxLen: Int = 256): Array[String] = {
+    val mask = (1L << maskBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      h = (h << 1) + GearTable(text.charAt(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+        out += text.substring(start, i + 1)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < text.length) out += text.substring(start)
+    out.toArray
+  }
+
+  /** [[cdcChunksStr]] exploded to gate rows: (doc_id, chunk_no, n_chars,
+    * chunk_md5) via the native codegen `cdc_chunks` expression — pure
+    * Scan → Project → Generate, zero shuffle at any corpus size. Cross-doc
+    * repeated chunks are then a groupBy(chunk_md5) away (the CAS dedup).
+    */
+  def cdcChunks(docs: DataFrame, maskBits: Int = 6, minLen: Int = 16,
+                maxLen: Int = 256): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      posexplode(graft.functions.Functions.cdc_chunks(
+        col("text"), maskBits, minLen, maxLen)).as(Seq("chunk_no", "chunk")))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        length(col("chunk")).cast("long").as("n_chars"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+
   /** Temperature-based mixture targets: per-source sampling proportions
     * p_s ∝ n_s^α with α = `alphaPm`/1000 — the multilingual/multi-source
     * temperature sampling of mT5 / mBERT (Arivazhagan et al. 2019 §5;

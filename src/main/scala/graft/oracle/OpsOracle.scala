@@ -1053,7 +1053,7 @@ object OpsGolden {
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
-    "semdecon", "tempmix", "rproj")
+    "semdecon", "tempmix", "rproj", "cdc")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1203,6 +1203,14 @@ object OpsGolden {
           maxTokens = 64, overlap = 8),
         capacity = 128, nBuckets = 16),
       Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
+    // content-defined chunking: shared gear kernel, plumbing restated
+    write("cdc", docs.flatMap { case (id, t) =>
+      graft.ops.TextOps.cdcChunksStr(t).zipWithIndex.map { case (c, i) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (id, i.toLong, c.length.toLong, md5)
+      }
+    }, Seq("doc_id", "chunk_no", "n_chars", "chunk_md5"))
     // JL ±1 random projection to 8 dims, exploded to scalar rows
     write("rproj",
       OpsOracle.randomProject(embs, outDim = 8, seed = 42)

@@ -48,6 +48,24 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .head().isNullAt(0) shouldBe true
   }
 
+  test("cdc_chunks: codegen, SQL surface, kernel equality, nulls") {
+    Functions.register(spark)
+    val df = spark.range(3).select(Functions.cdc_chunks(
+      concat(lit("word soup chunk body content repeated enough times to cross "
+        + "a boundary or two for id "), $"id".cast("string")), 4, 8, 64).as("c"))
+    df.queryExecution.executedPlan.toString should include("*(1) Project [cdc_chunks(")
+    val got = df.as[Seq[String]].collect()
+    (0 until 3).foreach { i =>
+      got(i) shouldBe graft.ops.TextOps.cdcChunksStr(
+        s"word soup chunk body content repeated enough times to cross a boundary or two for id $i",
+        maskBits = 4, minLen = 8, maxLen = 64).toSeq
+    }
+    spark.sql("SELECT cdc_chunks('abc') AS c").as[Seq[String]].head() shouldBe
+      graft.ops.TextOps.cdcChunksStr("abc").toSeq
+    spark.sql("SELECT cdc_chunks(CAST(NULL AS STRING)) AS c")
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("fix_mojibake: codegen, SQL surface, kernel equality, nulls") {
     Functions.register(spark)
     val df = spark.range(3).select(Functions.fix_mojibake(

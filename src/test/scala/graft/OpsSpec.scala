@@ -605,6 +605,38 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got("solo.png") shouldBe ((1L, 1L, "d3"))
   }
 
+  test("cdc chunking: reassembly, bounds, edit-robust realignment, zero shuffle") {
+    val text = (1 to 400).map(i => s"w$i").mkString(" ")
+    val chunks = TextOps.cdcChunksStr(text)
+    chunks.mkString shouldBe text                       // exact reassembly
+    all(chunks.map(_.length)) should be <= 256          // force-cut bound
+    chunks.init.foreach(_.length should be >= 16)       // min skip (tail exempt)
+    chunks.length should be > 3                         // boundaries actually fire
+    // edit robustness: an insertion near the front shifts offsets but the
+    // chunk STREAM re-aligns — the suffix of the chunk sequence is shared
+    val edited = text.substring(0, 5) + "XYZ" + text.substring(5)
+    val c2 = TextOps.cdcChunksStr(edited)
+    val sharedSuffix = chunks.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    sharedSuffix should be >= (chunks.length - 3)
+    // fixed windows would share NO window after the edit point — quantify
+    val fixedA = text.grouped(64).toSeq
+    val fixedB = edited.grouped(64).toSeq
+    fixedA.reverse.zip(fixedB.reverse).takeWhile { case (a, b) => a == b }.length shouldBe 0
+    // distributed = kernel, zero exchange
+    val df = TextOps.cdcChunks(docs)
+    df.queryExecution.executedPlan.toString should not include "Exchange"
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    val seq = docs.select($"doc_id".cast("long"), $"text").as[(Long, String)].collect()
+    val want = seq.flatMap { case (id, t) =>
+      TextOps.cdcChunksStr(t).zipWithIndex.map { case (c, i) =>
+        (id, i.toLong) -> (c.length.toLong,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }
+    }.toMap
+    got shouldBe want
+  }
+
   test("temperature targets: first-principles arithmetic, sum-to-1000, mixture == sequential") {
     // α=0 is uniform regardless of counts
     TextOps.temperatureTargetsSeq(Seq(("a", 8L), ("b", 1L)), alphaPm = 0) shouldBe
