@@ -406,6 +406,35 @@ object SparkEntry {
     // gate derives one deterministically per doc with every rule LIVE
     // (mixed-case scheme/host, www., default + non-default ports, tracking
     // params, param order, fragments, multi-part TLDs)
+    // domain opt-out compliance over the same deterministic URL profile —
+    // blocks the example.com registrable domain (every %3==1 doc) and one
+    // co.uk site, so both outcomes are live
+    "q_domain_optout" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise("HTTP"),
+        lit("://WWW."), col("source"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, ".CO.UK")
+          .when(col("doc_id") % 3 === 1, ".example.com").otherwise(".Org"),
+        when(col("doc_id") % 5 === 0, ":443")
+          .when(col("doc_id") % 5 === 1, ":8080").otherwise(""),
+        lit("/docs/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&b="), (col("doc_id") % 4).cast("string"),
+        lit("&a=1#sec"), (col("doc_id") % 3).cast("string"))
+      UrlOps.optOut(
+        UrlOps.urlProfile(docsTable(s, dir).withColumn("url", url)),
+        Seq("example.com", "src00.co.uk"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("domain"),
+          col("opted_out"))
+    }),
+    // quality-aware canonical keeper: within each minhash near-dup cluster
+    // keep the LONGEST member (ties → lowest id), not the lowest id
+    "q_dedup_best_keeper" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      Dedup.dedupClustersBy(docs,
+        Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200),
+        score = length(col("text")))
+    }),
     "q_doc_url_norm" -> ((s, dir) => {
       val url = concat(
         when(col("doc_id") % 2 === 0, "https").otherwise("HTTP"),
@@ -1138,6 +1167,14 @@ object SparkEntry {
         "FROM g JOIN m ON g.doc_id = m.doc_id"),
     "q_doc_url_norm" -> (UrlOracleCtes +
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, url_norm, scheme, host, domain FROM w2"),
+    "q_domain_optout" -> (UrlOracleCtes +
+      "SELECT CAST(doc_id AS BIGINT) AS doc_id, domain, " +
+      "CAST(CASE WHEN domain IN ('example.com', 'src00.co.uk') THEN 1 ELSE 0 END AS BIGINT) AS opted_out FROM w2"),
+    "q_dedup_best_keeper" ->
+      ("WITH c AS (SELECT doc_id, cluster_id FROM read_parquet('/root/repo/data/golden_ops/sf0.01/clusters/*.parquet')), " +
+        "j AS (SELECT c.doc_id, c.cluster_id, length(d.text) AS sc FROM c JOIN documents d USING (doc_id)), " +
+        "r AS (SELECT doc_id, cluster_id, row_number() OVER (PARTITION BY cluster_id ORDER BY sc DESC, doc_id ASC) AS rn FROM j) " +
+        "SELECT doc_id, cluster_id, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"),
     "q_domain_stats" -> (UrlOracleCtes +
       "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts FROM w2 GROUP BY domain"),

@@ -447,6 +447,36 @@ object Dedup {
     * One left join against the (small) component table + one groupBy for
     * sizes; AQE broadcasts both when they fit.
     */
+  /** Quality-aware canonical selection: like [[dedupClusters]], but the
+    * kept representative of each near-dup cluster is the member with the
+    * HIGHEST `score` (ties → lowest doc_id — a total order) instead of the
+    * lowest id. This is the FineWeb/RefinedWeb refinement — when a cluster
+    * mixes a full article with its truncated mirrors, keep the best copy,
+    * not the numerically first. Output (doc_id, cluster_id, keep).
+    *
+    * Scale shape: component assignment as in [[dedupClusters]]; the keeper
+    * per cluster is ONE map-side-combined max(struct(score, −doc_id))
+    * aggregate whose exchange the final cluster_id-keyed join reuses —
+    * nothing wide moves beyond the component tables.
+    */
+  def dedupClustersBy(docs: DataFrame, pairs: DataFrame, score: Column,
+                      star: Boolean = false): DataFrame = {
+    val comp = if (star) connectedComponentsStar(pairs) else connectedComponents(pairs)
+    val assigned = docs
+      .select(idLong(col("doc_id"), "doc_id").as("doc_id"),
+        score.cast("long").as("_score"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_score"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(true)
+    val keepers = assigned.groupBy("cluster_id")
+      .agg(max(struct(col("_score"), negate(col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), negate(col("m.nid")).cast("long").as("keep_id"))
+    assigned.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("keep_id")).cast("long").as("keep"))
+  }
+
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     star: Boolean = false): DataFrame = {
     val comp = if (star) connectedComponentsStar(pairs) else connectedComponents(pairs)

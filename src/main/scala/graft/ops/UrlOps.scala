@@ -102,4 +102,17 @@ object UrlOps {
     profile.groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("host")).as("n_hosts"))
+
+  /** Domain opt-out compliance (robots/meta opt-outs, publisher takedown
+    * lists): flag every doc whose registrable domain is on the blocked
+    * list. The list ships as an InSet literal (opt-out lists are
+    * 10^3–10^6 domains — broadcast-sized by nature; swap to a broadcast
+    * left-semi join above ~10^6) — pure projection, zero shuffle.
+    * `WHERE opted_out = 0` is the compliant corpus.
+    */
+  def optOut(profile: DataFrame, blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "blockedDomains must be non-empty")
+    profile.select(col("doc_id"), col("domain"),
+      col("domain").isin(blockedDomains: _*).cast("long").as("opted_out"))
+  }
 }

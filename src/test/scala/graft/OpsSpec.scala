@@ -605,6 +605,40 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got("solo.png") shouldBe ((1L, 1L, "d3"))
   }
 
+  test("quality-aware keeper: best score wins, ties break to lowest id, singletons keep") {
+    // cluster {1,2,3} via pairs; scores favor 2; {4,5} tie on score → 4; 6 singleton
+    val rows = Seq((1L, "aa"), (2L, "aaaa"), (3L, "a"), (4L, "bbb"), (5L, "bbb"),
+      (6L, "c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = Dedup.dedupClustersBy(rows, pairs,
+      score = org.apache.spark.sql.functions.length($"text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got(1L)._2 shouldBe 0L
+    got(2L)._2 shouldBe 1L // longest of {1,2,3}
+    got(3L)._2 shouldBe 0L
+    got(4L)._2 shouldBe 1L // tie with 5 → lowest id
+    got(5L)._2 shouldBe 0L
+    got(6L)._2 shouldBe 1L // singleton keeps itself
+    // same cluster ids as the min-label assignment
+    Set(got(1L)._1, got(2L)._1, got(3L)._1).size shouldBe 1
+    got(4L)._1 shouldBe got(5L)._1
+    // exactly one keeper per cluster
+    got.values.groupBy(_._1).values.foreach(_.count(_._2 == 1L) shouldBe 1)
+  }
+
+  test("domain opt-out: blocked registrable domains flagged, zero shuffle") {
+    val profile = Seq(
+      (1L, "https://a.example.com/x", "https", "a.example.com", "example.com"),
+      (2L, "https://b.org/y", "https", "b.org", "b.org"),
+      (3L, "https://c.co.uk/z", "https", "c.co.uk", "c.co.uk"))
+      .toDF("doc_id", "url_norm", "scheme", "host", "domain")
+    val got = UrlOps.optOut(profile, Seq("example.com", "c.co.uk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 0L, 3L -> 1L)
+    UrlOps.optOut(profile, Seq("example.com"))
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("cdc chunking: reassembly, bounds, edit-robust realignment, zero shuffle") {
     val text = (1 to 400).map(i => s"w$i").mkString(" ")
     val chunks = TextOps.cdcChunksStr(text)
