@@ -368,6 +368,12 @@ object SparkEntry {
       opsGolden(s, dir)
       TextOps.bpeMerges(docsTable(s, dir), nMerges = 40, maxVocab = 1 << 16)
     }),
+    // WordPiece (BERT) trainer: same merge loop, likelihood-scored by exact
+    // BigInt cross-multiplication — the other industrial tokenizer trainer
+    "q_wordpiece_merges" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.wordpieceMerges(docsTable(s, dir), nMerges = 40, maxVocab = 1 << 16)
+    }),
     // the remaining Gopher A1.1 text rules (bullet/ellipsis line fractions,
     // symbol ratio, required stopwords) — same deterministic line derivation
     // as q_doc_c4_clean so the line rules are live on the word-soup corpus
@@ -1092,6 +1098,8 @@ object SparkEntry {
       "SELECT vec_id, cell, dup_of, keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/semdedup/*.parquet')",
     "q_bpe_merges" ->
       "SELECT rank, \"left\", \"right\", n_occ FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpe/*.parquet')",
+    "q_wordpiece_merges" ->
+      "SELECT rank, \"left\", \"right\", n_occ, l_cnt, r_cnt FROM read_parquet('/root/repo/data/golden_ops/sf0.01/wpm/*.parquet')",
     "q_doc_lm_score" ->
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
     "q_doc_nb_quality" ->

@@ -620,6 +620,90 @@ object TextOps {
   }
 
   /** The driver-side merge loop over the bounded word-count table. */
+  /** WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
+    * tokenizer): same merge loop as [[bpeMerges]], but each round merges
+    * the pair maximizing the LIKELIHOOD score count(pair) /
+    * (count(left)·count(right)) over the current segmentation, instead of
+    * the raw pair count. Scores are compared EXACTLY by BigInt
+    * cross-multiplication (c₁·l₂·r₂ vs c₂·l₁·r₁ — no floating division, no
+    * overflow at any corpus size), ties by (left asc, right asc): a total
+    * order, so training is deterministic. Same scale shape as bpeMerges —
+    * ONE map-side-combined word-count shuffle capped at top-`maxVocab` by
+    * a deterministic order, then a driver-side loop over the bounded
+    * table. Output (rank, left, right, n_occ, l_cnt, r_cnt) pins the
+    * likelihood inputs, not just the choice.
+    */
+  def wordpieceMerges(docs: DataFrame, nMerges: Int = 50,
+                      maxVocab: Int = 1 << 20): DataFrame = {
+    require(nMerges >= 1, "nMerges >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.where(length(trim(col("text"))) > 0)
+      .select(explode(splitToks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxVocab)
+      .as[(String, Long)].collect()
+    spark.createDataset(wordpieceMergeLoop(words, nMerges))
+      .toDF("rank", "left", "right", "n_occ", "l_cnt", "r_cnt")
+  }
+
+  private[graft] def wordpieceMergeLoop(words: Array[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, Long, Long, Long)] = {
+    var seqs: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+    }
+    val out = Vector.newBuilder[(Long, String, String, Long, Long, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val uc = scala.collection.mutable.Map.empty[String, Long]
+      seqs.foreach { case (ss, c) =>
+        var i = 0
+        while (i < ss.length) {
+          uc(ss(i)) = uc.getOrElse(ss(i), 0L) + c
+          if (i < ss.length - 1) {
+            val k = (ss(i), ss(i + 1))
+            pc(k) = pc.getOrElse(k, 0L) + c
+          }
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        // argmax of c/(l·r) by exact cross-multiplication, ties (left, right)
+        var best: ((String, String), Long) = null
+        var bestDen = BigInt(0)
+        pc.foreach { case (k @ (a, b), n) =>
+          val den = BigInt(uc(a)) * BigInt(uc(b))
+          val better =
+            if (best == null) true
+            else {
+              val cmp = (BigInt(n) * bestDen).compare(BigInt(best._2) * den)
+              cmp > 0 || (cmp == 0 &&
+                ((a < best._1._1) || (a == best._1._1 && b < best._1._2)))
+            }
+          if (better) { best = (k, n); bestDen = den }
+        }
+        val ((l, rt), cnt) = best
+        out += ((r.toLong, l, rt, cnt, uc(l), uc(rt)))
+        seqs = seqs.map { case (ss, c) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i < ss.length - 1 && ss(i) == l && ss(i + 1) == rt) {
+              buf += l + rt; i += 2
+            } else { buf += ss(i); i += 1 }
+          }
+          (buf.toArray, c)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
   private def bpeMergeLoop(words: Array[(String, Long)],
                            nMerges: Int): Seq[(Long, String, String, Long)] = {
     var seqs: Array[(Array[String], Long)] = words.map { case (w, c) =>

@@ -441,6 +441,53 @@ object OpsOracle {
     * (count desc, left asc, right asc) with greedy left-to-right
     * non-overlapping replacement. Returns (rank, left, right, n_occ).
     */
+  /** Sequential `TextOps.wordpieceMerges`: independent immutable-list
+    * restatement of the likelihood-scored merge loop — argmax of
+    * c/(l·r) by BigInt cross-multiplication, ties (left, right) asc.
+    * Returns (rank, left, right, n_occ, l_cnt, r_cnt).
+    */
+  def wordpieceMerges(docs: Seq[(Long, String)], nMerges: Int,
+                      maxVocab: Int): Seq[(Long, String, String, Long, Long, Long)] = {
+    def toks(text: String): Array[String] = {
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.isEmpty) Array.empty[String]
+      else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    }
+    val vocab = docs.flatMap(d => toks(d._2)).groupBy(identity)
+      .map { case (w, xs) => (w, xs.size.toLong) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(maxVocab)
+
+    def replace(ss: List[String], l: String, r: String): List[String] = ss match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: replace(rest, l, r)
+      case a :: rest => a :: replace(rest, l, r)
+      case Nil => Nil
+    }
+
+    var seqs: Seq[(List[String], Long)] = vocab.map { case (w, c) =>
+      (w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp))), c)
+    }
+    (0 until nMerges).iterator.map { r =>
+      val pc = seqs.flatMap { case (ss, c) => ss.zip(ss.drop(1)).map(p => p -> c) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val uc = seqs.flatMap { case (ss, c) => ss.map(_ -> c) }
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sum }
+      if (pc.isEmpty) None
+      else {
+        val ((l, rt), cnt) = pc.toSeq.sortWith { case (((a1, b1), n1), ((a2, b2), n2)) =>
+          val cmp = (BigInt(n1) * BigInt(uc(a2)) * BigInt(uc(b2)))
+            .compare(BigInt(n2) * BigInt(uc(a1)) * BigInt(uc(b1)))
+          cmp > 0 || (cmp == 0 && (a1 < a2 || (a1 == a2 && b1 < b2)))
+        }.head
+        val res = (r.toLong, l, rt, cnt, uc(l), uc(rt))
+        seqs = seqs.map { case (ss, c) => (replace(ss, l, rt), c) }
+        Some(res)
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
+  }
+
   def bpeMerges(docs: Seq[(Long, String)], nMerges: Int,
                 maxVocab: Int): Seq[(Long, String, String, Long)] = {
     val counts = scala.collection.mutable.Map.empty[String, Long]
@@ -1053,7 +1100,7 @@ object OpsGolden {
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
-    "semdecon", "tempmix", "rproj", "cdc")
+    "semdecon", "tempmix", "rproj", "cdc", "wpm")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1203,6 +1250,10 @@ object OpsGolden {
           maxTokens = 64, overlap = 8),
         capacity = 128, nBuckets = 16),
       Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
+    // WordPiece trainer: likelihood-scored merges, restated independently
+    write("wpm",
+      OpsOracle.wordpieceMerges(docs, nMerges = 40, maxVocab = 1 << 16),
+      Seq("rank", "left", "right", "n_occ", "l_cnt", "r_cnt"))
     // content-defined chunking: shared gear kernel, plumbing restated
     write("cdc", docs.flatMap { case (id, t) =>
       graft.ops.TextOps.cdcChunksStr(t).zipWithIndex.map { case (c, i) =>

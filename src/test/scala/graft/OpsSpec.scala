@@ -605,6 +605,26 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got("solo.png") shouldBe ((1L, 1L, "d3"))
   }
 
+  test("wordpiece merges: likelihood beats raw count, == sequential on the corpus") {
+    // BPE would merge (a,b) (count 10); WordPiece prefers (c,d):
+    // score(a,b) = 10/(10·10) = 0.100 < score(c,d) = 9/(9·9) = 0.111
+    val rows = ((1 to 10).map(i => (i.toLong, "ab")) ++
+      (11 to 19).map(i => (i.toLong, "cd"))).toDF("doc_id", "text")
+    val first = TextOps.wordpieceMerges(rows, nMerges = 1).collect().head
+    (first.getString(1), first.getString(2)) shouldBe (("c", "d"))
+    first.getLong(3) shouldBe 9L
+    val bpeFirst = TextOps.bpeMerges(rows, nMerges = 1).collect().head
+    (bpeFirst.getString(1), bpeFirst.getString(2)) shouldBe (("a", "b"))
+    // gate corpus agrees with the independent sequential restatement
+    val seq = docs.select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.wordpieceMerges(seq, nMerges = 25,
+      maxVocab = 1 << 16)
+    TextOps.wordpieceMerges(docs, nMerges = 25, maxVocab = 1 << 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq shouldBe want
+  }
+
   test("quality-aware keeper: best score wins, ties break to lowest id, singletons keep") {
     // cluster {1,2,3} via pairs; scores favor 2; {4,5} tie on score → 4; 6 singleton
     val rows = Seq((1L, "aa"), (2L, "aaaa"), (3L, "a"), (4L, "bbb"), (5L, "bbb"),
