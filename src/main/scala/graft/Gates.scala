@@ -55,6 +55,30 @@ object Gates {
         col("text"))
   }
 
+  /** Two-phase streaming NEAR-dup candidate detection through one
+    * checkpoint (restart between phases): phase 2's documents are checked
+    * against phase 1's recovered bucket state, so cross-batch pairs only
+    * exist if state survived the restart. The emitted pair SET is
+    * arrival-order independent below the bucket cap, so the read-back
+    * distinct rows equal the sequential batch restatement exactly.
+    */
+  def streamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = s"${Corpus.Root}/gates/${Corpus.sfName(sfDir)}/stream_neardup"
+    clean(work)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$work/in/f-0")
+    graft.streaming.StreamingNearDup.ingestNearDup(spark, s"$work/in/f-*",
+      s"$work/out", s"$work/ckpt", maxFilesPerTrigger = 100000, minEstPm = 250)
+    docs.where(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$work/in/f-1")
+    graft.streaming.StreamingNearDup.ingestNearDup(spark, s"$work/in/f-*",
+      s"$work/out", s"$work/ckpt", maxFilesPerTrigger = 100000, minEstPm = 250)
+    spark.read.parquet(s"$work/out")
+      .select(col("a"), col("b"), col("est_pm")).distinct()
+  }
+
   /** Phase-1 predicate for the resume gate: even generator index, readable
     * off the last digit of `doc-%09d`. Mirrored in the oracle SQL.
     */

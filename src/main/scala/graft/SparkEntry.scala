@@ -179,6 +179,13 @@ object SparkEntry {
     // run (committed-doc left-anti skip) — the committed union must equal
     // the golden span set exactly (exactly-once per doc_id)
     "q_resume_extract" -> ((s, dir) => Gates.resumeExtract(s, dir)),
+    // streaming near-dup candidates through one checkpoint incl. a restart
+    // — MinHash-LSH bucket state recovered across phases; pair set is
+    // order-independent and equals the sequential batch restatement
+    "q_stream_near_dup" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Gates.streamNearDup(s, dir)
+    }),
     // Iceberg VERSION-AS-OF analog: time-travel scan of snapshot 1 only
     "q_snapshot_asof" -> ((s, dir) => Gates.snapshotAsOf(s, dir)),
     // Iceberg rewrite_data_files / OPTIMIZE analog: compact the committed
@@ -1100,6 +1107,8 @@ object SparkEntry {
       "SELECT rank, \"left\", \"right\", n_occ FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpe/*.parquet')",
     "q_wordpiece_merges" ->
       "SELECT rank, \"left\", \"right\", n_occ, l_cnt, r_cnt FROM read_parquet('/root/repo/data/golden_ops/sf0.01/wpm/*.parquet')",
+    "q_stream_near_dup" ->
+      "SELECT a, b, est_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/streamnd/*.parquet')",
     "q_doc_lm_score" ->
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
     "q_doc_nb_quality" ->

@@ -727,6 +727,37 @@ object OpsOracle {
     }
   }
 
+  // ---- streaming near-dup candidates ---------------------------------------
+
+  /** Sequential `StreamingNearDup`: the candidate-pair SET is arrival-order
+    * independent below the bucket cap (two docs sharing a kept band key
+    * meet exactly once whichever arrives first), so the oracle is the
+    * batch restatement — all unordered pairs sharing ≥ 1 band key whose
+    * full-signature agreement reaches minEstPm. Shares the signature/band
+    * kernels (like simhashPairs shares simhash64); the pairing is what this
+    * restates. Returns (a, b, est_pm), a < b, sorted.
+    */
+  def streamNearDupPairs(docs: Seq[(Long, String)], n: Int, k: Int,
+                         bands: Int, minEstPm: Int): Seq[(Long, Long, Long)] = {
+    val rows = k / bands
+    val sigs = docs.flatMap { case (id, t) =>
+      val s = graft.streaming.StreamingNearDup.sigOfText(t, n, k)
+      if (s.isEmpty) None else Some((id, s))
+    }.toIndexedSeq.sortBy(_._1)
+    val keys: IndexedSeq[Set[Long]] = sigs.map { case (_, s) =>
+      (0 until bands).map(b =>
+        graft.streaming.StreamingNearDup.bandKeyOf(s, b, rows)).toSet
+    }
+    (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if keys(i).exists(keys(j))
+      m = sigs(i)._2.zip(sigs(j)._2).count { case (x, y) => x == y }
+      est = 1000L * m / k
+      if est >= minEstPm
+    } yield (sigs(i)._1, sigs(j)._1, est)).toSeq.sorted
+  }
+
   // ---- temperature mixture sampling ----------------------------------------
 
   private def md5Hex8(s: String): Long = {
@@ -1100,7 +1131,7 @@ object OpsGolden {
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
-    "semdecon", "tempmix", "rproj", "cdc", "wpm")
+    "semdecon", "tempmix", "rproj", "cdc", "wpm", "streamnd")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1250,6 +1281,11 @@ object OpsGolden {
           maxTokens = 64, overlap = 8),
         capacity = 128, nBuckets = 16),
       Seq("item_id", "n_tokens", "bucket", "seq_id", "pos"))
+    // streaming near-dup candidate pairs (order-independent pair set)
+    write("streamnd",
+      OpsOracle.streamNearDupPairs(docs, n = 3, k = 16, bands = 4,
+        minEstPm = 250),
+      Seq("a", "b", "est_pm"))
     // WordPiece trainer: likelihood-scored merges, restated independently
     write("wpm",
       OpsOracle.wordpieceMerges(docs, nMerges = 40, maxVocab = 1 << 16),

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.ops.{Dedup, TextOps}
+
+/** Stateful streaming NEAR-duplicate candidate detection — the streaming
+  * complement of `ops.Dedup.minHashNearDup`, closing the (streaming ×
+  * near-dup) cell next to [[StreamingDedup]]'s exact dedup: every arriving
+  * document is checked online against all earlier documents that share a
+  * MinHash-LSH band bucket, across micro-batches and restarts.
+  *
+  * Shape: signature + band keys computed per row map-side (k-min over
+  * first-8-md5 shingle hashes — the engine's content-keyed discipline, so a
+  * sequential restatement rebuilds them exactly), then ONE
+  * `groupByKey(band key)` + `flatMapGroupsWithState` whose state holds the
+  * bucket's members: ≤ `maxBucket` (doc_id, k-long signature) entries.
+  * A new member emits a candidate row against each stored member whose
+  * signature agreement reaches `minEstPm` (est_pm = 1000·matches/k —
+  * integer-exact, computed from the FULL signatures, so the same pair found
+  * in several bands emits identical rows and a downstream `distinct`
+  * collapses them).
+  *
+  * Scale notes: state per bucket is maxBucket × (8 + 8k) bytes and buckets
+  * hash across the state-store partitions; k=16 keeps rows fixed-width.
+  * The maxBucket cap is the same mass-duplicate contract as the batch ops
+  * (run exact dedup upstream — [[StreamingDedup.firstSeen]] composes in the
+  * same stream); WHICH members a saturated bucket retains is arrival-order
+  * dependent, so the deterministic contract (and the oracle) covers buckets
+  * below the cap. Candidate recall within kept buckets is the standard LSH
+  * guarantee for b bands of r = k/b rows.
+  */
+object StreamingNearDup {
+
+  final case class NdIn(doc_id: Long, text: String)
+  final case class NdCand(a: Long, b: Long, est_pm: Long)
+  // public: state Encoder instantiates it reflectively
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  private[graft] def md5Hex8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  /** k-min signature over word n-gram shingles of `text`; empty when the
+    * doc has fewer than n tokens (such docs cannot near-dup by shingles).
+    */
+  def sigOfText(text: String, n: Int = 3, k: Int = 16): Array[Long] = {
+    val t = text.trim
+    val toks = if (t.isEmpty) Array.empty[String]
+               else t.split(TextOps.WsPlus)
+    if (toks.length < n) return Array.emptyLongArray
+    val hashes = toks.sliding(n).map(w => md5Hex8(w.mkString(" ")))
+    Dedup.minhashSig(hashes.toSeq, k)
+  }
+
+  /** Band key: content-keyed hash of the band's signature rows. */
+  def bandKeyOf(sig: Array[Long], band: Int, rows: Int): Long =
+    md5Hex8(s"band:$band:" + sig.slice(band * rows, (band + 1) * rows).mkString(","))
+
+  /** Online candidate pairs over a (possibly streaming) Dataset. Output
+    * rows (a, b, est_pm) with a < b; a pair meeting in several bands
+    * repeats with identical values — `distinct` downstream.
+    */
+  def nearDupCandidates(docs: Dataset[NdIn], n: Int = 3, k: Int = 16,
+                        bands: Int = 4, minEstPm: Int = 500,
+                        maxBucket: Int = 10000): Dataset[NdCand] = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { d =>
+      val sig = sigOfText(d.text, n, k)
+      if (sig.isEmpty) Iterator.empty
+      else (0 until bands).iterator
+        .map(b => (bandKeyOf(sig, b, rows), d.doc_id, sig.toSeq))
+    }
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: Long, members: Iterator[(Long, Long, Seq[Long])],
+         state: GroupState[BucketState]) => {
+          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NdCand]
+          members.foreach { case (_, id, sig) =>
+            if (!st.ids.contains(id)) { // replay-idempotent
+              st.ids.iterator.zip(st.sigs.iterator).foreach { case (oid, osig) =>
+                var m = 0
+                var i = 0
+                while (i < k) { if (sig(i) == osig(i)) m += 1; i += 1 }
+                val est = 1000L * m / k
+                if (est >= minEstPm)
+                  out += NdCand(math.min(id, oid), math.max(id, oid), est)
+              }
+              if (st.ids.size < maxBucket)
+                st = BucketState(st.ids :+ id, st.sigs :+ sig)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  private val inputSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  /** AvailableNow near-dup ingest: drain `inputPath`, append candidate rows
+    * to `outPath` parquet. The checkpoint persists source offsets AND the
+    * bucket state, so documents arriving in later runs are checked against
+    * everything already indexed.
+    */
+  def ingestNearDup(spark: SparkSession, inputPath: String, outPath: String,
+                    checkpoint: String, maxFilesPerTrigger: Int = 1,
+                    n: Int = 3, k: Int = 16, bands: Int = 4,
+                    minEstPm: Int = 500): Unit = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputPath)
+      .as[NdIn]
+    val q = nearDupCandidates(stream, n, k, bands, minEstPm).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -75,6 +75,41 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("streaming near-dup: cross-batch and cross-restart candidates == sequential restatement") {
+    import graft.streaming.StreamingNearDup
+    import graft.streaming.StreamingNearDup.NdIn
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snd").toString
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    def edited(k: Int): String = // swap a few words — a near-dup, not exact
+      base.split(" ").zipWithIndex.map { case (w, i) =>
+        if (i % 20 == k) s"edit$k" else w }.mkString(" ")
+    val far = (1 to 60).map(i => s"other$i word$i").mkString(" ")
+    def writeFile(i: Int, rows: Seq[NdIn]): Unit =
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/f-$i")
+    // batch 0: original + one same-batch near-dup + one unrelated doc
+    writeFile(0, Seq(NdIn(1, base), NdIn(2, edited(0)), NdIn(9, far)))
+    StreamingNearDup.ingestNearDup(spark, s"$tmp/in/f-*", s"$tmp/out",
+      s"$tmp/ckpt", maxFilesPerTrigger = 100000)
+    // restart with the same checkpoint: a new near-dup of doc 1 must be
+    // caught against the RECOVERED bucket state
+    writeFile(1, Seq(NdIn(5, edited(1)), NdIn(10, far + " tail")))
+    StreamingNearDup.ingestNearDup(spark, s"$tmp/in/f-*", s"$tmp/out",
+      s"$tmp/ckpt", maxFilesPerTrigger = 100000)
+    val got = spark.read.parquet(s"$tmp/out")
+      .select($"a", $"b", $"est_pm").distinct()
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.oracle.OpsOracle.streamNearDupPairs(
+      Seq(1L -> base, 2L -> edited(0), 9L -> far, 5L -> edited(1),
+        10L -> (far + " tail")),
+      n = 3, k = 16, bands = 4, minEstPm = 500).toSet
+    got shouldBe want
+    // the planted relations are live: same-batch pair AND cross-restart pair
+    got.map(p => (p._1, p._2)) should contain allOf ((1L, 2L), (1L, 5L))
+    // the unrelated docs never pair with the base family
+    got.map(p => (p._1, p._2)) should not contain ((1L, 9L))
+  }
+
   test("stateful streaming dedup: first-seen wins across micro-batches and restarts") {
     import graft.streaming.StreamingDedup
     import graft.streaming.StreamingDedup.DocIn
