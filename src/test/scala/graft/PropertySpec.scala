@@ -93,6 +93,60 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("cdcChunksStr: lossless, bounded, and deterministic on arbitrary text") {
+    forAll(genText) { t =>
+      val chunks = graft.ops.TextOps.cdcChunksStr(t)
+      chunks.mkString shouldBe t                       // exact reassembly
+      chunks.foreach(_.length should be <= 256)        // force-cut bound
+      chunks.foreach(_.nonEmpty shouldBe true)         // no empty chunks
+      if (t.isEmpty) chunks.length shouldBe 0
+      graft.ops.TextOps.cdcChunksStr(t).toSeq shouldBe chunks.toSeq
+    }
+  }
+
+  test("phash64: deterministic, and single-byte bumps move few bits") {
+    forAll(Gen.chooseNum(0, 10000), n = 100) { seed =>
+      val rng = new scala.util.Random(seed)
+      val bytes = Array.fill(256 + rng.nextInt(768))(rng.nextInt(256).toByte)
+      val h = graft.ops.Multimodal.phash64(bytes)
+      graft.ops.Multimodal.phash64(bytes.clone()) shouldBe h
+      // bump without the 255→0 wrap (a wrap is a −255 edit, not a small one)
+      val e = bytes.clone()
+      e(0) = (if ((e(0) & 0xff) == 255) 254 else (e(0) & 0xff) + 1).toByte
+      // one +1 byte bump can flip at most the borderline cells: tiny radius
+      java.lang.Long.bitCount(h ^ graft.ops.Multimodal.phash64(e)) should be <= 8
+    }
+  }
+
+  test("bm25TermMicro: monotone in tf, anti-monotone in df and dl") {
+    forAll(for {
+      tf <- Gen.chooseNum(1L, 50L); df <- Gen.chooseNum(1L, 400L)
+      dl <- Gen.chooseNum(1L, 2000L)
+    } yield (tf, df, dl), n = 100) { case (tf, df, dl) =>
+      val n = 500L; val sum = 250000L
+      def s(t: Long, d: Long, l: Long) =
+        graft.ops.Retrieval.bm25TermMicro(t, d, l, n, sum, 1200, 750)
+      s(tf + 1, df, dl) should be >= s(tf, df, dl)      // more hits, better
+      s(tf, df + 1, dl) should be <= s(tf, df, dl)      // commoner term, worse
+      s(tf, df, dl + 100) should be <= s(tf, df, dl)    // longer doc, worse
+      s(tf, df, dl) should be >= 0L                     // non-negative idf variant
+    }
+  }
+
+  test("streaming near-dup signature: insensitive to duplicate shingles, sensitive to content") {
+    forAll(Gen.listOfN(12, Gen.alphaNumStr.suchThat(_.nonEmpty)), n = 100) { ws =>
+      val t = ws.mkString(" ")
+      val sig = graft.streaming.StreamingNearDup.sigOfText(t)
+      // doubling the text repeats every shingle: k-min is set-semantics —
+      // only the NEW boundary shingles can lower entries
+      if (ws.size >= 3) {
+        val sig2 = graft.streaming.StreamingNearDup.sigOfText(t + " " + t)
+        sig.zip(sig2).foreach { case (a, b) => b should be <= a }
+        graft.streaming.StreamingNearDup.sigOfText(t).toSeq shouldBe sig.toSeq
+      } else sig.length shouldBe 0
+    }
+  }
+
   test("salted bucket merge == direct merge for arbitrary page orderings") {
     forAll(Gen.listOf(Gen.chooseNum(1, 200))) { pageNos =>
       val pages = pageNos.distinct.map(n =>
