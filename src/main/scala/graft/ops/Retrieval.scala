@@ -100,12 +100,17 @@ object Retrieval {
     require(nDocs > 0, "empty corpus")
 
     // hit stream: query-term tokens only survive past the scan (map-side
-    // InSet over the tiny term list), then ONE map-side-combined tf shuffle
+    // InSet over the tiny term list), then ONE map-side-combined tf shuffle.
+    // MATERIALIZED (eager localCheckpoint): both the df derivation and the
+    // scoring join consume this table — without the cut, each would re-run
+    // the corpus token scan. The checkpointed table is hits-sized, not
+    // corpus-sized.
     val tf = withDl
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .where(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint(true)
 
     // document frequency per term: a second aggregate over the tf table's
     // output (≤ |terms| rows result); broadcast back into the hit stream
