@@ -115,11 +115,17 @@ object Gates {
       TableIO.readCommitted(spark, resumeTable(spark, sfDir)).get)
 
   private def copyTree(src: String, dst: String): Unit = {
-    val s = Paths.get(src); val d = Paths.get(dst)
-    Files.walk(s).forEach { p =>
-      val t = d.resolve(s.relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Hadoop-FS recursive copy (works on HDFS/S3A/local alike, like TableIO)
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val s = new org.apache.hadoop.fs.Path(src)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    val sfs = s.getFileSystem(conf)
+    val dfs = d.getFileSystem(conf)
+    dfs.mkdirs(d)
+    sfs.listStatus(s).foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs,
+        new org.apache.hadoop.fs.Path(d, st.getPath.getName),
+        false, true, conf)
     }
   }
 

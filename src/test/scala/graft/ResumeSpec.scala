@@ -152,8 +152,39 @@ class ResumeSpec extends AnyFunSuite with Matchers {
     for ((id, g) <- golden) withClue(s"doc $id: ") { finalT(id) shouldBe g }
     // no tombstone dirs survive in the live chain
     TableIO.liveSnapshots(s"$tmp/out").foreach { s =>
-      Files.isDirectory(s.dir.resolve("deletes")) shouldBe false
+      new java.io.File(s.dir.toUri.getPath, "deletes").isDirectory shouldBe false
     }
+  }
+
+  test("expire-then-commit: monotonic ids keep post-expiry commits visible (ADVICE r3 high)") {
+    val tmp = Files.createTempDirectory("graft-expirecommit").toString
+    val all = CorpusGen.genAll(spec).toSeq
+    val (first, rest) = all.splitAt(25)
+    writeInput(s"$tmp/input1", first)
+    writeInput(s"$tmp/input", all)
+    TableIO.runAndCommit(spark, s"$tmp/input1", s"$tmp/out", "run1", 4).get
+    TableIO.runAndCommit(spark, s"$tmp/input", s"$tmp/out", "run2", 4).get
+    // compact (full rewrite) then EXPIRE the two replaced snapshots: the
+    // committed set is now the single compacted snapshot with a high index
+    TableIO.compact(spark, s"$tmp/out", "opt", rowsPerFile = 1000L).get
+    TableIO.expireSnapshots(s"$tmp/out").size shouldBe 2
+    // a fresh doc commits AFTER expiry — the regression: a count-derived id
+    // (000001-...) would sort before the surviving compacted 000002-... and
+    // the new snapshot would be invisible to readCommitted, making every
+    // later resume re-extract (and re-commit) it forever
+    writeInput(s"$tmp/input2",
+      rest.take(1).map(d => d.copy(doc_id = d.doc_id + "-post-expiry")))
+    val s4 = TableIO.runAndCommit(spark, s"$tmp/input2", s"$tmp/out", "run4", 4).get
+    s4.takeWhile(_.isDigit).toLong should be > 2L // monotonic, not count-derived
+    val live = TableIO.readCommitted(spark, s"$tmp/out").get
+    live.count() shouldBe (all.size + 1L)
+    live.where($"doc_id".endsWith("-post-expiry")).count() shouldBe 1L
+    // and the resume anti-join sees it: a re-run over the same input is a no-op
+    TableIO.runAndCommit(spark, s"$tmp/input2", s"$tmp/out", "run5", 4) shouldBe None
+    // head selection is by lineage: the new head's parent is the compacted id
+    val snaps = TableIO.committedSnapshots(s"$tmp/out")
+    val head = snaps.find(_.id == s4).get
+    head.parent shouldBe Some(snaps.find(_.replaces.nonEmpty).get.id)
   }
 
   test("schema evolution: columns added by later snapshots read as NULL on older data") {
