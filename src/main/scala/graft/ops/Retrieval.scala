@@ -75,9 +75,16 @@ object Retrieval {
       text.trim.split(TextOps.WsPlus).filter(_.nonEmpty).distinct.map(q -> _)
     }
 
-  /** BM25 top-k per query. Output: (q_id, doc_id, rank, score_micro). */
+  /** BM25 top-k per query. Output: (q_id, doc_id, rank, score_micro).
+    *
+    * `reliableCheckpointDir`: the hit table below is materialized eagerly
+    * (both the df derivation and the scoring join consume it); pass a DFS
+    * dir so that cut survives executor loss at cluster scale — the same
+    * fault-tolerance switch as the `Dedup` family (VERDICT round 3 item 1).
+    */
   def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)], k: Int = 10,
-               k1Pm: Int = 1200, bPm: Int = 750): DataFrame = {
+               k1Pm: Int = 1200, bPm: Int = 750,
+               reliableCheckpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k >= 1")
     require(queries.nonEmpty, "queries must be non-empty")
     val spark = docs.sparkSession
@@ -101,16 +108,16 @@ object Retrieval {
 
     // hit stream: query-term tokens only survive past the scan (map-side
     // InSet over the tiny term list), then ONE map-side-combined tf shuffle.
-    // MATERIALIZED (eager localCheckpoint): both the df derivation and the
-    // scoring join consume this table — without the cut, each would re-run
-    // the corpus token scan. The checkpointed table is hits-sized, not
-    // corpus-sized.
-    val tf = withDl
+    // MATERIALIZED eagerly: both the df derivation and the scoring join
+    // consume this table — without the cut, each would re-run the corpus
+    // token scan. The materialized table is hits-sized, not corpus-sized;
+    // reliableCheckpointDir picks the executor-loss-tolerant mode.
+    val tf = Dedup.materialize(withDl
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .where(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl")),
+      reliableCheckpointDir)
 
     // document frequency per term: a second aggregate over the tf table's
     // output (≤ |terms| rows result); broadcast back into the hit stream

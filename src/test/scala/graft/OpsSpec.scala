@@ -646,6 +646,39 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got.values.groupBy(_._1).values.foreach(_.count(_._2 == 1L) shouldBe 1)
   }
 
+  test("reliable-checkpoint mode: identical results through a DFS-checkpoint dir (VERDICT r3 item 1)") {
+    // every eager-materialization site, exercised with a reliable checkpoint
+    // dir (Hadoop-FS path): results must be row-identical to the local fast
+    // path, and the mode must not leak the session checkpoint dir setting
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-reliable").toString
+    val some = Some(ckpt)
+    val small = docs.limit(200)
+    val prior = spark.sparkContext.getCheckpointDir
+
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      a.except(b).count() shouldBe 0L
+      b.except(a).count() shouldBe 0L
+    }
+    same(Dedup.ngramJaccardPairs(small, n = 3, minJaccardPm = 200),
+      Dedup.ngramJaccardPairs(small, n = 3, minJaccardPm = 200,
+        reliableCheckpointDir = some))
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    same(Dedup.dedupClusters(ids, pairs),
+      Dedup.dedupClusters(ids, pairs, reliableCheckpointDir = some))
+    val scored = Seq((1L, "aa"), (2L, "aaaa"), (3L, "a"), (4L, "bbb"),
+      (5L, "bbb"), (6L, "c")).toDF("doc_id", "text")
+    same(Dedup.dedupClustersBy(scored, pairs,
+        score = org.apache.spark.sql.functions.length($"text")),
+      Dedup.dedupClustersBy(scored, pairs,
+        score = org.apache.spark.sql.functions.length($"text"),
+        reliableCheckpointDir = some))
+    same(Retrieval.bm25TopK(small, Retrieval.GateQueries, k = 10),
+      Retrieval.bm25TopK(small, Retrieval.GateQueries, k = 10,
+        reliableCheckpointDir = some))
+    spark.sparkContext.getCheckpointDir shouldBe prior
+  }
+
   test("domain opt-out: blocked registrable domains flagged, zero shuffle") {
     val profile = Seq(
       (1L, "https://a.example.com/x", "https", "a.example.com", "example.com"),
