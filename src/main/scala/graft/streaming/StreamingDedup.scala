@@ -119,17 +119,37 @@ object StreamingDedup {
       maxFilesPerTrigger, ttl)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
+    drainUntilIdle(q, idleStopMs)
+  }
+
+  /** Watch a processing-time-trigger query's progress until no micro-batch
+    * has carried data for `idleStopMs`, then stop it. POLLS lastProgress
+    * rather than `processAllAvailable()`: with `ProcessingTimeTimeout`
+    * timers pending, the engine keeps scheduling timeout-only batches, so
+    * the no-new-data condition processAllAvailable waits on never signals
+    * and the drain would hang. Returns the number of non-empty batches.
+    */
+  private[streaming] def drainUntilIdle(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      idleStopMs: Long): Long = {
     var nonEmpty = 0L
     var lastBatch = -1L
     var lastData = System.nanoTime()
     try {
       while (q.isActive && (System.nanoTime() - lastData) / 1000000L < idleStopMs) {
-        q.processAllAvailable() // drain what is currently visible
+        // pending source data (including a data batch still executing) is
+        // activity — stopping here would abort the in-flight commit. Pure
+        // timeout-only batches (TTL evictions) are NOT: with a TTL the
+        // engine schedules them every trigger forever, so counting them
+        // would never go idle.
+        if (q.status.isDataAvailable) lastData = System.nanoTime()
         val p = q.lastProgress
-        if (p != null && p.batchId > lastBatch && p.numInputRows > 0) {
-          nonEmpty += 1
+        if (p != null && p.batchId > lastBatch) {
           lastBatch = p.batchId
-          lastData = System.nanoTime()
+          if (p.numInputRows > 0) {
+            nonEmpty += 1
+            lastData = System.nanoTime()
+          }
         }
         Thread.sleep(100)
       }

@@ -62,10 +62,22 @@ object StreamingNearDup {
   /** Online candidate pairs over a (possibly streaming) Dataset. Output
     * rows (a, b, est_pm) with a < b; a pair meeting in several bands
     * repeats with identical values — `distinct` downstream.
+    *
+    * `ttl` bounds the near-dup horizon (VERDICT round 3 item 3 — without
+    * it the per-bucket member lists are capped but the bucket KEYS
+    * accumulate forever, so state grows with the distinct-band-key count ∝
+    * corpus): with e.g. `Some("30 days")` a band bucket that receives no
+    * member for that long is evicted wholesale (processing-time timeout,
+    * sliding — any arrival refreshes the bucket's deadline), making state
+    * O(buckets touched within the horizon). Same discipline as
+    * [[StreamingDedup.firstSeen]], and the same trigger contract: use the
+    * TTL only with a processing-time trigger — `Trigger.AvailableNow` does
+    * not terminate while processing-time timers are pending.
     */
   def nearDupCandidates(docs: Dataset[NdIn], n: Int = 3, k: Int = 16,
                         bands: Int = 4, minEstPm: Int = 500,
-                        maxBucket: Int = 10000): Dataset[NdCand] = {
+                        maxBucket: Int = 10000,
+                        ttl: Option[String] = None): Dataset[NdCand] = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     import docs.sparkSession.implicits._
@@ -75,28 +87,37 @@ object StreamingNearDup {
       else (0 until bands).iterator
         .map(b => (bandKeyOf(sig, b, rows), d.doc_id, sig.toSeq))
     }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (_: Long, members: Iterator[(Long, Long, Seq[Long])],
          state: GroupState[BucketState]) => {
-          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
-          val out = scala.collection.mutable.ArrayBuffer.empty[NdCand]
-          members.foreach { case (_, id, sig) =>
-            if (!st.ids.contains(id)) { // replay-idempotent
-              st.ids.iterator.zip(st.sigs.iterator).foreach { case (oid, osig) =>
-                var m = 0
-                var i = 0
-                while (i < k) { if (sig(i) == osig(i)) m += 1; i += 1 }
-                val est = 1000L * m / k
-                if (est >= minEstPm)
-                  out += NdCand(math.min(id, oid), math.max(id, oid), est)
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed with no arrivals: drop the bucket
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+            val out = scala.collection.mutable.ArrayBuffer.empty[NdCand]
+            members.foreach { case (_, id, sig) =>
+              if (!st.ids.contains(id)) { // replay-idempotent
+                st.ids.iterator.zip(st.sigs.iterator).foreach { case (oid, osig) =>
+                  var m = 0
+                  var i = 0
+                  while (i < k) { if (sig(i) == osig(i)) m += 1; i += 1 }
+                  val est = 1000L * m / k
+                  if (est >= minEstPm)
+                    out += NdCand(math.min(id, oid), math.max(id, oid), est)
+                }
+                if (st.ids.size < maxBucket)
+                  st = BucketState(st.ids :+ id, st.sigs :+ sig)
               }
-              if (st.ids.size < maxBucket)
-                st = BucketState(st.ids :+ id, st.sigs :+ sig)
             }
+            state.update(st)
+            ttl.foreach(state.setTimeoutDuration) // sliding horizon
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 
@@ -115,19 +136,53 @@ object StreamingNearDup {
                     checkpoint: String, maxFilesPerTrigger: Int = 1,
                     n: Int = 3, k: Int = 16, bands: Int = 4,
                     minEstPm: Int = 500): Unit = {
+    val q = nearDupStream(spark, inputPath, outPath, checkpoint,
+      maxFilesPerTrigger, n, k, bands, minEstPm, ttl = None)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Continuous (tailing) near-dup ingest with an optional bucket-state TTL
+    * — the long-running-crawl mode, mirroring
+    * [[StreamingDedup.ingestDedupContinuous]]: a processing-time trigger
+    * (so `ProcessingTimeTimeout` timers actually fire and idle band buckets
+    * are evicted) with a drain-then-stop loop for bounded runs (pass
+    * `Long.MaxValue` as `idleStopMs` to tail forever). Returns the number
+    * of non-empty micro-batches.
+    */
+  def ingestNearDupContinuous(spark: SparkSession, inputPath: String,
+                              outPath: String, checkpoint: String,
+                              maxFilesPerTrigger: Int = 1,
+                              n: Int = 3, k: Int = 16, bands: Int = 4,
+                              minEstPm: Int = 500,
+                              ttl: Option[String] = None,
+                              triggerMs: Long = 500L,
+                              idleStopMs: Long = 10000L): Long = {
+    val q = nearDupStream(spark, inputPath, outPath, checkpoint,
+      maxFilesPerTrigger, n, k, bands, minEstPm, ttl)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+    StreamingDedup.drainUntilIdle(q, idleStopMs)
+  }
+
+  private def nearDupStream(spark: SparkSession, inputPath: String,
+                            outPath: String, checkpoint: String,
+                            maxFilesPerTrigger: Int, n: Int, k: Int,
+                            bands: Int, minEstPm: Int, ttl: Option[String]) = {
+    // AvailableNow does not terminate while processing-time timers are
+    // pending — the TTL belongs to the continuous entry point (same guard
+    // as StreamingDedup.ingestDedup)
     import spark.implicits._
     val stream = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputPath)
       .as[NdIn]
-    val q = nearDupCandidates(stream, n, k, bands, minEstPm).writeStream
+    nearDupCandidates(stream, n, k, bands, minEstPm, ttl = ttl).writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .format("parquet")
       .option("path", outPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
   }
 }

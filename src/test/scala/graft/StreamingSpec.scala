@@ -110,6 +110,43 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     got.map(p => (p._1, p._2)) should not contain ((1L, 9L))
   }
 
+  test("streaming near-dup TTL: idle band buckets evict, fresh pairs still found") {
+    import graft.streaming.StreamingNearDup
+    import graft.streaming.StreamingNearDup.NdIn
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snd-ttl").toString
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    def edited(kk: Int): String =
+      base.split(" ").zipWithIndex.map { case (w, i) =>
+        if (i % 20 == kk) s"edit$kk" else w }.mkString(" ")
+    val far = (1 to 60).map(i => s"other$i word$i").mkString(" ")
+    def writeFile(i: Int, rows: Seq[NdIn]): Unit =
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/f-$i")
+    def drain(): Unit =
+      StreamingNearDup.ingestNearDupContinuous(spark, s"$tmp/in/f-*",
+        s"$tmp/out", s"$tmp/ckpt", maxFilesPerTrigger = 100000,
+        minEstPm = 500, ttl = Some("1 second"), triggerMs = 100L,
+        idleStopMs = 5000L)
+    // phase 1: index doc 1
+    writeFile(0, Seq(NdIn(1, base)))
+    drain()
+    // let doc 1's bucket deadlines expire, then process UNRELATED data —
+    // that batch fires the pending timers and evicts the idle buckets
+    Thread.sleep(2500)
+    writeFile(1, Seq(NdIn(9, far)))
+    drain()
+    // phase 3: a near-dup of doc 1 plus a fresh same-batch near-dup pair
+    // (doc 4 repeats base — the same relation as doc 3, fresh state only).
+    // Doc 1's state is gone (evicted), so (1,·) must NOT appear; the fresh
+    // pair (3,4) must (detection still live after evictions).
+    writeFile(2, Seq(NdIn(3, edited(0)), NdIn(4, base)))
+    drain()
+    val got = spark.read.parquet(s"$tmp/out")
+      .select($"a", $"b").distinct().as[(Long, Long)].collect().toSet
+    got should contain ((3L, 4L))
+    got.filter(p => p._1 == 1L || p._2 == 1L) shouldBe empty
+  }
+
   test("stateful streaming dedup: first-seen wins across micro-batches and restarts") {
     import graft.streaming.StreamingDedup
     import graft.streaming.StreamingDedup.DocIn
