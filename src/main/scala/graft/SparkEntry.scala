@@ -396,6 +396,17 @@ object SparkEntry {
         .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeEncode(docsTable(s, dir), merges)
     }),
+    // WordPiece inference with the vocab q_wordpiece_merges' trainer builds
+    // (corpus alphabet + merge tokens): greedy longest-match-first with ##
+    // continuations — the BERT-style counterpart of q_bpe_encode (and the
+    // segmentation rule that DIVERGES from BPE's rank-replay; OpsSpec pins a
+    // textbook divergence vector). Bounded vocab broadcast, pure map.
+    "q_wordpiece_encode" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      TextOps.wordpieceEncode(docs,
+        TextOps.wordpieceVocab(docs, nMerges = 40, maxVocab = 1 << 16))
+    }),
     // C4 line-level cleaning (terminal punctuation, >= 5 words, javascript /
     // lorem-ipsum / curly-brace page rules) — pure in-row work, zero shuffle.
     // The word-soup gate corpus has no line structure, so the gate derives
@@ -1206,6 +1217,8 @@ object SparkEntry {
         "(CASE WHEN n > 0 THEN nb * 1000 // n ELSE 0 END) > 25 AS blocked_flag FROM s"),
     "q_bpe_encode" ->
       "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpeenc/*.parquet')",
+    "q_wordpiece_encode" ->
+      "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/wpenc/*.parquet')",
     "q_doc_gopher_rules" ->
       ("WITH d AS (SELECT doc_id, replace(replace(replace(text, ' table ', '.' || chr(10)), " +
         "' row ', chr(10) || '- '), ' fast ', '...' || chr(10)) AS text FROM documents), " +

@@ -863,6 +863,115 @@ object TextOps {
       .toDF("doc_id", "n_words", "n_pieces", "pieces_md5")
   }
 
+  // ---- WordPiece tokenizer application -------------------------------------
+
+  /** The trained WordPiece vocabulary: the corpus alphabet (every distinct
+    * code point of the whitespace tokens — a bounded map-side-combined
+    * distinct, output ≤ |charset|) plus the [[wordpieceMerges]] merge tokens
+    * (left+right concatenations). Sorted for determinism; membership is what
+    * matters downstream. This is the train-time artifact [[wordpieceEncode]]
+    * applies — encoding a DIFFERENT corpus with it surfaces unseen
+    * characters as `[UNK]`, exactly like BERT's tokenizer.
+    */
+  def wordpieceVocab(docs: DataFrame, nMerges: Int = 50,
+                     maxVocab: Int = 1 << 20): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merged = wordpieceMerges(docs, nMerges, maxVocab)
+      .orderBy("rank").collect().map(r => r.getString(1) + r.getString(2))
+    val alphabet = docs.where(length(trim(col("text"))) > 0)
+      .select(explode(splitToks(col("text"))).as("w"))
+      .as[String]
+      .flatMap(w => w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+      .distinct().collect()
+    (alphabet.toSeq ++ merged.toSeq).distinct.sorted
+  }
+
+  /** Greedy longest-match-first WordPiece segmentation of one word (the
+    * BERT inference rule — and the half that differs from BPE, whose
+    * inference replays merges by learned RANK: with merges [(b,c), (a,b)]
+    * BPE splits "abc" into [a, bc] while WordPiece emits [ab, ##c]):
+    * at each position take the LONGEST vocab prefix; continuation pieces
+    * carry the `##` marker in the OUTPUT (the trained vocab here is
+    * raw-symbol based); if no prefix matches at some position the whole
+    * word becomes `unk` — BERT's whole-word-UNK discipline. Matching runs
+    * over char indexes; multi-char code points match through their full
+    * string form (a half surrogate is never in the vocab).
+    */
+  private[graft] def wordpieceWord(w: String, vocab: String => Boolean,
+                                   maxLen: Int, unk: String): List[String] = {
+    if (w.isEmpty) return Nil
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      var j = math.min(w.length, i + maxLen)
+      var found: String = null
+      while (j > i && found == null) {
+        val cand = w.substring(i, j)
+        if (vocab(cand)) found = cand else j -= 1
+      }
+      if (found == null) return List(unk)
+      out += (if (i == 0) found else "##" + found)
+      i = j
+    }
+    out.toList
+  }
+
+  /** Tokenize the corpus with a TRAINED WordPiece vocabulary — the inference
+    * half [[wordpieceMerges]]/[[wordpieceVocab]] train (VERDICT round 3
+    * item 4), paired exactly like [[bpeMerges]]/[[bpeEncode]]. Same output
+    * contract as bpeEncode: (doc_id, n_words, n_pieces, pieces_md5) with the
+    * piece sequence (including `##` markers and `[UNK]`s) pinned as an md5
+    * (pieces joined by spaces within a word, words by newlines).
+    *
+    * Scale shape: identical to bpeEncode — the vocab is bounded (alphabet +
+    * nMerges tokens), rides an executor broadcast into `mapPartitions`, the
+    * per-word greedy loop is pure map work: ZERO shuffle at any corpus size.
+    */
+  def wordpieceEncode(docs: DataFrame, vocab: Seq[String],
+                      unk: String = "[UNK]"): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val vset = bc.value.toSet
+        val maxLen = bc.value.iterator.map(_.length).max
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          var t = text
+          var i0 = 0; var i1 = t.length
+          while (i0 < i1 && t.charAt(i0) == ' ') i0 += 1
+          while (i1 > i0 && t.charAt(i1 - 1) == ' ') i1 -= 1
+          t = t.substring(i0, i1)
+          val words: Array[String] =
+            if (t.isEmpty) Array.empty
+            else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+          var nPieces = 0L
+          val sb = new java.lang.StringBuilder
+          var w = 0
+          while (w < words.length) {
+            if (w > 0) sb.append('\n')
+            val ps = wordpieceWord(words(w), vset, maxLen, unk)
+            nPieces += ps.length
+            var first = true
+            ps.foreach { p =>
+              if (!first) sb.append(' ')
+              sb.append(p); first = false
+            }
+            w += 1
+          }
+          md.reset()
+          val hex = md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, words.length.toLong, nPieces, hex)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_pieces", "pieces_md5")
+  }
+
   // ---- C4-style line-level cleaning ---------------------------------------
 
   /** C4 heuristic cleaning (Raffel et al. 2020 §2.2, the published

@@ -571,6 +571,64 @@ object OpsOracle {
     }
   }
 
+  // ---- WordPiece encode (tokenizer inference) -------------------------------
+
+  /** Sequential `TextOps.wordpieceVocab`: alphabet of the whitespace tokens'
+    * code points plus the wordpieceMerges concatenations, distinct + sorted.
+    */
+  def wordpieceVocab(docs: Seq[(Long, String)], nMerges: Int,
+                     maxVocab: Int): Seq[String] = {
+    def toks(text: String): Array[String] = {
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.isEmpty) Array.empty[String]
+      else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    }
+    val alphabet = docs.flatMap(d => toks(d._2)).iterator
+      .flatMap(w => w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+      .toSeq.distinct
+    val merged = wordpieceMerges(docs, nMerges, maxVocab)
+      .map { case (_, l, r, _, _, _) => l + r }
+    (alphabet ++ merged).distinct.sorted
+  }
+
+  /** Sequential `TextOps.wordpieceEncode`, restated recursively: greedy
+    * longest-vocab-prefix per position, `##` continuation markers, whole
+    * word -> unk when some position has no matching prefix. Returns
+    * (doc_id, n_words, n_pieces, pieces_md5) with the same space/newline
+    * piece-sequence pinning as bpeEncode.
+    */
+  def wordpieceEncode(docs: Seq[(Long, String)], vocab: Seq[String],
+                      unk: String = "[UNK]"): Seq[(Long, Long, Long, String)] = {
+    val vset = vocab.toSet
+    val maxLen = vocab.map(_.length).max
+    def word(w: String): List[String] = {
+      def go(i: Int): Option[List[String]] =
+        if (i >= w.length) Some(Nil)
+        else (math.min(w.length, i + maxLen) to (i + 1) by -1).iterator
+          .map(j => w.substring(i, j))
+          .find(vset)
+          .flatMap(p => go(i + p.length)
+            .map(rest => (if (i == 0) p else "##" + p) :: rest))
+      if (w.isEmpty) Nil else go(0).getOrElse(List(unk))
+    }
+    docs.map { case (id, text) =>
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      val words: List[String] =
+        if (t.isEmpty) Nil else t.split("[ \\t\\n\\x0B\\f\\r]+", -1).toList
+      val encoded = words.map(word)
+      val doc = encoded.map(_.mkString(" ")).mkString("\n")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(doc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (id, words.length.toLong, encoded.map(_.length.toLong).sum, hex)
+    }
+  }
+
   // ---- bigram-LM perplexity score ------------------------------------------
 
   /** Sequential `TextOps.lmScore`, restated on immutable collections with
@@ -1131,7 +1189,7 @@ object OpsGolden {
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
-    "semdecon", "tempmix", "rproj", "cdc", "wpm", "streamnd")
+    "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1209,6 +1267,12 @@ object OpsGolden {
     write("lm",
       OpsOracle.lmScore(docs, vocabSize = 1 << 14, maxBigrams = 1 << 16),
       Seq("doc_id", "n_trans", "lp_micro_tot", "lp_micro_per_tok"))
+    // WordPiece inference with the SAME vocab the wpm golden's trainer
+    // derivation builds (alphabet + merge tokens)
+    write("wpenc",
+      OpsOracle.wordpieceEncode(docs,
+        OpsOracle.wordpieceVocab(docs, nMerges = 40, maxVocab = 1 << 16)),
+      Seq("doc_id", "n_words", "n_pieces", "pieces_md5"))
     // inference with the SAME merge list the bpe golden trains
     write("bpeenc",
       OpsOracle.bpeEncode(docs,

@@ -625,6 +625,38 @@ class OpsSpec extends AnyFunSuite with Matchers {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq shouldBe want
   }
 
+  test("wordpiece encode: == sequential at two parallelisms; textbook BPE divergence; UNK") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // corpus equality: vocab derivation and encoding both match the oracle
+    val seq = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val vocab = TextOps.wordpieceVocab(docs, nMerges = 25, maxVocab = 1 << 16)
+    vocab shouldBe graft.oracle.OpsOracle.wordpieceVocab(seq, 25, 1 << 16)
+    val want = graft.oracle.OpsOracle.wordpieceEncode(seq, vocab)
+    for (df <- Seq(docs, docs.repartition(7))) {
+      TextOps.wordpieceEncode(df, vocab).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq shouldBe want
+    }
+    // textbook divergence vector: merges [(b,c) rank 0, (a,b) rank 1] on
+    // "abc" — BPE inference replays by learned rank -> [a, bc]; WordPiece
+    // greedy longest-match-first -> [ab, ##c]
+    val d = Seq((1L, "abc")).toDF("doc_id", "text")
+    TextOps.bpeEncode(d, Seq(("b", "c"), ("a", "b"))).collect()
+      .head.getString(3) shouldBe md5("a bc")
+    val wp = TextOps.wordpieceEncode(d, Seq("a", "b", "c", "bc", "ab")).collect().head
+    wp.getString(3) shouldBe md5("ab ##c")
+    wp.getLong(2) shouldBe 2L
+    // a char outside the trained vocab UNKs the WHOLE word (BERT rule);
+    // neighbors encode normally
+    val u = TextOps.wordpieceEncode(Seq((2L, "ab zq")).toDF("doc_id", "text"),
+      Seq("a", "b", "ab", "z")).collect().head
+    u.getLong(1) shouldBe 2L
+    u.getLong(2) shouldBe 2L // [ab] + [UNK]
+    u.getString(3) shouldBe md5("ab\n[UNK]")
+  }
+
   test("quality-aware keeper: best score wins, ties break to lowest id, singletons keep") {
     // cluster {1,2,3} via pairs; scores favor 2; {4,5} tie on score → 4; 6 singleton
     val rows = Seq((1L, "aa"), (2L, "aaaa"), (3L, "a"), (4L, "bbb"), (5L, "bbb"),
