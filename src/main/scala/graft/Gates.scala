@@ -25,8 +25,11 @@ object Gates {
 
   private def clean(dir: String): Unit = {
     val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close() // Files.walk holds a directory fd until closed
+    }
     Files.createDirectories(p)
     ()
   }

@@ -50,7 +50,11 @@ object Layout {
     val (mn1, mx1, mn2, mx2) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
     val nb = 1L << bits
-    require(mx1 - mn1 < Long.MaxValue / nb && mx2 - mn2 < Long.MaxValue / nb,
+    // BigInt ranges: a Long subtraction here could itself overflow when a
+    // column straddles the Long extremes, wrap negative, and slip past the
+    // guard — producing silently wrong zkeys instead of a loud require.
+    require((BigInt(mx1) - BigInt(mn1)) < BigInt(Long.MaxValue / nb) &&
+            (BigInt(mx2) - BigInt(mn2)) < BigInt(Long.MaxValue / nb),
       s"column range too wide for $bits-bit bucketization")
     def bucket(c: String, mn: Long, mx: Long): Column =
       expr(s"((cast($c as bigint) - ${mn}L) * ${nb}L) div (${mx}L - ${mn}L + 1L)")
