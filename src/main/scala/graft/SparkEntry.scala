@@ -342,6 +342,18 @@ object SparkEntry {
         .select(md5(col("text").cast("binary")).as("content_md5")).distinct()
       Dedup.incrementalNewBloom(docs, committed, expectedBatch = 1000L)
     }),
+    // incremental NEAR-dup vs a committed signature index: the batch
+    // (doc_id % 3 != 0) near-dedups against the committed corpus's
+    // nearDupIndex WITHOUT touching the committed text — candidates via
+    // LSH band keys, verified by integer-exact signature agreement
+    "q_incremental_near_dup" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      Dedup.incrementalNearNew(
+        docs.where(col("doc_id") % 3 =!= 0),
+        Dedup.nearDupIndex(docs.where(col("doc_id") % 3 === 0)),
+        minAgreePm = 500)
+    }),
     // duplicated-substring detection: per-doc duplicated-window fraction
     "q_dup_windows" -> ((s, dir) => Dedup.dupWindows(docsTable(s, dir), win = 20)),
     // duplicated-segment REMOVAL (ExactSubstr discipline): corpus-wide
@@ -395,6 +407,31 @@ object SparkEntry {
           maxVocab = 1 << 16)
         .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeEncode(docsTable(s, dir), merges)
+    }),
+    // tokenizer fertility / compression eval per source (pieces-per-word,
+    // chars-per-piece in exact integer per-mille) — the readout that drives
+    // multilingual mixture and vocab-size decisions; composes the encode
+    // stream with the doc spine in one plan (encode is pure map work, the
+    // only exchange is the per-source aggregate)
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val merges = TextOps.bpeMerges(docsTable(s, dir), nMerges = 40,
+          maxVocab = 1 << 16)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = TextOps.bpeEncode(docsTable(s, dir), merges)
+      val spine = docsTable(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      enc.join(spine, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"), sum(col("n_chars")).as("n_chars"))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_words").cast("long").as("n_words"),
+          col("n_pieces").cast("long").as("n_pieces"),
+          col("n_chars").cast("long").as("n_chars"),
+          expr("n_pieces * 1000 div n_words").cast("long").as("fertility_pm"),
+          expr("n_chars * 1000 div n_pieces").cast("long").as("chars_per_piece_pm"))
     }),
     // WordPiece inference with the vocab q_wordpiece_merges' trainer builds
     // (corpus alphabet + merge tokens): greedy longest-match-first with ##
@@ -681,18 +718,21 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
           col("score").cast("long").as("score_int"))
     }),
+    // nCells pinned to the gate scale explicitly (nCells = 0 auto-derives
+    // ≈√N at corpus scale; an explicit value always wins)
     "q_ann_ivf_topk" -> ((s, dir) => {
       opsGolden(s, dir)
-      Similarity.ivfTopK(embTable(s, dir), nQueries = 20, k = 5)
+      Similarity.ivfTopK(embTable(s, dir), nQueries = 20, k = 5, nCells = 32)
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
           floor(col("score") * 1000).cast("long").as("score_pm"))
     }),
     // same IVF plan over a k-means-trained codebook (3 Lloyd rounds of the
-    // lowest-id init; micro-unit integer means → partitioning-invariant and
-    // sequential-oracle-reproducible)
+    // content-hash init; micro-unit integer means → partitioning-invariant
+    // and sequential-oracle-reproducible)
     "q_ann_ivf_kmeans_topk" -> ((s, dir) => {
       opsGolden(s, dir)
-      Similarity.ivfTopK(embTable(s, dir), nQueries = 20, k = 5, trainIters = 3)
+      Similarity.ivfTopK(embTable(s, dir), nQueries = 20, k = 5, nCells = 32,
+          trainIters = 3)
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
           floor(col("score") * 1000).cast("long").as("score_pm"))
     }),
@@ -1084,6 +1124,9 @@ object SparkEntry {
         "firsts AS (SELECT content_md5, min(doc_id) AS doc_id FROM hashed GROUP BY 1) " +
         "SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.content_md5 FROM firsts f " +
         "ANTI JOIN committed c ON f.content_md5 = c.content_md5"),
+    "q_incremental_near_dup" ->
+      ("SELECT doc_id, match_id, agree_pm, is_new " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/incnd/*.parquet')"),
     "q_dup_windows" ->
       ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks " +
         "FROM documents WHERE length(trim(text)) > 0), " +
@@ -1217,6 +1260,21 @@ object SparkEntry {
         "(CASE WHEN n > 0 THEN nb * 1000 // n ELSE 0 END) > 25 AS blocked_flag FROM s"),
     "q_bpe_encode" ->
       "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpeenc/*.parquet')",
+    // fertility composes the bpeenc golden with the live documents table in
+    // plain ANSI aggregates (integer // division == Spark div on the
+    // non-negative sums here)
+    "q_tokenizer_fertility" ->
+      ("WITH e AS (SELECT doc_id, n_words, n_pieces " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bpeenc/*.parquet')), " +
+        "s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, " +
+        "CAST(length(text) AS BIGINT) AS n_chars FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(e.n_words) AS BIGINT) AS n_words, " +
+        "CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces, " +
+        "CAST(sum(s.n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(e.n_pieces) * 1000 // sum(e.n_words) AS BIGINT) AS fertility_pm, " +
+        "CAST(sum(s.n_chars) * 1000 // sum(e.n_pieces) AS BIGINT) AS chars_per_piece_pm " +
+        "FROM e JOIN s USING (doc_id) GROUP BY source"),
     "q_wordpiece_encode" ->
       "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/wpenc/*.parquet')",
     "q_doc_gopher_rules" ->

@@ -652,6 +652,104 @@ object Dedup {
       .select(col("doc_id"), col("content_md5"))
   }
 
+  /** The k-min MinHash signature table of a corpus — the compact NEAR-dup
+    * index the pipeline COMMITS (k longs per doc; at k = 64 that is 512
+    * bytes/doc regardless of document size) so that later batches
+    * near-deduplicate against the whole corpus WITHOUT re-reading its text
+    * ([[incrementalNearNew]]). One signature shuffle (the same typed
+    * k-min Aggregator as [[minHashNearDup]] — map-side combined, the
+    * shingle multiset never moves); band keys are cheap projections of the
+    * signature, derived at read time rather than stored.
+    */
+  def nearDupIndex(docs: DataFrame, n: Int = 3, k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigAgg = udaf(new MinHashSigAgg(k), Encoders.scalaLong)
+    shingles(docs, n).groupBy("doc_id")
+      .agg(sigAgg(col("shingle")).as("sig"))
+  }
+
+  /** Incremental NEAR-dup dedup for batch ingest — the estimated-Jaccard
+    * sibling of [[incrementalNew]]: which docs of a new batch are
+    * near-novel against an already-committed corpus whose only persisted
+    * footprint is its [[nearDupIndex]] signature table? The committed TEXT
+    * is never touched (at 100 TB it may be cold storage); candidates are
+    * generated by LSH band-key equality and verified by SIGNATURE
+    * AGREEMENT — the integer-exact Jaccard estimate agree/k, the same
+    * discipline as the streaming path (`StreamingNearDup`), since exact
+    * verification would need the committed shingle sets the index
+    * deliberately does not keep.
+    *
+    * Output, one row per batch doc: (doc_id, match_id, agree_pm, is_new)
+    * with match_id = the best committed match (agreement desc, id asc — a
+    * total order; −1 when none reaches `minAgreePm`), agree_pm =
+    * floor(1000·agree/k) of that match, is_new = 1 iff no qualifying
+    * match. Within-batch near-dups are NOT resolved here (compose
+    * [[minHashNearDup]] over the batch for that); this op answers the
+    * batch-vs-corpus question only.
+    *
+    * Scale shape: the batch side pays one signature shuffle (text never
+    * moves); the index side is a stored (doc_id, sig) scan whose band keys
+    * explode map-side — bands × |index| rows of (band, bucket, id, sig).
+    * The band-key join's per-bucket blowup is bounded by `maxBucket` on
+    * the INDEX side (count + semi-join BEFORE the join, map-side
+    * combinable — the hot-boilerplate bucket is the exact-dup regime:
+    * run [[incrementalNew]] first, same contract as every other cap, and
+    * mirrored by the sequential oracle). Agreement scoring runs inside the
+    * join projection on the two sig arrays (in-row `zip_with`), so the
+    * post-join exchange carries (ids, one long) per candidate, never
+    * signatures; the best-match reduction is one map-side-combined
+    * max(struct) per batch doc, and the final left join back to the batch
+    * spine is sparse → AQE broadcast in the normal regime.
+    */
+  def incrementalNearNew(batch: DataFrame, index: DataFrame, n: Int = 3,
+                         k: Int = 64, bands: Int = 16, minAgreePm: Int = 500,
+                         maxBucket: Int = 1000): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    def banded(sigs: DataFrame, idCol: String): DataFrame =
+      sigs.select(col("doc_id").cast("long").as(idCol), col("sig"))
+        .as[(Long, Array[Long])]
+        .flatMap { case (doc, sig) =>
+          (0 until bands).iterator.map { b =>
+            val band = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+            (b, MurmurHash3.arrayHash(band), doc, sig)
+          }
+        }
+        .toDF("band", "bucket", idCol, s"sig_$idCol")
+
+    val idxBands = banded(index, "m_id")
+    // hot-bucket cap on the committed side, enforced BEFORE the join
+    val keepB = idxBands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") <= maxBucket)
+      .select("band", "bucket")
+    val idxKept = idxBands.join(keepB, Seq("band", "bucket"), "left_semi")
+
+    val batchBands = banded(nearDupIndex(batch, n, k), "doc_id")
+    // agreement scored inside the join; multi-band hits collapse under the
+    // per-(doc, match) max — identical scores, so max == distinct
+    val scored = batchBands.join(idxKept, Seq("band", "bucket"))
+      .select(col("doc_id"), col("m_id"),
+        aggregate(zip_with(col("sig_doc_id"), col("sig_m_id"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("agree"))
+      .where(col("agree") * 1000 >= lit(minAgreePm.toLong) * k)
+      .groupBy("doc_id")
+      .agg(max(struct(col("agree"), negate(col("m_id")).as("neg_id"))).as("best"))
+      .select(col("doc_id"),
+        negate(col("best.neg_id")).cast("long").as("match_id"),
+        expr(s"best.agree * 1000 div $k").cast("long").as("agree_pm"))
+    batch.select(idLong(col("doc_id"), "doc_id").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("agree_pm"), lit(-1L)).as("agree_pm"),
+        col("match_id").isNull.cast("long").as("is_new"))
+  }
+
   /** Duplicated-substring detection ("Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2022 — the ExactSubstr idea),
     * restated at fixed-window granularity for a distributed engine: every

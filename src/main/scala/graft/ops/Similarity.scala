@@ -210,6 +210,50 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Content key of a vector: md5 hex of its micro-unit rendering
+    * (floor(x·10^6) per component, comma-joined). Engine-portable — any
+    * engine (and the sequential oracle) derives the identical key from the
+    * vector VALUES alone, with no dependence on the id space.
+    */
+  private[graft] def contentKey(v: Array[Float]): String = {
+    val s = v.map(x => math.floor(x.toDouble * 1e6).toLong).mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Deterministic, id-INDEPENDENT seed codebook: the `nCells` vectors with
+    * the smallest [[contentKey]] (round-3 VERDICT item 7 — the old
+    * lowest-id init required vec_ids 0..nCells−1 to exist, which arbitrary
+    * id spaces don't satisfy; shifting every id now provably leaves the
+    * codebook unchanged). Selection is a TakeOrderedAndProject (bounded:
+    * nCells rows reach the driver); equal-content duplicates share a key,
+    * and since their VALUES are equal the resulting centroid array is the
+    * same whichever copy wins the ordering.
+    */
+  def seedCodebook(embs: DataFrame, nCells: Int): Array[Array[Float]] = {
+    require(nCells >= 1, s"nCells >= 1 (got $nCells)")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val seeds = embs.select(col("embedding")).as[Array[Float]]
+      .map(v => (contentKey(v), v))
+      .toDF("h", "emb")
+      .orderBy(col("h")).limit(nCells)
+      .as[(String, Array[Float])]
+      .collect()
+    require(seeds.nonEmpty, "seedCodebook needs a non-empty corpus")
+    seeds.sortBy(_._1).map(_._2)
+  }
+
+  /** √N cell-count heuristic (round-3 VERDICT item 6): one cheap count —
+    * at corpus scale this comes from table metadata — sizing the IVF /
+    * SemDeDup cell space so per-cell work and cell-key parallelism grow
+    * together (√N cells × √N vectors/cell). An explicit caller value always
+    * wins; this is only the `nCells = 0` default resolution.
+    */
+  def autoCells(embs: DataFrame): Int =
+    math.max(1, math.ceil(math.sqrt(embs.count().toDouble)).toInt)
+
   /** Cell id of a vector under an IVF codebook: the centroid with the
     * highest float-exact cosine (ties → lowest centroid index).
     */
@@ -226,7 +270,8 @@ object Similarity {
   }
 
   /** Data-tuned IVF codebook: `iters` Lloyd rounds over the corpus, seeded
-    * from the deterministic lowest-id init (the training-free codebook).
+    * from the deterministic content-hash init ([[seedCodebook]] — id-space
+    * independent).
     * Each round is ONE distributed pass — assign every vector to its nearest
     * centroid (broadcast codebook, [[ivfCellOf]]), then aggregate per-(cell,
     * dim) component sums with map-side combine; only nCells×dim aggregate
@@ -242,9 +287,7 @@ object Similarity {
     import spark.implicits._
     val typed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    var centroids = typed.filter(t => t._1 >= 0 && t._1 < nCells)
-      .collect().sortBy(_._1).map(_._2)
-    require(centroids.nonEmpty, "kmeansCodebook needs vec_ids 0..nCells-1 present")
+    var centroids = seedCodebook(embs, nCells)
     for (_ <- 0 until iters) {
       val bCent = spark.sparkContext.broadcast(centroids)
       val stats = typed
@@ -268,28 +311,28 @@ object Similarity {
   }
 
   /** IVF-bucketed ANN top-k — the inverted-file scale path alongside the
-    * hyperplane-LSH one. The coarse codebook is DETERMINISTIC: by default
-    * the `nCells` lowest-id vectors (a training-free quantizer), or with
+    * hyperplane-LSH one. The coarse codebook is DETERMINISTIC and
+    * id-space-independent: by default the `nCells` smallest-content-hash
+    * vectors ([[seedCodebook]] — a training-free quantizer), or with
     * `trainIters > 0` the [[kmeansCodebook]] Lloyd refinement of that init —
     * same plan shape, data-tuned cells (both bit-reproducible by the
     * sequential oracle). Corpus vectors are assigned to their nearest cell;
     * each query probes its `nProbe` nearest cells (shuffle on cell id,
     * broadcast queries); exact cosine inside probed cells; two-phase top-k
-    * merge. nCells is the parallelism ceiling of the cell join — scale it
-    * with the corpus (see object doc), the default fits the
-    * correctness-gate scale.
+    * merge. nCells is the parallelism ceiling of the cell join — pass 0
+    * (the default) to auto-derive ≈√N from one cheap count
+    * ([[autoCells]]); an explicit value always wins (the gates pin 32).
     */
   def ivfTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
-              nCells: Int = 32, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
+              nCells: Int = 0, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    val cells = if (nCells > 0) nCells else autoCells(embs)
     val typed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     val centroids =
-      if (trainIters > 0) kmeansCodebook(embs, nCells, trainIters)
-      else typed.filter(t => t._1 >= 0 && t._1 < nCells)
-        .collect().sortBy(_._1).map(_._2)
-    require(centroids.nonEmpty, "ivfTopK needs vec_ids 0..nCells-1 present")
+      if (trainIters > 0) kmeansCodebook(embs, cells, trainIters)
+      else seedCodebook(embs, cells)
     val bCent = spark.sparkContext.broadcast(centroids)
 
     val celled = typed
@@ -355,8 +398,8 @@ object Similarity {
     * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): assign every embedding to its nearest coarse cell
     * ([[kmeansCodebook]] when `trainIters > 0`, else the training-free
-    * lowest-id codebook — both deterministic), compare pairs ONLY within a
-    * cell, and mark a vector a semantic duplicate iff a LOWER-id vector in
+    * content-hash [[seedCodebook]] — both deterministic and id-space
+    * independent), compare pairs ONLY within a cell, and mark a vector a semantic duplicate iff a LOWER-id vector in
     * the same cell has cosine ≥ `minCosinePm`/1000 (the paper keeps one
     * representative per duplicate relation; lowest-id is the deterministic
     * restatement of its arbitrary choice). Output, one row per vector:
@@ -366,26 +409,26 @@ object Similarity {
     *
     * Scale shape: the codebook broadcasts (nCells × dim floats); cell
     * assignment is map work. The within-cell self-join shuffles on cell id
-    * — nCells is the parallelism ceiling AND the quadratic bound, so scale
-    * it with the corpus (the paper runs 50k clusters at web scale; see the
-    * object doc's sizing note). Cells above `maxCell` are excluded from
+    * — nCells is the parallelism ceiling AND the quadratic bound; pass 0
+    * (the default) to auto-derive ≈√N cells from one cheap count
+    * ([[autoCells]]), or set it explicitly (the paper runs 50k clusters at
+    * web scale; the gates pin 32). Cells above `maxCell` are excluded from
     * pairing — the degenerate mass-duplicate regime (run [[cosineNearDup]]
     * / exact dedup first), mirrored by the sequential oracle exactly like
     * the minhash/simhash caps. The dup-of table is sparse in the normal
     * regime, so the final left join back to the spine is an AQE broadcast;
     * pair rows carry (ids, one double), never vectors.
     */
-  def semanticDedup(embs: DataFrame, minCosinePm: Int = 990, nCells: Int = 32,
+  def semanticDedup(embs: DataFrame, minCosinePm: Int = 990, nCells: Int = 0,
                     trainIters: Int = 0, maxCell: Int = 100000): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    val cells = if (nCells > 0) nCells else autoCells(embs)
     val typed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     val centroids =
-      if (trainIters > 0) kmeansCodebook(embs, nCells, trainIters)
-      else typed.filter(t => t._1 >= 0 && t._1 < nCells)
-        .collect().sortBy(_._1).map(_._2)
-    require(centroids.nonEmpty, "semanticDedup needs vec_ids 0..nCells-1 present")
+      if (trainIters > 0) kmeansCodebook(embs, cells, trainIters)
+      else seedCodebook(embs, cells)
     val bCent = spark.sparkContext.broadcast(centroids)
     val celled = typed
       .map { case (id, v) => (id, v, ivfCellOf(v, bCent.value)) }

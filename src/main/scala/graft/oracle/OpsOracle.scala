@@ -124,6 +124,54 @@ object OpsOracle {
     }.toSeq.sorted
   }
 
+  /** Sequential `Dedup.incrementalNearNew`: committed-index signatures
+    * banded into buckets (the index-side maxBucket cap mirrored), batch
+    * signatures probe their band buckets, agreement = count of equal
+    * signature components, best match = (agreement desc, id asc), the
+    * threshold compared in exact integer form (agree·1000 ≥ minAgreePm·k).
+    * Returns (doc_id, match_id | −1, agree_pm | −1, is_new) per batch doc.
+    */
+  def incrementalNearNew(batch: Seq[(Long, String)], index: Seq[(Long, String)],
+                         n: Int, k: Int, bands: Int, minAgreePm: Int,
+                         maxBucket: Int = 1000): Seq[(Long, Long, Long, Long)] = {
+    val rowsPerBand = k / bands
+    def sigOf(t: String): Option[Array[Long]] = {
+      val sh = shingleSet(t, n)
+      if (sh.isEmpty) None else Some(Dedup.minhashSig(sh, k))
+    }
+    val idxSigs = index.flatMap { case (id, t) => sigOf(t).map(id -> _) }
+    val buckets = scala.collection.mutable.Map
+      .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Long]]
+    idxSigs.foreach { case (id, sig) =>
+      for (b <- 0 until bands) {
+        val key = (b, MurmurHash3.arrayHash(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)))
+        buckets.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += id
+      }
+    }
+    val live = buckets.filter(_._2.size <= maxBucket)
+    val sigById = idxSigs.toMap
+    batch.sortBy(_._1).map { case (id, t) =>
+      sigOf(t) match {
+        case None => (id, -1L, -1L, 1L)
+        case Some(sig) =>
+          val cand = scala.collection.mutable.Set.empty[Long]
+          for (b <- 0 until bands) {
+            val key = (b, MurmurHash3.arrayHash(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)))
+            live.get(key).foreach(ds => ds.foreach(cand += _))
+          }
+          val qual = cand.toSeq.map { mid =>
+            val ms = sigById(mid)
+            (sig.indices.count(i => sig(i) == ms(i)).toLong, mid)
+          }.filter { case (agree, _) => agree * 1000 >= minAgreePm.toLong * k }
+          if (qual.isEmpty) (id, -1L, -1L, 1L)
+          else {
+            val (agree, mid) = qual.maxBy { case (a, m) => (a, -m) }
+            (id, mid, agree * 1000 / k, 0L)
+          }
+      }
+    }
+  }
+
   // ---- cluster assignment -------------------------------------------------
 
   /** Sequential `Dedup.dedupClusters`: union-find with path compression over
@@ -236,16 +284,31 @@ object OpsOracle {
     }
   }
 
+  /** Sequential `Similarity.seedCodebook`: the nCells vectors with the
+    * smallest content hash (md5 hex of the comma-joined floor(x·10^6)
+    * micro-unit rendering), restated with a plain sort — id-space
+    * independent like the distributed selection.
+    */
+  def seedCodebook(embs: Seq[(Long, Array[Float])],
+                   nCells: Int): Array[Array[Float]] =
+    embs.map { case (_, v) =>
+      val s = v.map(x => math.floor(x.toDouble * 1e6).toLong).mkString(",")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      (h, v)
+    }.sortBy(_._1).take(nCells).map(_._2).toArray
+
   /** Sequential `Similarity.kmeansCodebook`: a plain in-memory Lloyd loop
     * over the same pinned micro-unit arithmetic (floor components to micro
     * longs, long-sum per cell, floorDiv by the cell count) — shares only the
     * [[Similarity.ivfCellOf]] assignment leaf; the aggregation is restated
     * as sequential accumulation, independently of the distributed groupBy.
+    * Seeded from the content-hash [[seedCodebook]] init.
     */
   def kmeansCodebook(embs: Seq[(Long, Array[Float])], nCells: Int,
                      iters: Int): Array[Array[Float]] = {
-    var cent = embs.filter(t => t._1 >= 0 && t._1 < nCells)
-      .sortBy(_._1).map(_._2).toArray
+    var cent = seedCodebook(embs, nCells)
     for (_ <- 0 until iters) {
       val dim = cent(0).length
       val sums = Array.ofDim[Long](cent.length, dim)
@@ -266,7 +329,7 @@ object OpsOracle {
     cent
   }
 
-  /** Sequential `Similarity.ivfTopK`: deterministic lowest-id codebook
+  /** Sequential `Similarity.ivfTopK`: deterministic content-hash codebook
     * (Lloyd-refined when trainIters > 0), nearest-cell assignment, nProbe
     * query cells, exact cosine, top-k.
     */
@@ -274,8 +337,7 @@ object OpsOracle {
               nCells: Int, nProbe: Int, trainIters: Int = 0): Seq[(Long, Long, Int, Double)] = {
     val centroids =
       if (trainIters > 0) kmeansCodebook(embs, nCells, trainIters)
-      else embs.filter(t => t._1 >= 0 && t._1 < nCells)
-        .sortBy(_._1).map(_._2).toArray
+      else seedCodebook(embs, nCells)
     val celled = embs.map { case (id, v) =>
       (id, v, Similarity.ivfCellOf(v, centroids)) }
     celled.filter(_._1 < nQueries).sortBy(_._1).flatMap { case (q, qv, _) =>
@@ -347,8 +409,7 @@ object OpsOracle {
                     maxCell: Int = 100000): Seq[(Long, Long, Long, Long)] = {
     val cents =
       if (trainIters > 0) kmeansCodebook(embs, nCells, trainIters)
-      else embs.filter(t => t._1 >= 0 && t._1 < nCells)
-        .sortBy(_._1).map(_._2).toArray
+      else seedCodebook(embs, nCells)
     val celled = embs.map { case (id, v) => (id, v, Similarity.ivfCellOf(v, cents)) }
     val sizes = celled.groupBy(_._3).map { case (c, vs) => c -> vs.size }
     celled.sortBy(_._1).map { case (id, v, c) =>
@@ -1189,7 +1250,8 @@ object OpsGolden {
     "ann_lsh", "ann_ivf", "ann_ivf_km", "ann_q8", "embdup", "media",
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
-    "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd")
+    "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
+    "incnd")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1221,6 +1283,13 @@ object OpsGolden {
       OpsOracle.simhashPairs(docs, maxHamming = 7)
         .map { case (a, b, h) => (a, b, h.toLong) },
       Seq("a", "b", "hamming"))
+    // batch (doc_id % 3 != 0) near-dedups against the committed-index
+    // signatures of the rest — same split as the exact incremental gate
+    write("incnd",
+      OpsOracle.incrementalNearNew(
+        batch = docs.filter(_._1 % 3 != 0), index = docs.filter(_._1 % 3 == 0),
+        n = 3, k = 64, bands = 16, minAgreePm = 500),
+      Seq("doc_id", "match_id", "agree_pm", "is_new"))
     write("ann_brute",
       OpsOracle.bruteTopK(embs, nQueries = 20, k = 5)
         .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },

@@ -978,6 +978,42 @@ class OpsSpec extends AnyFunSuite with Matchers {
     Dedup.incrementalNew(docs, keepers.select("content_md5")).count() shouldBe 0L
   }
 
+  test("incremental near-dup vs committed signature index: == sequential oracle, plants behave") {
+    // corpus split: committed index = doc_id % 3 == 0, batch = the rest
+    val index = docs.where($"doc_id" % 3 === 0)
+    val batch = docs.where($"doc_id" % 3 =!= 0)
+    val got = Dedup.incrementalNearNew(batch, Dedup.nearDupIndex(index),
+        minAgreePm = 500)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val localB = batch.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq
+    val localI = index.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq
+    got shouldBe oracle.OpsOracle.incrementalNearNew(localB, localI,
+      n = 3, k = 64, bands = 16, minAgreePm = 500)
+    // parallelism invariance: a different input partitioning, same rows
+    Dedup.incrementalNearNew(batch.repartition(3),
+        Dedup.nearDupIndex(index.repartition(5)), minAgreePm = 500)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq shouldBe got
+    // plants: an exact copy of an index doc scores agreement 1000; a novel
+    // token soup matches nothing; a blank doc has no signature -> new
+    val idxDoc = localI.filter(_._2.trim.split("\\s+").length >= 10).head
+    val planted = Seq(
+      (900001L, idxDoc._2),
+      (900002L, (1 to 60).map(i => s"zq${i}xv${i * 7}").mkString(" ")),
+      (900003L, "   ")).toDF("doc_id", "text")
+    val p = Dedup.incrementalNearNew(planted, Dedup.nearDupIndex(index),
+        minAgreePm = 500)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // (match_id may be a lower-id exact/near-exact twin of idxDoc within
+    // the index — the agreement score and the dup verdict are the pins)
+    p(900001L)._3 shouldBe 1000L
+    p(900001L)._4 shouldBe 0L
+    p(900002L)._4 shouldBe 1L
+    p(900002L)._2 shouldBe -1L
+    p(900003L) shouldBe ((900003L, -1L, -1L, 1L))
+  }
+
   test("bloom incremental dedup is exact: equals the plain path at any fpp") {
     val committed = docs.where($"doc_id" % 5 === 0)
       .select(md5($"text".cast("binary")).as("content_md5")).distinct()
@@ -1087,6 +1123,73 @@ class OpsSpec extends AnyFunSuite with Matchers {
     val top1 = Similarity.ivfTopK(withDups, nQueries = 0, k = 1) // ids < 0
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
     for (i <- 0L until 10L) top1(i - 1000000L) shouldBe i
+  }
+
+  test("codebook init is id-space independent: shifting every vec_id leaves the codebook and dedup relation unchanged") {
+    // the content-hash seed selection (VERDICT r3 item 7) must not look at
+    // ids at all: shift the whole id space by +10^9 and both the seed and
+    // the Lloyd-refined codebooks must be bit-identical
+    val shifted = embs.select(($"vec_id".cast("long") + 1000000000L).as("vec_id"),
+      $"embedding")
+    Similarity.seedCodebook(shifted, 16).map(_.toSeq).toSeq shouldBe
+      Similarity.seedCodebook(embs, 16).map(_.toSeq).toSeq
+    Similarity.kmeansCodebook(shifted, nCells = 16, iters = 2).map(_.toSeq).toSeq shouldBe
+      Similarity.kmeansCodebook(embs, nCells = 16, iters = 2).map(_.toSeq).toSeq
+    // and the downstream relations shift WITH the ids: ivf neighbors and
+    // the semantic-dup relation are the originals translated by the offset
+    val base = Similarity.ivfTopK(embs, nQueries = 5, k = 3, nCells = 16)
+      .select($"q_id".cast("long"), $"n_id".cast("long"), $"rank".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    // shifted ids are >= 10^9, so probe the shifted query band explicitly
+    val shiftedQ = shifted.where($"vec_id" < 1000000000L + 5)
+    val shiftedTop = Similarity.ivfTopK(
+        shifted, nQueries = 0, k = 3, nCells = 16) // nQueries=0: no query <0
+    // restate via semanticDedup instead (query-band selection is id-anchored
+    // by contract): dup relation must translate exactly
+    val d0 = Similarity.semanticDedup(embs, minCosinePm = 990, nCells = 16)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val d1 = Similarity.semanticDedup(shifted, minCosinePm = 990, nCells = 16)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    d1 shouldBe d0.map { case (id, c, dup, k) =>
+      (id + 1000000000L, c, if (dup < 0) dup else dup + 1000000000L, k) }
+    base should not be empty // the unshifted ivf still ran (plan sanity)
+    shiftedQ.count() shouldBe 5L
+    shiftedTop.count() shouldBe 0L
+  }
+
+  test("auto cell count: nCells=0 derives ~sqrt(N) and matches the explicit call") {
+    val n = embs.count()
+    val auto = Similarity.autoCells(embs)
+    auto shouldBe math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val viaAuto = Similarity.ivfTopK(embs, nQueries = 5, k = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val viaExplicit = Similarity.ivfTopK(embs, nQueries = 5, k = 3, nCells = auto)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    viaAuto shouldBe viaExplicit
+  }
+
+  test("IVF recall-vs-cells curve: recall measured at multiple cell counts (VERDICT r3 item 6)") {
+    val typed = embs.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val truth = graft.oracle.OpsOracle.bruteTopK(typed, nQueries = 10, k = 5)
+      .map { case (q, n, _, _) => (q, n) }.toSet
+    def recallAt(cells: Int): Double = {
+      val got = Similarity.ivfTopK(embs, nQueries = 10, k = 5, nCells = cells)
+        .select($"q_id".cast("long"), $"n_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val curve = Seq(4, 8, 16, 32).map(c => c -> recallAt(c))
+    curve.foreach { case (c, r) => info(f"IVF recall@5 with nCells=$c%2d: $r%.3f") }
+    // with nProbe fixed at 4, 4 cells means every probe set is the whole
+    // corpus -> recall exactly 1.0; more cells = smaller probed fraction =
+    // lower recall (the curve IS the measurement: probe coverage, not the
+    // golden gate, is what degrades — the gate pins exact hashes separately)
+    curve.head._2 shouldBe 1.0 +- 1e-9
+    curve.last._2 should be <= curve.head._2
+    // the training-free floor at the gate's own cell count (the trained
+    // codebook, gated elsewhere, lifts this to >= 0.5 on this corpus)
+    curve.foreach { case (_, r) => r should be >= 0.35 }
   }
 
   test("k-means IVF: distributed codebook == sequential Lloyd; recall measured vs training-free") {
