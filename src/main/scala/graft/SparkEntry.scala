@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.pipeline.Extraction
-import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing, Sketches, UrlOps, Retrieval}
+import graft.ops.{TextOps, Dedup, Similarity, Multimodal, Packing, Sketches, UrlOps, Retrieval, Graph}
 
 /** Driver contract — see SURVEY.md §7 + SPEC.md.
   *
@@ -324,6 +324,37 @@ object SparkEntry {
       opsGolden(s, dir)
       Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // ---- link graph / quality prior (PageRank family) -------------------
+    // per-node in/out degrees over the deterministic md5-keyed link graph
+    // (the parsed-anchor edge list a crawl pipeline feeds in) — restated
+    // end-to-end in DuckDB SQL, hash parity via the first-32-bits-of-md5
+    // discipline
+    "q_link_degrees" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Graph.degreeStats(docs.select(col("doc_id")), Graph.linkEdges(docs))
+    }),
+    // integer micro-unit PageRank (10 iterations, damping 0.85): the
+    // quality prior; bit-deterministic at any parallelism, gated by the
+    // sequential-oracle golden
+    "q_pagerank" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      Graph.pageRank(docs.select(col("doc_id")), Graph.linkEdges(docs))
+    }),
+    // authority mass by source: PageRank rolled up to the corpus-mixing
+    // grain — how much link authority each source contributes (DuckDB
+    // restates the rollup independently over the pagerank golden)
+    "q_source_authority" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      val pr = Graph.pageRank(docs.select(col("doc_id")), Graph.linkEdges(docs))
+      docs.select(col("doc_id"), col("source")).join(pr, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("rank_micro")).cast("long").as("sum_rank_micro"),
+          max(col("rank_micro")).cast("long").as("max_rank_micro"))
     }),
     // incremental ingest dedup: the batch = the whole table, the committed
     // index = hashes of every 3rd doc — returns first-seen genuinely-new docs
@@ -1063,6 +1094,28 @@ object SparkEntry {
         "SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1, 2"),
     "q_simhash_near_dup" ->
       "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/simhash/*.parquet')",
+    // link graph restated end-to-end: same md5 edge derivation, degrees
+    "q_link_degrees" ->
+      ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
+        "('0x' || substr(md5(d.text || ':' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
+        "('0x' || substr(md5(d.text || ':0'), 1, 8))::BIGINT AS h0 " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "e AS (SELECT DISTINCT src, h % (src + 1) AS dst FROM e0 " +
+        "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +
+        "o AS (SELECT src AS doc_id, count(*) AS out_deg FROM e GROUP BY 1), " +
+        "i AS (SELECT dst AS doc_id, count(*) AS in_deg FROM e GROUP BY 1) " +
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, " +
+        "CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg, " +
+        "CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg " +
+        "FROM documents d LEFT JOIN o USING (doc_id) LEFT JOIN i USING (doc_id)"),
+    "q_pagerank" ->
+      "SELECT doc_id, rank_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/pagerank/*.parquet')",
+    "q_source_authority" ->
+      ("SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(p.rank_micro) AS BIGINT) AS sum_rank_micro, " +
+        "CAST(max(p.rank_micro) AS BIGINT) AS max_rank_micro " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/pagerank/*.parquet') p " +
+        "JOIN documents d USING (doc_id) GROUP BY 1"),
     "q_dedup_clusters" ->
       "SELECT doc_id, cluster_id, n_members, is_keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/clusters/*.parquet')",
     "q_dedup_clusters_star" ->

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for web-scale corpus curation: a deterministic
+  * outlink derivation, degree statistics, and an integer-exact PageRank —
+  * the quality prior a crawl-scale pipeline attaches to every document
+  * before filtering/mixing (the reference pipeline has no link stage; in
+  * production the edge list arrives from the upstream anchor parser, and
+  * these operators consume it unchanged).
+  *
+  * Scale notes (100 TB framing): the edge table is the big side (~10–100
+  * edges/doc). It is degree-annotated, hash-partitioned by `src` and
+  * materialized ONCE; each PageRank iteration moves only the rank table
+  * (two longs per node) through one join + one aggregation shuffle, never
+  * the edges. All arithmetic is Long micro-units with integral division, so
+  * every aggregation is an associative-commutative Long sum — results are
+  * bit-identical at any parallelism and any AQE re-plan, and the oracle can
+  * restate the contract exactly.
+  */
+object Graph {
+
+  /** Deterministic synthetic outlink table over `documents` — stands in for
+    * the parsed-anchor edge list of a real crawl. Content-keyed with the
+    * same first-32-bits-of-md5 discipline as [[TextOps.hashSplit]] (engine-
+    * portable: DuckDB restates it verbatim):
+    *
+    *   h_j   = int32(md5(text || ":" || j))        for j = 0..maxFanout-1
+    *   f     = 1 + h_0 % maxFanout                 (1..maxFanout outlinks)
+    *   dst_j = h_j % (doc_id + 1)                  for j < f
+    *
+    * Links point to equal-or-earlier doc_ids (preferential attachment → the
+    * power-law indegree skew real link graphs have; doc 0 is always
+    * dangling); self-loops dropped, parallel edges collapsed. Pure
+    * projection + explode — the final `distinct` is the only shuffle.
+    * Returns (src, dst), both long.
+    */
+  def linkEdges(docs: DataFrame, maxFanout: Int = 3): DataFrame = {
+    require(maxFanout >= 1, s"maxFanout must be >= 1, got $maxFanout")
+    def h(j: Int) =
+      conv(substring(md5(concat(col("text"), lit(":" + j)).cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+    val src = Dedup.idLong(col("doc_id"), "doc_id")
+    val fanout = lit(1) + (h(0) % maxFanout)
+    val cands = (0 until maxFanout).map { j =>
+      when(lit(j) < fanout, h(j) % (src + 1)).otherwise(lit(null).cast("long"))
+    }
+    docs.select(src.as("src"), explode(array(cands: _*)).as("dst"))
+      .where(col("dst").isNotNull && col("dst") =!= col("src"))
+      .distinct()
+  }
+
+  /** Per-node degree statistics: (doc_id, out_deg, in_deg), zero for absent
+    * directions. Two count aggregations on the edge table + two joins back
+    * to the node list — each keyed on the node id, so AQE coalesces and
+    * broadcast-converts the degree sides when they are small.
+    */
+  def degreeStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val ids = nodes.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"))
+    val outd = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("out_deg"))
+    val ind = edges.groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("in_deg"))
+    ids.join(outd, Seq("doc_id"), "left").join(ind, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Integer-exact PageRank in micro-units (the deterministic contract —
+    * floats would make ranks depend on reduction order):
+    *
+    *   r_0(v)    = initMicro
+    *   c(u→v)    = (dampingPm · r(u)) div (1000 · outdeg(u))
+    *   dangling  = Σ_{outdeg(u)=0} (dampingPm · r(u)) div 1000
+    *   r'(v)     = base + dangling div N + Σ_{(u,v)∈E} c(u→v)
+    *
+    * with base = ((1000 − dampingPm) · initMicro) div 1000. Integral-
+    * division floors bleed a little mass per iteration (bounded by
+    * |E| + N per round, i.e. ≪ 1 micro-unit per node) — a defined part of
+    * the contract, mirrored by the sequential oracle. Total mass is bounded
+    * by N·initMicro, so the contract needs N·initMicro·dampingPm < 2^63
+    * (N ≤ ~10^13 at the defaults — beyond any corpus).
+    *
+    * Physical shape: the degree-annotated edge table is repartitioned by
+    * `src` and materialized once ([[Dedup.materialize]] — reliable
+    * checkpoint when `reliableCheckpointDir` is given, else a fast local
+    * checkpoint); `Dataset.checkpoint` preserves the hash partitioning, so
+    * each iteration's rank⋈edges join exchanges ONLY the rank table. Per
+    * iteration: one join + groupBy(dst) Long-sum for contributions, one
+    * broadcast of the 1-row dangling aggregate, and a node-keyed join to
+    * re-attach rankless nodes; the rank table is checkpointed per round
+    * (lineage truncation) and the previous round's blocks are freed
+    * ([[Dedup.releaseCheckpoint]]).
+    *
+    * Returns (doc_id, rank_micro). Contributions to dst ids absent from
+    * `nodes` are dropped (the node list defines the graph).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame,
+               iters: Int = 10, dampingPm: Int = 850,
+               initMicro: Long = 1000000L,
+               reliableCheckpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPm >= 0 && dampingPm <= 1000,
+      s"dampingPm must be in [0,1000], got $dampingPm")
+    require(initMicro > 0, s"initMicro must be > 0, got $initMicro")
+    val ids = nodes.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"))
+    val n = ids.count()
+    require(n > 0, "pageRank needs a non-empty node list")
+    val base = (1000L - dampingPm) * initMicro / 1000L
+
+    // iteration-invariant: degree-annotated edges (partitioned by src, kept
+    // for every round) and the dangling-node set (nodes with no outlinks)
+    val outd = edges.groupBy("src").agg(count(lit(1)).cast("long").as("out_deg"))
+    val edgesDeg = Dedup.materialize(
+      edges.join(outd, Seq("src")).repartition(col("src")),
+      reliableCheckpointDir)
+    val dangling = Dedup.materialize(
+      ids.join(edgesDeg.select(col("src").as("doc_id")), Seq("doc_id"), "left_anti"),
+      reliableCheckpointDir)
+
+    var ranks = Dedup.materialize(
+      ids.select(col("doc_id"), lit(initMicro).as("rank_micro")),
+      reliableCheckpointDir)
+    try {
+      for (_ <- 1 to iters) {
+        // 1-row dangling pool → equal share per node, broadcast into the plan
+        val shareRow = ranks.join(dangling, Seq("doc_id"), "left_semi")
+          .agg(coalesce(sum(expr(s"(${dampingPm}L * rank_micro) div 1000L")),
+            lit(0L)).as("dang"))
+          .select(expr(s"dang div ${n}L").as("share"))
+        val contribs = edgesDeg
+          .join(ranks.select(col("doc_id").as("src"), col("rank_micro")), Seq("src"))
+          .select(col("dst"),
+            expr(s"(${dampingPm}L * rank_micro) div (1000L * out_deg)").as("c"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(sum(col("c")).as("in_mass"))
+        val next = Dedup.materialize(
+          ids.join(contribs, Seq("doc_id"), "left")
+            .crossJoin(broadcast(shareRow))
+            .select(col("doc_id"),
+              (lit(base) + col("share") + coalesce(col("in_mass"), lit(0L)))
+                .cast("long").as("rank_micro")),
+          reliableCheckpointDir)
+        Dedup.releaseCheckpoint(ranks)
+        ranks = next
+      }
+      ranks
+    } finally {
+      Dedup.releaseCheckpoint(edgesDeg)
+      Dedup.releaseCheckpoint(dangling)
+    }
+  }
+}

@@ -885,6 +885,46 @@ object OpsOracle {
     java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
   }
 
+  // ---- link graph / pagerank ----------------------------------------------
+
+  /** Sequential `Graph.linkEdges`: the same md5-keyed derivation
+    * (h_j = int32(md5(text || ":" || j)), fanout 1 + h_0 % maxFanout,
+    * dst_j = h_j % (doc_id + 1)), self-loops dropped, parallel edges
+    * collapsed. Returns sorted (src, dst).
+    */
+  def linkEdgesSeq(docs: Seq[(Long, String)], maxFanout: Int = 3): Seq[(Long, Long)] =
+    docs.flatMap { case (id, text) =>
+      val f = 1 + (md5Hex8(text + ":0") % maxFanout).toInt
+      (0 until f).map(j => (id, md5Hex8(text + ":" + j) % (id + 1)))
+        .filter { case (s, d) => d != s }.distinct
+    }.sorted
+
+  /** Sequential `Graph.pageRank`: the identical integer micro-unit contract
+    * (integral division everywhere; dangling pool shared equally; edges
+    * touching ids outside `nodes` contribute nothing). Returns sorted
+    * (doc_id, rank_micro).
+    */
+  def pageRankSeq(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int = 10,
+                  dampingPm: Long = 850L,
+                  initMicro: Long = 1000000L): Seq[(Long, Long)] = {
+    val n = nodes.size.toLong
+    require(n > 0)
+    val nodeSet = nodes.toSet
+    val live = edges.filter { case (u, v) => nodeSet(u) && nodeSet(v) }
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = (1000L - dampingPm) * initMicro / 1000L
+    var rank = nodes.map(_ -> initMicro).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.iterator.filterNot(outdeg.contains)
+        .map(v => dampingPm * rank(v) / 1000L).sum
+      val share = dang / n
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, v) <- live) in(v) += dampingPm * rank(u) / (1000L * outdeg(u))
+      rank = nodes.map(v => v -> (base + share + in(v))).toMap
+    }
+    nodes.sorted.map(v => (v, rank(v)))
+  }
+
   /** Sequential `TextOps.mixtureSample(docs, temperatureTargets(docs, α))`:
     * targets via the SHARED `temperatureTargetsSeq` arithmetic (driver-side
     * in both formulations by design), then the mixture-sample floor-of-
@@ -1251,7 +1291,7 @@ object OpsGolden {
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
-    "incnd")
+    "incnd", "pagerank")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1397,6 +1437,12 @@ object OpsGolden {
         docs.filter(_._1 % 97 == 0).map(d => OpsOracle.cpSubstring(d._2, 51, 400)),
         n = 5),
       Seq("doc_id", "n_overlap", "contaminated"))
+    // integer PageRank over the deterministic md5-keyed link graph — the
+    // SAME derivation as SparkEntry's q_pagerank edge side
+    write("pagerank",
+      OpsOracle.pageRankSeq(docs.map(_._1), OpsOracle.linkEdgesSeq(docs),
+        iters = 10, dampingPm = 850L, initMicro = 1000000L),
+      Seq("doc_id", "rank_micro"))
     write("packing",
       OpsOracle.packSequences(docs, capacity = 128, nBuckets = 16),
       Seq("doc_id", "n_tokens", "bucket", "seq_id", "pos"))

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.ops.Graph
+import graft.oracle.OpsOracle
+import org.apache.spark.sql.functions._
+
+/** Link-graph operator checks: hand-computed integer PageRank on a tiny
+  * graph, parity with the sequential oracle on a real doc sample, the
+  * reliable-checkpoint mode, and partition invariance.
+  */
+class GraphSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+    .limit(40).cache()
+
+  test("pageRank matches a hand-computed integer trace (dangling + fan-out)") {
+    // 1→0, 2→0, 2→1, 3→1; node 0 dangling. Two iterations, worked by hand
+    // from the integer contract (base 150000; floors throughout).
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    r shouldBe Map(0L -> 2043905L, 1L -> 960155L, 2L -> 497968L, 3L -> 497968L)
+  }
+
+  test("linkEdges matches the sequential oracle derivation") {
+    val seq = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val expected = OpsOracle.linkEdgesSeq(seq)
+    val got = Graph.linkEdges(docs).as[(Long, Long)].collect().toSeq.sorted
+    got shouldBe expected
+    // structural invariants of the derivation
+    all(got.map(_._2)) should be >= 0L
+    got.foreach { case (s, d) => d should be <= s }
+  }
+
+  test("pageRank parity with the sequential oracle; partition-invariant; mass bounded") {
+    val seq = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val nodes = docs.select($"doc_id")
+    val edges = Graph.linkEdges(docs)
+    val expected = OpsOracle.pageRankSeq(seq.map(_._1), OpsOracle.linkEdgesSeq(seq),
+      iters = 4)
+    val got = Graph.pageRank(nodes, edges, iters = 4)
+      .as[(Long, Long)].collect().toSeq.sorted
+    got shouldBe expected
+    // repartitioning the edge table must not move a single micro-unit
+    val got2 = Graph.pageRank(nodes.repartition(7), edges.repartition(5), iters = 4)
+      .as[(Long, Long)].collect().toSeq.sorted
+    got2 shouldBe expected
+    // floors only ever LOSE mass: total stays within (0, N * initMicro]
+    val total = got.map(_._2).sum
+    total should be <= 40L * 1000000L
+    total should be > 0L
+  }
+
+  test("pageRank reliable-checkpoint mode returns identical ranks") {
+    val tmp = java.nio.file.Files.createTempDirectory("graph-ckpt").toString
+    try {
+      val nodes = docs.select($"doc_id")
+      val edges = Graph.linkEdges(docs)
+      val fast = Graph.pageRank(nodes, edges, iters = 3)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val reliable = Graph.pageRank(nodes, edges, iters = 3,
+        reliableCheckpointDir = Some(tmp))
+        .as[(Long, Long)].collect().toSeq.sorted
+      reliable shouldBe fast
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  test("degreeStats sums match the edge count; absent directions are zero") {
+    val nodes = docs.select($"doc_id")
+    val edges = Graph.linkEdges(docs).cache()
+    val nEdges = edges.count()
+    val d = Graph.degreeStats(nodes, edges).cache()
+    d.count() shouldBe 40L
+    d.agg(sum($"out_deg")).as[Long].head() shouldBe nEdges
+    d.agg(sum($"in_deg")).as[Long].head() shouldBe nEdges
+    // doc 0 can only self-link (dst ∈ {0}), so it is always dangling
+    d.where($"doc_id" === 0L).select($"out_deg").as[Long].head() shouldBe 0L
+  }
+}
