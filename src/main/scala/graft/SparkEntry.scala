@@ -475,6 +475,27 @@ object SparkEntry {
       TextOps.wordpieceEncode(docs,
         TextOps.wordpieceVocab(docs, nMerges = 40, maxVocab = 1 << 16))
     }),
+    // Unigram-LM (SentencePiece) trainer — the third tokenizer trainer:
+    // pieces selected globally by hard-EM segmentation usage (exact BigInt
+    // Viterbi), not accreted pairwise like BPE/WordPiece. Same scale shape:
+    // one capped word-count shuffle, then a bounded driver loop.
+    "q_unigram_vocab" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.unigramVocab(docsTable(s, dir), vocabSize = 120,
+        maxPieceLen = 5, seedSize = 400, emIters = 3, maxVocab = 1 << 16)
+    }),
+    // Unigram inference with the vocab q_unigram_vocab trains: exact
+    // Viterbi per word (the segmentation that can differ from BOTH BPE's
+    // rank-replay and WordPiece's greedy longest-match — OpsSpec pins a
+    // three-way divergence vector). Bounded vocab broadcast, pure map.
+    "q_unigram_encode" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      val vocab = TextOps.unigramVocab(docs, vocabSize = 120,
+          maxPieceLen = 5, seedSize = 400, emIters = 3, maxVocab = 1 << 16)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      TextOps.unigramEncode(docs, vocab)
+    }),
     // C4 line-level cleaning (terminal punctuation, >= 5 words, javascript /
     // lorem-ipsum / curly-brace page rules) — pure in-row work, zero shuffle.
     // The word-soup gate corpus has no line structure, so the gate derives
@@ -1330,6 +1351,10 @@ object SparkEntry {
         "FROM e JOIN s USING (doc_id) GROUP BY source"),
     "q_wordpiece_encode" ->
       "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/wpenc/*.parquet')",
+    "q_unigram_vocab" ->
+      "SELECT rank, piece, n_occ FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ugv/*.parquet')",
+    "q_unigram_encode" ->
+      "SELECT doc_id, n_words, n_pieces, pieces_md5 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ugenc/*.parquet')",
     "q_doc_gopher_rules" ->
       ("WITH d AS (SELECT doc_id, replace(replace(replace(text, ' table ', '.' || chr(10)), " +
         "' row ', chr(10) || '- '), ' fast ', '...' || chr(10)) AS text FROM documents), " +

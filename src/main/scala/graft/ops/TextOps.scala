@@ -972,6 +972,217 @@ object TextOps {
       .toDF("doc_id", "n_words", "n_pieces", "pieces_md5")
   }
 
+  // ---- Unigram-LM tokenizer (SentencePiece-style) --------------------------
+
+  /** Exact Viterbi segmentation of one word under a unigram piece model
+    * (Kudo 2018, "Subword Regularization" §3 — the SentencePiece unigram
+    * tokenizer's inference rule): the segmentation maximizing
+    * Π p(piece), p = count/total. Probabilities are compared EXACTLY by
+    * BigInt cross-multiplication (P₁·total^k₂ vs P₂·total^k₁ — no floating
+    * log-sums, so results are bit-identical on every platform and at any
+    * parallelism, the same discipline as [[wordpieceMerges]]'s likelihood
+    * argmax). Ties: fewer pieces wins; remaining ties resolve to the
+    * longest candidate piece (lengths are probed longest-first and replace
+    * only on strictly-better). Positions are CODE POINTS (a multi-char
+    * code point can't be split); a word with any code point absent from
+    * the vocab is unsegmentable and becomes one `unk` — the whole-word-UNK
+    * discipline [[wordpieceWord]] uses.
+    */
+  private[graft] def unigramWord(w: String,
+      counts: scala.collection.Map[String, Long], total: Long,
+      maxPieceLen: Int, unk: String): List[String] = {
+    if (w.isEmpty) return Nil
+    val cps: Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    val L = cps.length
+    val tot = BigInt(total)
+    val pows = new Array[BigInt](L + 1)
+    pows(0) = BigInt(1)
+    var x = 1
+    while (x <= L) { pows(x) = pows(x - 1) * tot; x += 1 }
+    val bk = Array.fill(L + 1)(-1)          // piece count of best path, -1 = unreachable
+    val bp = new Array[BigInt](L + 1)       // count product of best path
+    val back = new Array[Int](L + 1)        // code-point length of last piece
+    bk(0) = 0; bp(0) = BigInt(1)
+    var i = 1
+    while (i <= L) {
+      var l = math.min(maxPieceLen, i)
+      while (l >= 1) {
+        val j = i - l
+        if (bk(j) >= 0) {
+          val piece = if (l == 1) cps(j) else cps.slice(j, i).mkString
+          counts.get(piece) match {
+            case Some(c) =>
+              val candK = bk(j) + 1
+              val candP = bp(j) * c
+              val better =
+                if (bk(i) < 0) true
+                else {
+                  val cmp = (candP * pows(bk(i))).compare(bp(i) * pows(candK))
+                  cmp > 0 || (cmp == 0 && candK < bk(i))
+                }
+              if (better) { bk(i) = candK; bp(i) = candP; back(i) = l }
+            case None => ()
+          }
+        }
+        l -= 1
+      }
+      i += 1
+    }
+    if (bk(L) < 0) return List(unk)
+    var pos = L
+    var out = List.empty[String]
+    while (pos > 0) {
+      val l = back(pos)
+      out = (if (l == 1) cps(pos - 1) else cps.slice(pos - l, pos).mkString) :: out
+      pos -= l
+    }
+    out
+  }
+
+  /** The driver-side unigram training loop over the bounded word-count
+    * table: seed = the top-`seedSize` substrings (1..maxPieceLen code
+    * points, occurrence-counted, (count desc, piece asc) order) plus the
+    * full alphabet; then `emIters` hard-EM rounds — Viterbi-resegment every
+    * word under the current counts ([[unigramWord]]'s exact rule), recount
+    * piece usage, floor alphabet pieces at 1 (they must stay usable), and
+    * prune the multi-char tail to `vocabSize − |alphabet|` by
+    * (usage desc, piece asc). Hard EM keeps every quantity an integer
+    * count, so training is bit-deterministic — the full-EM expected-count
+    * variant would reintroduce float reduction order.
+    * Returns (rank, piece, n_occ) in (n_occ desc, piece asc) order.
+    */
+  private[graft] def unigramVocabLoop(words: Array[(String, Long)],
+      vocabSize: Int, maxPieceLen: Int, seedSize: Int,
+      emIters: Int): Seq[(Long, String, Long)] = {
+    val asCps: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+    }
+    val alphabet = asCps.iterator.flatMap(_._1).toSet
+    // seed candidates: every substring occurrence of 1..maxPieceLen points
+    val seedCnt = scala.collection.mutable.Map.empty[String, Long]
+    asCps.foreach { case (cps, c) =>
+      var i = 0
+      while (i < cps.length) {
+        var l = 1
+        val sb = new java.lang.StringBuilder
+        while (l <= maxPieceLen && i + l <= cps.length) {
+          sb.append(cps(i + l - 1))
+          val p = sb.toString
+          seedCnt(p) = seedCnt.getOrElse(p, 0L) + c
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val seedTop = seedCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    var counts: Map[String, Long] =
+      (seedTop ++ alphabet.iterator.map(a => a -> seedCnt(a))).toMap
+    var iter = 0
+    while (iter < emIters) {
+      val total = counts.valuesIterator.sum
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (w, c) =>
+        unigramWord(w, counts, total, maxPieceLen, unk = " ")
+          .foreach(p => usage(p) = usage.getOrElse(p, 0L) + c)
+      }
+      alphabet.foreach(a => usage(a) = math.max(usage.getOrElse(a, 0L), 1L))
+      val keepMulti = usage.iterator.filterNot(kv => alphabet(kv._1)).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - alphabet.size))
+      counts = (usage.iterator.filter(kv => alphabet(kv._1)) ++ keepMulti).toMap
+      iter += 1
+    }
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, c), r) => (r.toLong, p, c) }
+  }
+
+  /** Unigram-LM tokenizer training (the SentencePiece default; the third
+    * trainer of the tokenizer triad next to [[bpeMerges]] and
+    * [[wordpieceMerges]], and the one that can UNDO a bad greedy merge —
+    * pieces are selected globally by segmentation usage, not accreted
+    * pairwise). Same scale shape as its siblings: the corpus-sized work is
+    * ONE map-side-combined word-count shuffle capped to the top `maxVocab`
+    * words by the deterministic (count desc, word asc) order; the hard-EM
+    * loop then runs driver-side over that bounded table (cost
+    * O(emIters × Σ|word| × maxPieceLen), independent of corpus size).
+    * Returns (rank, piece, n_occ) — counts pin the model, so inference is
+    * reproducible from the output alone.
+    */
+  def unigramVocab(docs: DataFrame, vocabSize: Int = 120,
+                   maxPieceLen: Int = 5, seedSize: Int = 400,
+                   emIters: Int = 3, maxVocab: Int = 1 << 20): DataFrame = {
+    require(vocabSize >= 1, "vocabSize >= 1")
+    require(maxPieceLen >= 1, "maxPieceLen >= 1")
+    require(emIters >= 1, "emIters >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.where(length(trim(col("text"))) > 0)
+      .select(explode(splitToks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxVocab)
+      .as[(String, Long)].collect()
+    spark.createDataset(
+        unigramVocabLoop(words, vocabSize, maxPieceLen, seedSize, emIters))
+      .toDF("rank", "piece", "n_occ")
+  }
+
+  /** Tokenize the corpus with a TRAINED unigram vocabulary (piece → count):
+    * exact Viterbi per word ([[unigramWord]]), output contract identical to
+    * [[bpeEncode]]/[[wordpieceEncode]] — (doc_id, n_words, n_pieces,
+    * pieces_md5) with pieces space-joined within a word, words newline-
+    * joined, so the full encoding is oracle-checked without shipping the
+    * token stream. Scale shape: the vocab is bounded and rides an executor
+    * broadcast into `mapPartitions`; pure map work, ZERO shuffle at any
+    * corpus size.
+    */
+  def unigramEncode(docs: DataFrame, vocab: Seq[(String, Long)],
+                    unk: String = "[UNK]"): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val counts = bc.value.toMap
+        val total = bc.value.iterator.map(_._2).sum
+        val maxLen = bc.value.iterator
+          .map(p => p._1.codePointCount(0, p._1.length)).max
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          var t = text
+          var i0 = 0; var i1 = t.length
+          while (i0 < i1 && t.charAt(i0) == ' ') i0 += 1
+          while (i1 > i0 && t.charAt(i1 - 1) == ' ') i1 -= 1
+          t = t.substring(i0, i1)
+          val words: Array[String] =
+            if (t.isEmpty) Array.empty
+            else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+          var nPieces = 0L
+          val sb = new java.lang.StringBuilder
+          var w = 0
+          while (w < words.length) {
+            if (w > 0) sb.append('\n')
+            val ps = unigramWord(words(w), counts, total, maxLen, unk)
+            nPieces += ps.length
+            var first = true
+            ps.foreach { p =>
+              if (!first) sb.append(' ')
+              sb.append(p); first = false
+            }
+            w += 1
+          }
+          md.reset()
+          val hex = md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, words.length.toLong, nPieces, hex)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_pieces", "pieces_md5")
+  }
+
   // ---- C4-style line-level cleaning ---------------------------------------
 
   /** C4 heuristic cleaning (Raffel et al. 2020 §2.2, the published

@@ -690,6 +690,121 @@ object OpsOracle {
     }
   }
 
+  // ---- unigram-LM tokenizer (SentencePiece-style) ---------------------------
+
+  /** Exact unigram Viterbi — the SHARED LEAF that IS the operator spec
+    * (like [[shingleSet]]): maximize Π count(piece)/total with BigInt
+    * cross-multiplied comparison, fewer-pieces tiebreak, lengths probed
+    * longest-first replacing only on strictly-better (→ longest piece wins
+    * residual ties). Restated here recursively over code-point prefixes
+    * with memoization; whole-word `unk` when unsegmentable.
+    */
+  private def unigramViterbi(w: String, counts: Map[String, Long],
+      total: Long, maxPieceLen: Int, unk: String): List[String] = {
+    if (w.isEmpty) return Nil
+    val cps: Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    val tot = BigInt(total)
+    // best(i) = (k, product, pieces) of the best segmentation of cps[0,i)
+    val memo = new Array[Option[(Int, BigInt, List[String])]](cps.length + 1)
+    memo(0) = Some((0, BigInt(1), Nil))
+    (1 to cps.length).foreach { i =>
+      memo(i) = (math.min(maxPieceLen, i) to 1 by -1).iterator.flatMap { l =>
+        val piece = cps.slice(i - l, i).mkString
+        for {
+          prev <- memo(i - l)
+          c <- counts.get(piece)
+        } yield (prev._1 + 1, prev._2 * c, piece :: prev._3)
+      }.reduceOption { (a, b) =>
+        val cmp = (a._2 * tot.pow(b._1)).compare(b._2 * tot.pow(a._1))
+        if (cmp > 0 || (cmp == 0 && a._1 <= b._1)) a else b
+      }
+    }
+    memo(cps.length).map(_._3.reverse).getOrElse(List(unk))
+  }
+
+  private def wordCounts(docs: Seq[(Long, String)]): Seq[(String, Long)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, text) =>
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.nonEmpty)
+        t.split("[ \\t\\n\\x0B\\f\\r]+", -1).foreach { w =>
+          counts(w) = counts.getOrElse(w, 0L) + 1L
+        }
+    }
+    counts.toSeq.sortBy { case (w, c) => (-c, w) }
+  }
+
+  /** Sequential `TextOps.unigramVocab`: top-`maxVocab` word counts, every
+    * 1..maxPieceLen code-point substring occurrence counted for the seed,
+    * top-`seedSize` seeds plus the alphabet, then `emIters` hard-EM rounds
+    * (Viterbi resegment → usage recount → alphabet floor 1 → prune
+    * multi-char pieces to vocabSize − |alphabet| by (usage desc, piece
+    * asc)). Returns (rank, piece, n_occ) in (n_occ desc, piece asc) order.
+    */
+  def unigramVocabSeq(docs: Seq[(Long, String)], vocabSize: Int,
+      maxPieceLen: Int, seedSize: Int, emIters: Int,
+      maxVocab: Int = 1 << 20): Seq[(Long, String, Long)] = {
+    val words = wordCounts(docs).take(maxVocab)
+    val cpsOf: String => Vector[String] =
+      w => w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    val alphabet = words.iterator.flatMap(w => cpsOf(w._1)).toSet
+    val seedCnt = words.foldLeft(Map.empty[String, Long]) { case (m0, (w, c)) =>
+      val cps = cpsOf(w)
+      cps.indices.foldLeft(m0) { (m1, i) =>
+        (1 to math.min(maxPieceLen, cps.length - i)).foldLeft(m1) { (m, l) =>
+          val p = cps.slice(i, i + l).mkString
+          m.updated(p, m.getOrElse(p, 0L) + c)
+        }
+      }
+    }
+    val seed = seedCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    var counts: Map[String, Long] =
+      (seed ++ alphabet.iterator.map(a => a -> seedCnt(a))).toMap
+    (1 to emIters).foreach { _ =>
+      val total = counts.valuesIterator.sum
+      val usage0 = words.foldLeft(Map.empty[String, Long]) { case (m0, (w, c)) =>
+        unigramViterbi(w, counts, total, maxPieceLen, unk = " ")
+          .foldLeft(m0)((m, p) => m.updated(p, m.getOrElse(p, 0L) + c))
+      }
+      val usage = alphabet.foldLeft(usage0)((m, a) =>
+        m.updated(a, math.max(m.getOrElse(a, 0L), 1L)))
+      val keepMulti = usage.toSeq.filterNot(kv => alphabet(kv._1))
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - alphabet.size))
+      counts = (usage.filter(kv => alphabet(kv._1)).toSeq ++ keepMulti).toMap
+    }
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, c), r) => (r.toLong, p, c) }
+  }
+
+  /** Sequential `TextOps.unigramEncode`: Viterbi-segment every whitespace
+    * word under the trained (piece → count) model; same output contract as
+    * [[bpeEncode]]/[[wordpieceEncode]].
+    */
+  def unigramEncodeSeq(docs: Seq[(Long, String)], vocab: Seq[(String, Long)],
+      unk: String = "[UNK]"): Seq[(Long, Long, Long, String)] = {
+    val counts = vocab.toMap
+    val total = vocab.iterator.map(_._2).sum
+    val maxLen = vocab.iterator.map(p => p._1.codePointCount(0, p._1.length)).max
+    docs.map { case (id, text) =>
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      val words: List[String] =
+        if (t.isEmpty) Nil else t.split("[ \\t\\n\\x0B\\f\\r]+", -1).toList
+      val encoded = words.map(w => unigramViterbi(w, counts, total, maxLen, unk))
+      val doc = encoded.map(_.mkString(" ")).mkString("\n")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(doc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (id, words.length.toLong, encoded.map(_.length.toLong).sum, hex)
+    }
+  }
+
   // ---- bigram-LM perplexity score ------------------------------------------
 
   /** Sequential `TextOps.lmScore`, restated on immutable collections with
@@ -1291,7 +1406,7 @@ object OpsGolden {
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
-    "incnd", "pagerank")
+    "incnd", "pagerank", "ugv", "ugenc")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1381,6 +1496,13 @@ object OpsGolden {
     write("wpenc",
       OpsOracle.wordpieceEncode(docs,
         OpsOracle.wordpieceVocab(docs, nMerges = 40, maxVocab = 1 << 16)),
+      Seq("doc_id", "n_words", "n_pieces", "pieces_md5"))
+    // Unigram-LM trainer + inference with the SAME trained vocab
+    val ugVocab = OpsOracle.unigramVocabSeq(docs, vocabSize = 120,
+      maxPieceLen = 5, seedSize = 400, emIters = 3, maxVocab = 1 << 16)
+    write("ugv", ugVocab, Seq("rank", "piece", "n_occ"))
+    write("ugenc",
+      OpsOracle.unigramEncodeSeq(docs, ugVocab.map(t => (t._2, t._3))),
       Seq("doc_id", "n_words", "n_pieces", "pieces_md5"))
     // inference with the SAME merge list the bpe golden trains
     write("bpeenc",

@@ -657,6 +657,63 @@ class OpsSpec extends AnyFunSuite with Matchers {
     u.getString(3) shouldBe md5("ab\n[UNK]")
   }
 
+  test("unigram viterbi: global likelihood beats greedy; tie rules; == sequential trainer") {
+    // three-way divergence on "abc": unigram picks the globally-likeliest
+    // [a, bc] (1·100 ≫ 2·1), WordPiece greedy longest-match picks [ab, ##c],
+    // BPE with merges [(a,b)] replays to [ab, c]
+    val counts = Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "ab" -> 2L, "bc" -> 100L)
+    TextOps.unigramWord("abc", counts, 105L, 2, "[UNK]") shouldBe List("a", "bc")
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq((1L, "abc")).toDF("doc_id", "text")
+    TextOps.unigramEncode(d, counts.toSeq).collect()
+      .head.getString(3) shouldBe md5("a bc")
+    TextOps.wordpieceEncode(d, counts.keys.toSeq).collect()
+      .head.getString(3) shouldBe md5("ab ##c")
+    TextOps.bpeEncode(d, Seq(("a", "b"))).collect()
+      .head.getString(3) shouldBe md5("ab c")
+    // exact probability tie at equal piece count (6·2 = 1·12): the
+    // longest-first probe keeps the candidate with the longer piece
+    val tie = Map("a" -> 1L, "ab" -> 6L, "cd" -> 2L, "bcd" -> 12L)
+    TextOps.unigramWord("abcd", tie, 21L, 3, "[UNK]") shouldBe List("a", "bcd")
+    // fewer pieces wins an exact probability tie: 6/t² vs 6/t³ never ties,
+    // but [ab]·t vs [a,b] with ab=1,a=1,b=t ties exactly → pick [ab]
+    val tie2 = Map("a" -> 1L, "b" -> 4L, "ab" -> 1L)
+    TextOps.unigramWord("ab", tie2, 4L, 2, "[UNK]") shouldBe List("ab")
+    // trainer parity with the independent sequential restatement
+    val seq = docs.select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.unigramVocabSeq(seq, vocabSize = 120,
+      maxPieceLen = 5, seedSize = 400, emIters = 3, maxVocab = 1 << 16)
+    TextOps.unigramVocab(docs, vocabSize = 120, maxPieceLen = 5,
+        seedSize = 400, emIters = 3, maxVocab = 1 << 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq shouldBe want
+  }
+
+  test("unigram encode: == sequential at two parallelisms; whole-word UNK") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seq = docs.select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val vocabDf = TextOps.unigramVocab(docs, vocabSize = 120, maxPieceLen = 5,
+      seedSize = 400, emIters = 3, maxVocab = 1 << 16)
+    val vocab = vocabDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    val want = graft.oracle.OpsOracle.unigramEncodeSeq(seq, vocab)
+    for (df <- Seq(docs, docs.repartition(7))) {
+      TextOps.unigramEncode(df, vocab).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq shouldBe want
+    }
+    // a code point outside the vocab UNKs the WHOLE word; neighbors encode
+    val u = TextOps.unigramEncode(Seq((2L, "ab zq")).toDF("doc_id", "text"),
+      Seq("a" -> 1L, "b" -> 1L, "ab" -> 4L, "z" -> 1L)).collect().head
+    u.getLong(1) shouldBe 2L
+    u.getLong(2) shouldBe 2L // [ab] + [UNK]
+    u.getString(3) shouldBe md5("ab\n[UNK]")
+  }
+
   test("quality-aware keeper: best score wins, ties break to lowest id, singletons keep") {
     // cluster {1,2,3} via pairs; scores favor 2; {4,5} tie on score → 4; 6 singleton
     val rows = Seq((1L, "aa"), (2L, "aaaa"), (3L, "a"), (4L, "bbb"), (5L, "bbb"),
