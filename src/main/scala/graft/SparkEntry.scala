@@ -343,6 +343,15 @@ object SparkEntry {
       val docs = docsTable(s, dir)
       Graph.pageRank(docs.select(col("doc_id")), Graph.linkEdges(docs))
     }),
+    // TrustRank: restart + dangling mass personalized to a trusted seed
+    // set (the src0 docs) — authority flows outward from seeds, the spam-
+    // demotion prior; same iterate, seed-gated teleport
+    "q_trustrank" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      Graph.pageRank(docs.select(col("doc_id")), Graph.linkEdges(docs),
+        seeds = Some(docs.where(col("source") === "src0").select(col("doc_id"))))
+    }),
     // authority mass by source: PageRank rolled up to the corpus-mixing
     // grain — how much link authority each source contributes (DuckDB
     // restates the rollup independently over the pagerank golden)
@@ -1131,6 +1140,8 @@ object SparkEntry {
         "FROM documents d LEFT JOIN o USING (doc_id) LEFT JOIN i USING (doc_id)"),
     "q_pagerank" ->
       "SELECT doc_id, rank_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/pagerank/*.parquet')",
+    "q_trustrank" ->
+      "SELECT doc_id, rank_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/trustrank/*.parquet')",
     "q_source_authority" ->
       ("SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(p.rank_micro) AS BIGINT) AS sum_rank_micro, " +

@@ -96,19 +96,39 @@ object Graph {
     *
     * Returns (doc_id, rank_micro). Contributions to dst ids absent from
     * `nodes` are dropped (the node list defines the graph).
+    *
+    * `seeds` personalizes the teleport (TrustRank — Gyöngyi et al. 2004):
+    * the (1−d) restart mass and the dangling pool land ONLY on the seed
+    * set, so authority flows outward from trusted nodes —
+    *   base(v∈S) = ((1000−dampingPm)·initMicro·N) div 1000 div |S|,
+    *   base(v∉S) = 0,  dangling share = dang div |S| to seeds only.
+    * `None` keeps the uniform contract above bit-for-bit.
     */
   def pageRank(nodes: DataFrame, edges: DataFrame,
                iters: Int = 10, dampingPm: Int = 850,
                initMicro: Long = 1000000L,
+               seeds: Option[DataFrame] = None,
                reliableCheckpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPm >= 0 && dampingPm <= 1000,
       s"dampingPm must be in [0,1000], got $dampingPm")
     require(initMicro > 0, s"initMicro must be > 0, got $initMicro")
-    val ids = nodes.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"))
+    val rawIds = nodes.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"))
+    val ids = Dedup.materialize(seeds match {
+      case Some(sd) =>
+        val s = sd.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"))
+          .distinct().withColumn("is_seed", lit(true))
+        rawIds.join(s, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      case None => rawIds.withColumn("is_seed", lit(true))
+    }, reliableCheckpointDir)
     val n = ids.count()
     require(n > 0, "pageRank needs a non-empty node list")
-    val base = (1000L - dampingPm) * initMicro / 1000L
+    val nTeleport = if (seeds.isEmpty) n else ids.where(col("is_seed")).count()
+    require(nTeleport > 0, "seed set must intersect the node list")
+    val base =
+      if (seeds.isEmpty) (1000L - dampingPm) * initMicro / 1000L
+      else (1000L - dampingPm) * initMicro * n / 1000L / nTeleport
 
     // iteration-invariant: degree-annotated edges (partitioned by src, kept
     // for every round) and the dangling-node set (nodes with no outlinks)
@@ -117,7 +137,8 @@ object Graph {
       edges.join(outd, Seq("src")).repartition(col("src")),
       reliableCheckpointDir)
     val dangling = Dedup.materialize(
-      ids.join(edgesDeg.select(col("src").as("doc_id")), Seq("doc_id"), "left_anti"),
+      ids.select("doc_id")
+        .join(edgesDeg.select(col("src").as("doc_id")), Seq("doc_id"), "left_anti"),
       reliableCheckpointDir)
 
     var ranks = Dedup.materialize(
@@ -125,11 +146,11 @@ object Graph {
       reliableCheckpointDir)
     try {
       for (_ <- 1 to iters) {
-        // 1-row dangling pool → equal share per node, broadcast into the plan
+        // 1-row dangling pool → equal share per teleport target, broadcast
         val shareRow = ranks.join(dangling, Seq("doc_id"), "left_semi")
           .agg(coalesce(sum(expr(s"(${dampingPm}L * rank_micro) div 1000L")),
             lit(0L)).as("dang"))
-          .select(expr(s"dang div ${n}L").as("share"))
+          .select(expr(s"dang div ${nTeleport}L").as("share"))
         val contribs = edgesDeg
           .join(ranks.select(col("doc_id").as("src"), col("rank_micro")), Seq("src"))
           .select(col("dst"),
@@ -140,7 +161,8 @@ object Graph {
           ids.join(contribs, Seq("doc_id"), "left")
             .crossJoin(broadcast(shareRow))
             .select(col("doc_id"),
-              (lit(base) + col("share") + coalesce(col("in_mass"), lit(0L)))
+              (when(col("is_seed"), lit(base) + col("share")).otherwise(lit(0L)) +
+                coalesce(col("in_mass"), lit(0L)))
                 .cast("long").as("rank_micro")),
           reliableCheckpointDir)
         Dedup.releaseCheckpoint(ranks)
@@ -150,6 +172,7 @@ object Graph {
     } finally {
       Dedup.releaseCheckpoint(edgesDeg)
       Dedup.releaseCheckpoint(dangling)
+      Dedup.releaseCheckpoint(ids)
     }
   }
 }

@@ -1016,26 +1016,36 @@ object OpsOracle {
 
   /** Sequential `Graph.pageRank`: the identical integer micro-unit contract
     * (integral division everywhere; dangling pool shared equally; edges
-    * touching ids outside `nodes` contribute nothing). Returns sorted
-    * (doc_id, rank_micro).
+    * touching ids outside `nodes` contribute nothing; `seeds` = the
+    * TrustRank personalization — restart + dangling mass land on seeds
+    * only). Returns sorted (doc_id, rank_micro).
     */
   def pageRankSeq(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int = 10,
-                  dampingPm: Long = 850L,
-                  initMicro: Long = 1000000L): Seq[(Long, Long)] = {
+                  dampingPm: Long = 850L, initMicro: Long = 1000000L,
+                  seeds: Option[Set[Long]] = None): Seq[(Long, Long)] = {
     val n = nodes.size.toLong
     require(n > 0)
     val nodeSet = nodes.toSet
+    val isSeed: Long => Boolean = seeds match {
+      case Some(s) => v => s(v)
+      case None => _ => true
+    }
+    val nTeleport = if (seeds.isEmpty) n else nodes.count(isSeed).toLong
+    require(nTeleport > 0)
     val live = edges.filter { case (u, v) => nodeSet(u) && nodeSet(v) }
     val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
-    val base = (1000L - dampingPm) * initMicro / 1000L
+    val base =
+      if (seeds.isEmpty) (1000L - dampingPm) * initMicro / 1000L
+      else (1000L - dampingPm) * initMicro * n / 1000L / nTeleport
     var rank = nodes.map(_ -> initMicro).toMap
     for (_ <- 1 to iters) {
       val dang = nodes.iterator.filterNot(outdeg.contains)
         .map(v => dampingPm * rank(v) / 1000L).sum
-      val share = dang / n
+      val share = dang / nTeleport
       val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
       for ((u, v) <- live) in(v) += dampingPm * rank(u) / (1000L * outdeg(u))
-      rank = nodes.map(v => v -> (base + share + in(v))).toMap
+      rank = nodes.map(v =>
+        v -> ((if (isSeed(v)) base + share else 0L) + in(v))).toMap
     }
     nodes.sorted.map(v => (v, rank(v)))
   }
@@ -1406,7 +1416,7 @@ object OpsGolden {
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
-    "incnd", "pagerank", "ugv", "ugenc")
+    "incnd", "pagerank", "trustrank", "ugv", "ugenc")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1565,6 +1575,15 @@ object OpsGolden {
       OpsOracle.pageRankSeq(docs.map(_._1), OpsOracle.linkEdgesSeq(docs),
         iters = 10, dampingPm = 850L, initMicro = 1000000L),
       Seq("doc_id", "rank_micro"))
+    // TrustRank: restart + dangling mass personalized to the src0 seed
+    // docs — the SAME seed derivation as SparkEntry's q_trustrank
+    write("trustrank", {
+      val srcs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source").as[(Long, String)].collect().toMap
+      OpsOracle.pageRankSeq(docs.map(_._1), OpsOracle.linkEdgesSeq(docs),
+        iters = 10, dampingPm = 850L, initMicro = 1000000L,
+        seeds = Some(docs.iterator.map(_._1).filter(id => srcs(id) == "src0").toSet))
+    }, Seq("doc_id", "rank_micro"))
     write("packing",
       OpsOracle.packSequences(docs, capacity = 128, nBuckets = 16),
       Seq("doc_id", "n_tokens", "bucket", "seq_id", "pos"))

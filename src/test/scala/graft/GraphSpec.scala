@@ -77,6 +77,36 @@ class GraphSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("trustrank concentrates mass on paths into the seed set (hand trace)") {
+    // same tiny graph, seeds = {0}: base (150000·4 div 1 = 600000) and the
+    // dangling pool land only on node 0; after 2 iterations only node 0
+    // carries mass (nothing links INTO 1..3 from a ranked node).
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("doc_id")
+    val r = Graph.pageRank(nodes, edges, iters = 2, seeds = Some(seeds))
+      .as[(Long, Long)].collect().toMap
+    r shouldBe Map(0L -> 4000000L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
+  }
+
+  test("trustrank parity with the sequential oracle; None == uniform contract") {
+    val seq = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val nodes = docs.select($"doc_id")
+    val edges = Graph.linkEdges(docs)
+    val seedIds = seq.map(_._1).filter(_ % 7 == 0)
+    val expected = OpsOracle.pageRankSeq(seq.map(_._1), OpsOracle.linkEdgesSeq(seq),
+      iters = 4, seeds = Some(seedIds.toSet))
+    val got = Graph.pageRank(nodes, edges, iters = 4,
+        seeds = Some(seedIds.toDF("doc_id")))
+      .as[(Long, Long)].collect().toSeq.sorted
+    got shouldBe expected
+    // seeds=None must stay bit-identical to the uniform oracle contract
+    Graph.pageRank(nodes, edges, iters = 4, seeds = None)
+      .as[(Long, Long)].collect().toSeq.sorted shouldBe
+      OpsOracle.pageRankSeq(seq.map(_._1), OpsOracle.linkEdgesSeq(seq), iters = 4)
+  }
+
   test("degreeStats sums match the edge count; absent directions are zero") {
     val nodes = docs.select($"doc_id")
     val edges = Graph.linkEdges(docs).cache()
