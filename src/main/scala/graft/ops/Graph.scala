@@ -146,24 +146,8 @@ object Graph {
       reliableCheckpointDir)
     try {
       for (_ <- 1 to iters) {
-        // 1-row dangling pool → equal share per teleport target, broadcast
-        val shareRow = ranks.join(dangling, Seq("doc_id"), "left_semi")
-          .agg(coalesce(sum(expr(s"(${dampingPm}L * rank_micro) div 1000L")),
-            lit(0L)).as("dang"))
-          .select(expr(s"dang div ${nTeleport}L").as("share"))
-        val contribs = edgesDeg
-          .join(ranks.select(col("doc_id").as("src"), col("rank_micro")), Seq("src"))
-          .select(col("dst"),
-            expr(s"(${dampingPm}L * rank_micro) div (1000L * out_deg)").as("c"))
-          .groupBy(col("dst").as("doc_id"))
-          .agg(sum(col("c")).as("in_mass"))
         val next = Dedup.materialize(
-          ids.join(contribs, Seq("doc_id"), "left")
-            .crossJoin(broadcast(shareRow))
-            .select(col("doc_id"),
-              (when(col("is_seed"), lit(base) + col("share")).otherwise(lit(0L)) +
-                coalesce(col("in_mass"), lit(0L)))
-                .cast("long").as("rank_micro")),
+          pageRankRound(ids, edgesDeg, dangling, ranks, dampingPm, nTeleport, base),
           reliableCheckpointDir)
         Dedup.releaseCheckpoint(ranks)
         ranks = next
@@ -174,5 +158,31 @@ object Graph {
       Dedup.releaseCheckpoint(dangling)
       Dedup.releaseCheckpoint(ids)
     }
+  }
+
+  /** One un-materialized PageRank round — the plan the loop materializes
+    * each iteration (factored out so PLANS.md can exhibit the real iterate
+    * instead of the checkpointed result scan).
+    */
+  private[graft] def pageRankRound(ids: DataFrame, edgesDeg: DataFrame,
+      dangling: DataFrame, ranks: DataFrame, dampingPm: Int,
+      nTeleport: Long, base: Long): DataFrame = {
+    // 1-row dangling pool → equal share per teleport target, broadcast
+    val shareRow = ranks.join(dangling, Seq("doc_id"), "left_semi")
+      .agg(coalesce(sum(expr(s"(${dampingPm}L * rank_micro) div 1000L")),
+        lit(0L)).as("dang"))
+      .select(expr(s"dang div ${nTeleport}L").as("share"))
+    val contribs = edgesDeg
+      .join(ranks.select(col("doc_id").as("src"), col("rank_micro")), Seq("src"))
+      .select(col("dst"),
+        expr(s"(${dampingPm}L * rank_micro) div (1000L * out_deg)").as("c"))
+      .groupBy(col("dst").as("doc_id"))
+      .agg(sum(col("c")).as("in_mass"))
+    ids.join(contribs, Seq("doc_id"), "left")
+      .crossJoin(broadcast(shareRow))
+      .select(col("doc_id"),
+        (when(col("is_seed"), lit(base) + col("share")).otherwise(lit(0L)) +
+          coalesce(col("in_mass"), lit(0L)))
+          .cast("long").as("rank_micro"))
   }
 }

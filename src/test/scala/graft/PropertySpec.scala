@@ -157,4 +157,60 @@ class PropertySpec extends AnyFunSuite with Matchers {
       shuffledIn shouldBe direct
     }
   }
+
+  test("unigramWord: lossless concatenation, alphabet-complete never UNKs, bounded pieces") {
+    val genVocab: Gen[Map[String, Long]] = for {
+      chars <- Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd'))
+      multis <- Gen.listOfN(6, for {
+        l <- Gen.chooseNum(2, 4)
+        s <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+        c <- Gen.chooseNum(1L, 1000L)
+      } yield s -> c)
+      base <- Gen.chooseNum(1L, 50L)
+    } yield (chars.map(ch => ch.toString -> base) ++ multis).toMap
+    val gen = for {
+      v <- genVocab
+      wlen <- Gen.chooseNum(0, 12)
+      w <- Gen.listOfN(wlen, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    } yield (v, w)
+    forAll(gen, n = 200) { case (vocab, w) =>
+      val total = vocab.valuesIterator.sum
+      val maxLen = vocab.keysIterator.map(_.length).max
+      val pieces = graft.ops.TextOps.unigramWord(w, vocab, total, maxLen, "[UNK]")
+      if (Set('a', 'b', 'c', 'd').map(_.toString).subsetOf(vocab.keySet)) {
+        // every char segmentable → lossless and bounded
+        pieces.mkString shouldBe w
+        pieces.length should be <= w.length
+        pieces.foreach(p => vocab should contain key p)
+      }
+      // deterministic
+      graft.ops.TextOps.unigramWord(w, vocab, total, maxLen, "[UNK]") shouldBe pieces
+    }
+  }
+
+  test("pageRank == sequential oracle on random graphs (dangling, multi-component, seeded)") {
+    val spark = SparkSessions.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 18)
+      nE <- Gen.chooseNum(0, 40)
+      edges <- Gen.listOfN(nE, for {
+        s <- Gen.chooseNum(0, n - 1); d <- Gen.chooseNum(0, n - 1)
+      } yield (s.toLong, d.toLong))
+      seedMod <- Gen.chooseNum(0, 3) // 0 = uniform, else ids % seedMod == 0
+      iters <- Gen.chooseNum(1, 3)
+    } yield (n, edges.distinct.filter(e => e._1 != e._2), seedMod, iters)
+    forAll(gen, n = 6) { case (n, edges, seedMod, iters) =>
+      val nodes = (0L until n.toLong).toSeq
+      val seeds = if (seedMod == 0) None else Some(nodes.filter(_ % seedMod == 0).toSet)
+      val want = graft.oracle.OpsOracle.pageRankSeq(nodes, edges, iters = iters,
+        seeds = seeds)
+      val edf = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("src", "dst") else edges.toDF("src", "dst")
+      val got = graft.ops.Graph.pageRank(nodes.toDF("doc_id"), edf, iters = iters,
+          seeds = seeds.map(s => s.toSeq.toDF("doc_id")))
+        .as[(Long, Long)].collect().toSeq.sorted
+      got shouldBe want
+    }
+  }
 }
