@@ -343,6 +343,14 @@ object SparkEntry {
       val docs = docsTable(s, dir)
       Graph.pageRank(docs.select(col("doc_id")), Graph.linkEdges(docs))
     }),
+    // co-citation pairs (docs linked from the same pages — mirror/template
+    // family detection): fanout-capped BEFORE the quadratic pair explosion
+    // (maxFanout=2 keeps the cap LIVE on the 1..3-fanout gate graph);
+    // restated end-to-end in DuckDB including the cap
+    "q_cocitation" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Graph.cocitation(Graph.linkEdges(docs), minShared = 1, maxFanout = 2)
+    }),
     // TrustRank: restart + dangling mass personalized to a trusted seed
     // set (the src0 docs) — authority flows outward from seeds, the spam-
     // demotion prior; same iterate, seed-gated teleport
@@ -1138,6 +1146,19 @@ object SparkEntry {
         "CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg, " +
         "CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg " +
         "FROM documents d LEFT JOIN o USING (doc_id) LEFT JOIN i USING (doc_id)"),
+    "q_cocitation" ->
+      ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
+        "('0x' || substr(md5(d.text || ':' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
+        "('0x' || substr(md5(d.text || ':0'), 1, 8))::BIGINT AS h0 " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "e AS (SELECT DISTINCT src, h % (src + 1) AS dst FROM e0 " +
+        "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +
+        "ok AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 2), " +
+        "c AS (SELECT e.src, e.dst FROM e JOIN ok USING (src)) " +
+        "SELECT CAST(l.dst AS BIGINT) AS a, CAST(r.dst AS BIGINT) AS b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM c l JOIN c r ON l.src = r.src AND l.dst < r.dst " +
+        "GROUP BY 1, 2 HAVING count(*) >= 1"),
     "q_pagerank" ->
       "SELECT doc_id, rank_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/pagerank/*.parquet')",
     "q_trustrank" ->

@@ -68,6 +68,37 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Co-citation pairs: documents linked FROM the same pages ("related
+    * docs" — Small 1973; in curation it surfaces mirror/template families
+    * whose text differs but whose link context is identical). For every
+    * unordered pair (a < b) co-cited by ≥ `minShared` distinct sources,
+    * returns (a, b, n_shared).
+    *
+    * Scale shape: the expansion is quadratic per SOURCE page (a page with
+    * f outlinks emits C(f,2) pairs), so fan-out is the skew axis — sources
+    * with more than `maxFanout` outlinks are dropped BEFORE the pair
+    * explosion by a count + semi-join (the same hot-key cap discipline as
+    * `Dedup.ngramJaccardPairs`' df cap; a mega-hub page co-cites
+    * everything and carries no similarity signal anyway — the cap is the
+    * curation semantics, not an approximation). After the cap: one
+    * self-join on `src` (both sides the capped edge table, co-partitioned
+    * by the join key), one pair-count aggregation.
+    */
+  def cocitation(edges: DataFrame, minShared: Int = 2,
+                 maxFanout: Int = 64): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxFanout >= 2, s"maxFanout must be >= 2, got $maxFanout")
+    val small = edges.groupBy("src")
+      .agg(count(lit(1)).as("f")).where(col("f") <= maxFanout)
+      .select("src")
+    val capped = edges.join(small, Seq("src"), "left_semi")
+    capped.as("l").join(capped.as("r"),
+        col("l.src") === col("r.src") && col("l.dst") < col("r.dst"))
+      .groupBy(col("l.dst").as("a"), col("r.dst").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Integer-exact PageRank in micro-units (the deterministic contract —
     * floats would make ranks depend on reduction order):
     *

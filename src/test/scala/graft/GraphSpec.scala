@@ -107,6 +107,22 @@ class GraphSpec extends AnyFunSuite with Matchers {
       OpsOracle.pageRankSeq(seq.map(_._1), OpsOracle.linkEdgesSeq(seq), iters = 4)
   }
 
+  test("cocitation: shared-source pairs counted, hub sources capped out") {
+    // s1,s2 → {a,b}; s3 → {a,b,c} (fanout 3 — dropped at maxFanout=2);
+    // s4 → {b,c}
+    val edges = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (12L, 3L), (13L, 2L), (13L, 3L)).toDF("src", "dst")
+    val all = Graph.cocitation(edges, minShared = 1, maxFanout = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    all shouldBe Set((1L, 2L, 2L), (2L, 3L, 1L))
+    // threshold filters the singleton pair; uncapped, the hub adds (1,3)
+    Graph.cocitation(edges, minShared = 2, maxFanout = 2)
+      .as[(Long, Long, Long)].collect().toSet shouldBe Set((1L, 2L, 2L))
+    Graph.cocitation(edges, minShared = 1, maxFanout = 3)
+      .as[(Long, Long, Long)].collect().toSet shouldBe
+      Set((1L, 2L, 3L), (2L, 3L, 2L), (1L, 3L, 1L))
+  }
+
   test("degreeStats sums match the edge count; absent directions are zero") {
     val nodes = docs.select($"doc_id")
     val edges = Graph.linkEdges(docs).cache()
