@@ -351,6 +351,15 @@ object SparkEntry {
       val docs = docsTable(s, dir)
       Graph.cocitation(Graph.linkEdges(docs), minShared = 1, maxFanout = 2)
     }),
+    // bibliographic coupling (sources sharing link targets — scraper-farm
+    // / mirror grouping): in-degree-capped BEFORE the quadratic pair
+    // explosion (maxInDeg=4 caps out ~40 head targets of the
+    // preferential-attachment gate graph — the cap is exercised hard);
+    // restated end-to-end in DuckDB including the cap
+    "q_coupling" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Graph.coupling(Graph.linkEdges(docs), minShared = 1, maxInDeg = 4)
+    }),
     // TrustRank: restart + dangling mass personalized to a trusted seed
     // set (the src0 docs) — authority flows outward from seeds, the spam-
     // demotion prior; same iterate, seed-gated teleport
@@ -1158,6 +1167,19 @@ object SparkEntry {
         "SELECT CAST(l.dst AS BIGINT) AS a, CAST(r.dst AS BIGINT) AS b, " +
         "CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM c l JOIN c r ON l.src = r.src AND l.dst < r.dst " +
+        "GROUP BY 1, 2 HAVING count(*) >= 1"),
+    "q_coupling" ->
+      ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
+        "('0x' || substr(md5(d.text || ':' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
+        "('0x' || substr(md5(d.text || ':0'), 1, 8))::BIGINT AS h0 " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "e AS (SELECT DISTINCT src, h % (src + 1) AS dst FROM e0 " +
+        "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +
+        "ok AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 4), " +
+        "c AS (SELECT e.src, e.dst FROM e JOIN ok USING (dst)) " +
+        "SELECT CAST(l.src AS BIGINT) AS a, CAST(r.src AS BIGINT) AS b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM c l JOIN c r ON l.dst = r.dst AND l.src < r.src " +
         "GROUP BY 1, 2 HAVING count(*) >= 1"),
     "q_pagerank" ->
       "SELECT doc_id, rank_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/pagerank/*.parquet')",

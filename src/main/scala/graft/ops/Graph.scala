@@ -99,6 +99,38 @@ object Graph {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Bibliographic coupling: pairs of pages linking TO the same documents
+    * (Kessler 1963 — the forward-looking dual of [[cocitation]]; in
+    * curation it groups pages by shared citation context — scraper farms
+    * and article mirrors all pointing at the same canonical targets). For
+    * every unordered source pair (a < b) sharing ≥ `minShared` distinct
+    * link targets, returns (a, b, n_shared).
+    *
+    * Scale shape: dual of co-citation — here the expansion is quadratic
+    * per TARGET (a target with in-degree g yields C(g,2) source pairs), so
+    * in-degree is the skew axis, and on a power-law web graph the head
+    * target's in-degree is corpus-sized. Targets above `maxInDeg` are
+    * dropped BEFORE the pair explosion by a count + semi-join (everyone
+    * links to the homepage — shared membership in its backlink set is no
+    * evidence of relatedness; the cap is the semantics). After the cap:
+    * one self-join on `dst` (both sides the capped table, co-partitioned
+    * on the join key), one pair-count aggregation.
+    */
+  def coupling(edges: DataFrame, minShared: Int = 2,
+               maxInDeg: Int = 64): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxInDeg >= 2, s"maxInDeg must be >= 2, got $maxInDeg")
+    val small = edges.groupBy("dst")
+      .agg(count(lit(1)).as("g")).where(col("g") <= maxInDeg)
+      .select("dst")
+    val capped = edges.join(small, Seq("dst"), "left_semi")
+    capped.as("l").join(capped.as("r"),
+        col("l.dst") === col("r.dst") && col("l.src") < col("r.src"))
+      .groupBy(col("l.src").as("a"), col("r.src").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Integer-exact PageRank in micro-units (the deterministic contract —
     * floats would make ranks depend on reduction order):
     *

@@ -123,6 +123,24 @@ class GraphSpec extends AnyFunSuite with Matchers {
       Set((1L, 2L, 3L), (2L, 3L, 2L), (1L, 3L, 1L))
   }
 
+  test("coupling: shared-target pairs counted, hub targets capped out") {
+    // 20 → {1,2,5}; 21 → {1,3,5}; 22 → {2,3}; every target has in-deg 2
+    // except 9, linked by everyone (in-deg 3 — capped out at maxInDeg=2)
+    val edges = Seq((20L, 1L), (20L, 2L), (20L, 5L), (21L, 1L), (21L, 3L),
+      (21L, 5L), (22L, 2L), (22L, 3L), (20L, 9L), (21L, 9L), (22L, 9L))
+      .toDF("src", "dst")
+    Graph.coupling(edges, minShared = 1, maxInDeg = 2)
+      .as[(Long, Long, Long)].collect().toSet shouldBe
+      Set((20L, 21L, 2L), (20L, 22L, 1L), (21L, 22L, 1L))
+    // threshold keeps only the {1,5}-sharing pair; raising the cap admits
+    // the hub and every pair gains one shared target
+    Graph.coupling(edges, minShared = 2, maxInDeg = 2)
+      .as[(Long, Long, Long)].collect().toSet shouldBe Set((20L, 21L, 2L))
+    Graph.coupling(edges, minShared = 1, maxInDeg = 3)
+      .as[(Long, Long, Long)].collect().toSet shouldBe
+      Set((20L, 21L, 3L), (20L, 22L, 2L), (21L, 22L, 2L))
+  }
+
   test("degreeStats sums match the edge count; absent directions are zero") {
     val nodes = docs.select($"doc_id")
     val edges = Graph.linkEdges(docs).cache()
