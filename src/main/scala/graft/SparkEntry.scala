@@ -360,6 +360,14 @@ object SparkEntry {
       val docs = docsTable(s, dir)
       Graph.coupling(Graph.linkEdges(docs), minShared = 1, maxInDeg = 4)
     }),
+    // HITS hubs & authorities (5 iterations): link-farm vs canonical-
+    // content separation; integer micro-unit L1 normalization per step,
+    // bit-deterministic, gated by the sequential-oracle golden
+    "q_hits" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      Graph.hits(docs.select(col("doc_id")), Graph.linkEdges(docs))
+    }),
     // TrustRank: restart + dangling mass personalized to a trusted seed
     // set (the src0 docs) — authority flows outward from seeds, the spam-
     // demotion prior; same iterate, seed-gated teleport
@@ -1181,6 +1189,9 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM c l JOIN c r ON l.dst = r.dst AND l.src < r.src " +
         "GROUP BY 1, 2 HAVING count(*) >= 1"),
+    "q_hits" ->
+      ("SELECT doc_id, auth_micro, hub_micro " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/hits/*.parquet')"),
     "q_pagerank" ->
       "SELECT doc_id, rank_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/pagerank/*.parquet')",
     "q_trustrank" ->

@@ -223,6 +223,98 @@ object Graph {
     }
   }
 
+  /** Integer-exact HITS (Kleinberg 1999) in micro-units — hub scores find
+    * link-farm/directory pages, authority scores find canonical content;
+    * the pair separates the two roles PageRank conflates:
+    *
+    *   a'(v) = Σ_{(u,v)∈E} h(u)     then L1-normalize to total mass M
+    *   h'(v) = Σ_{(v,u)∈E} a(u)     (with the NEW a)  then normalize
+    *
+    * with M = N · initMicro and normalize(x) = (x · M) div Σx (floored;
+    * all-zero sum → all zeros). The raw per-node sums stay ≤ M (each is a
+    * subset-sum of a table whose total is ≤ M), so they fit a Long at any
+    * N ≤ 10^13 · (10^6/initMicro); the normalization products can reach
+    * M², so they are computed in DECIMAL(38,0) (exactly like the oracle's
+    * BigInt) and the TOTALS are summed in decimal too — Σ_v a'(v) counts
+    * each h(u) once per outlink and would overflow a Long on a high-fanout
+    * graph. Floors make every aggregate an associative Long/decimal sum:
+    * bit-identical at any parallelism, restated exactly by the sequential
+    * oracle.
+    *
+    * Physical shape: the edge table is materialized TWICE, hash-partitioned
+    * by `src` (hub-side join of the authority step) and by `dst`
+    * (authority-side join of the hub step) — each iteration exchanges only
+    * the 2-long score tables against a stable edge partitioning, never the
+    * edges. Scores are checkpointed per round and the previous round's
+    * blocks freed, exactly as [[pageRank]].
+    *
+    * Returns (doc_id, auth_micro, hub_micro). Edges touching ids outside
+    * `nodes` contribute nothing (the node list defines the graph).
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+           initMicro: Long = 1000000L,
+           reliableCheckpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(initMicro > 0, s"initMicro must be > 0, got $initMicro")
+    val ids = Dedup.materialize(
+      nodes.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id")),
+      reliableCheckpointDir)
+    val n = ids.count()
+    require(n > 0, "hits needs a non-empty node list")
+    val totMass = n * initMicro
+    val live = edges.join(ids.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    val edgesBySrc = Dedup.materialize(live.repartition(col("src")),
+      reliableCheckpointDir)
+    val edgesByDst = Dedup.materialize(live.repartition(col("dst")),
+      reliableCheckpointDir)
+
+    // raw per-node in-sums → L1-normalized micro scores: tot is a 1-row
+    // decimal aggregate broadcast back, the scale product runs in
+    // DECIMAL(38,0) and `div` floors back to a Long
+    def normalized(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(coalesce(sum(col("raw").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          when(col("tot") > 0,
+            expr(s"CAST((CAST(raw AS DECIMAL(19,0)) * ${totMass}L) div tot AS BIGINT)"))
+            .otherwise(lit(0L)).as("score"))
+    }
+    def step(scores: DataFrame, edgesPart: DataFrame,
+             joinKey: String, sumKey: String): DataFrame =
+      normalized(ids.join(
+        edgesPart
+          .join(scores.select(col("doc_id").as(joinKey), col("score")), Seq(joinKey))
+          .groupBy(col(sumKey).as("doc_id"))
+          .agg(sum(col("score")).as("raw")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("raw"), lit(0L)).as("raw")))
+
+    var hub = Dedup.materialize(
+      ids.select(col("doc_id"), lit(initMicro).as("score")), reliableCheckpointDir)
+    var auth: DataFrame = null
+    try {
+      for (_ <- 1 to iters) {
+        val nextAuth = Dedup.materialize(
+          step(hub, edgesBySrc, "src", "dst"), reliableCheckpointDir)
+        if (auth != null) Dedup.releaseCheckpoint(auth)
+        auth = nextAuth
+        val nextHub = Dedup.materialize(
+          step(auth, edgesByDst, "dst", "src"), reliableCheckpointDir)
+        Dedup.releaseCheckpoint(hub)
+        hub = nextHub
+      }
+      auth.select(col("doc_id"), col("score").as("auth_micro"))
+        .join(hub.select(col("doc_id"), col("score").as("hub_micro")),
+          Seq("doc_id"))
+    } finally {
+      Dedup.releaseCheckpoint(edgesBySrc)
+      Dedup.releaseCheckpoint(edgesByDst)
+      Dedup.releaseCheckpoint(ids)
+    }
+  }
+
   /** One un-materialized PageRank round — the plan the loop materializes
     * each iteration (factored out so PLANS.md can exhibit the real iterate
     * instead of the checkpointed result scan).

@@ -1050,6 +1050,37 @@ object OpsOracle {
     nodes.sorted.map(v => (v, rank(v)))
   }
 
+  /** Sequential `Graph.hits`: the identical integer micro-unit contract —
+    * per-iteration authority-then-hub in-sums, each L1-normalized to
+    * N·initMicro total mass via a BigInt multiply + floor division (the
+    * distributed DECIMAL(38,0) arithmetic restated exactly); all-zero sums
+    * normalize to all zeros; edges touching ids outside `nodes` contribute
+    * nothing. Returns sorted (doc_id, auth_micro, hub_micro).
+    */
+  def hitsSeq(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int = 5,
+              initMicro: Long = 1000000L): Seq[(Long, Long, Long)] = {
+    require(iters >= 1)
+    val nodeSet = nodes.toSet
+    val live = edges.filter { case (u, v) => nodeSet(u) && nodeSet(v) }
+    val totMass = BigInt(nodes.size.toLong) * initMicro
+    def normalize(raw: collection.Map[Long, Long]): Map[Long, Long] = {
+      val tot = nodes.iterator.map(v => BigInt(raw.getOrElse(v, 0L))).sum
+      nodes.map(v => v -> (if (tot > 0)
+        (BigInt(raw.getOrElse(v, 0L)) * totMass / tot).toLong else 0L)).toMap
+    }
+    var hub = nodes.map(_ -> initMicro).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val aRaw = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, v) <- live) aRaw(v) += hub(u)
+      auth = normalize(aRaw)
+      val hRaw = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, v) <- live) hRaw(u) += auth(v)
+      hub = normalize(hRaw)
+    }
+    nodes.sorted.map(v => (v, auth(v), hub(v)))
+  }
+
   /** Sequential `TextOps.mixtureSample(docs, temperatureTargets(docs, α))`:
     * targets via the SHARED `temperatureTargetsSeq` arithmetic (driver-side
     * in both formulations by design), then the mixture-sample floor-of-
@@ -1416,7 +1447,7 @@ object OpsGolden {
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
-    "incnd", "pagerank", "trustrank", "ugv", "ugenc")
+    "incnd", "pagerank", "trustrank", "hits", "ugv", "ugenc")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1584,6 +1615,11 @@ object OpsGolden {
         iters = 10, dampingPm = 850L, initMicro = 1000000L,
         seeds = Some(docs.iterator.map(_._1).filter(id => srcs(id) == "src0").toSet))
     }, Seq("doc_id", "rank_micro"))
+    // HITS hubs/authorities over the SAME edge derivation
+    write("hits",
+      OpsOracle.hitsSeq(docs.map(_._1), OpsOracle.linkEdgesSeq(docs),
+        iters = 5, initMicro = 1000000L),
+      Seq("doc_id", "auth_micro", "hub_micro"))
     write("packing",
       OpsOracle.packSequences(docs, capacity = 128, nBuckets = 16),
       Seq("doc_id", "n_tokens", "bucket", "seq_id", "pos"))

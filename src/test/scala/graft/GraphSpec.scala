@@ -107,6 +107,46 @@ class GraphSpec extends AnyFunSuite with Matchers {
       OpsOracle.pageRankSeq(seq.map(_._1), OpsOracle.linkEdgesSeq(seq), iters = 4)
   }
 
+  test("hits matches a hand-computed integer trace") {
+    // same tiny graph as the pageRank trace; M = 4e6. Round 1: in-sums
+    // (2e6, 2e6, 0, 0) normalize to auths (2e6, 2e6, 0, 0); hub raws
+    // (0, 2e6, 4e6, 2e6) normalize to (0, 1e6, 2e6, 1e6). Round 2 is a
+    // fixed point (raw auths 3e6/3e6 rescale to the same 2e6/2e6).
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.hits(nodes, edges, iters = 2)
+      .as[(Long, Long, Long)].collect().map { case (v, a, h) => v -> (a, h) }.toMap
+    r shouldBe Map(0L -> (2000000L, 0L), 1L -> (2000000L, 1000000L),
+      2L -> (0L, 2000000L), 3L -> (0L, 1000000L))
+  }
+
+  test("hits parity with the sequential oracle; partition-invariant; reliable ckpt") {
+    val seq = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val nodes = docs.select($"doc_id")
+    val edges = Graph.linkEdges(docs)
+    val expected = OpsOracle.hitsSeq(seq.map(_._1), OpsOracle.linkEdgesSeq(seq),
+      iters = 3)
+    val got = Graph.hits(nodes, edges, iters = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    got shouldBe expected
+    // L1 contract: each normalized family's mass is within (0, N * initMicro]
+    got.map(_._2).sum should be <= 40L * 1000000L
+    got.map(_._3).sum should be <= 40L * 1000000L
+    got.map(_._2).sum should be > 0L
+    // repartitioning must not move a micro-unit; nor may the reliable path
+    Graph.hits(nodes.repartition(7), edges.repartition(5), iters = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted shouldBe expected
+    val tmp = java.nio.file.Files.createTempDirectory("hits-ckpt").toString
+    try {
+      Graph.hits(nodes, edges, iters = 3, reliableCheckpointDir = Some(tmp))
+        .as[(Long, Long, Long)].collect().toSeq.sorted shouldBe expected
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
   test("cocitation: shared-source pairs counted, hub sources capped out") {
     // s1,s2 → {a,b}; s3 → {a,b,c} (fanout 3 — dropped at maxFanout=2);
     // s4 → {b,c}
