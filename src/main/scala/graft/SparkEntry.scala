@@ -684,6 +684,13 @@ object SparkEntry {
       opsGolden(s, dir)
       TextOps.lmScore(docsTable(s, dir), vocabSize = 1 << 14, maxBigrams = 1 << 16)
     }),
+    // trigram stupid-backoff LM (Brants 2007) — the sharper perplexity
+    // filter; caps tightened so all three backoff levels fire at the gate
+    "q_doc_lm_backoff" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.backoffLmScore(docsTable(s, dir), vocabSize = 16,
+        maxTrigrams = 1024, maxBigrams = 128, alphaPm = 400)
+    }),
     // deterministic corpus-mixture sampling to target source proportions
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docsTable(s, dir),
       Seq("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))),
@@ -1304,6 +1311,8 @@ object SparkEntry {
       "SELECT a, b, est_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/streamnd/*.parquet')",
     "q_doc_lm_score" ->
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
+    "q_doc_lm_backoff" ->
+      "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/sblm/*.parquet')",
     "q_doc_nb_quality" ->
       "SELECT doc_id, n_toks, lp1_micro, lp0_micro, margin_micro, nb_label FROM read_parquet('/root/repo/data/golden_ops/sf0.01/nb/*.parquet')",
     "q_doc_dsir" ->

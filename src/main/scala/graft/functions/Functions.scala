@@ -146,6 +146,39 @@ case class LogProbMicroExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** One trigram transition's stupid-backoff score in integer micro-nats —
+  * the hot scalar of [[graft.ops.TextOps.backoffLmScore]], kept a native
+  * expression for the same whole-stage-codegen reason as
+  * [[LogProbMicroExpr]]. The three CHILDREN (k, num, den) vary per row; the
+  * backoff penalty `alphaPm` is a plan-time constant baked into the
+  * generated call.
+  */
+case class SbLogProbMicroExpr(first: Expression, second: Expression,
+                              third: Expression, alphaPm: Int)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BIGINT, BIGINT, BIGINT) arguments, got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  override def prettyName: String = "sb_log_prob_micro"
+
+  override def nullSafeEval(k: Any, num: Any, den: Any): Any =
+    graft.ops.TextOps.sbLogProbMicro(
+      k.asInstanceOf[Long], num.asInstanceOf[Long], den.asInstanceOf[Long],
+      alphaPm.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, num, den) =>
+      s"graft.ops.TextOps.sbLogProbMicro($k, $num, $den, ${alphaPm}L)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** One (doc, term) BM25 contribution in integer micro-nats — the scoring
   * kernel of [[graft.ops.Retrieval.bm25TopK]], kept in whole-stage codegen
   * like `log_prob_micro`. The three CHILDREN (tf, df, dl) vary per row; the
@@ -243,6 +276,16 @@ object Functions {
         org.apache.spark.sql.GraftColumnBridge.expression(cb),
         org.apache.spark.sql.GraftColumnBridge.expression(cu),
         org.apache.spark.sql.GraftColumnBridge.expression(v)))
+
+  /** Column-level API: `sb_log_prob_micro(k, num, den, α‰)` (cols BIGINT). */
+  def sb_log_prob_micro(k: Column, num: Column, den: Column,
+                        alphaPm: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SbLogProbMicroExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(k),
+        org.apache.spark.sql.GraftColumnBridge.expression(num),
+        org.apache.spark.sql.GraftColumnBridge.expression(den),
+        alphaPm))
 
   /** Column-level API: `bm25_micro(tf, df, dl, N, Σdl, k1‰, b‰)`. */
   def bm25_micro(tf: Column, df: Column, dl: Column, nDocs: Long,

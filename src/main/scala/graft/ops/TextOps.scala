@@ -1333,6 +1333,143 @@ object TextOps {
           .otherwise(lit(0L)))
   }
 
+  /** Stupid-backoff score of one trigram transition in integer micro-nats:
+    * `round((k·ln(α) + ln(num/den)) · 1e6)` with α = alphaPm/1000 and k the
+    * backoff depth (0 = trigram hit, 1 = bigram backoff, 2 = Laplace
+    * unigram floor). `StrictMath.log` (fdlibm) is platform-bit-identical
+    * and the round-to-Long happens BEFORE the per-doc sum, so the aggregate
+    * is an exact integer sum under any partitioning — the same discipline
+    * as [[logProbMicro]]. Called from generated code by
+    * [[graft.functions.SbLogProbMicroExpr]].
+    */
+  def sbLogProbMicro(k: Long, num: Long, den: Long, alphaPm: Long): Long =
+    Math.round((k * StrictMath.log(alphaPm.toDouble / 1000.0d) +
+      StrictMath.log(num.toDouble / den.toDouble)) * 1e6d)
+
+  /** Trigram LM with stupid backoff (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — THE web-scale n-gram scoring rule:
+    * no discount bookkeeping, just count ratios with a fixed per-level
+    * penalty α, which is exactly what makes it distribute): scores each
+    * document's trigram transitions
+    *
+    *   S(c|p2,p1) = tri(p2,p1,c)/bi(p2,p1)          if the trigram is modeled
+    *              = α · bi(p1,c)/uni(p1)            else if the bigram is
+    *              = α² · (uni(c)+1)/(N+v)           else (Laplace floor)
+    *
+    * in integer micro-nats ([[sbLogProbMicro]]). Sharper than the bigram
+    * [[lmScore]] on templated/spun text: 3-token patterns separate
+    * "fluent but generic" from "copied boilerplate" where 2-token patterns
+    * saturate.
+    *
+    * Model contract (mirrored exactly by the sequential oracle):
+    *  - vocabulary = top-`vocabSize` tokens by (count desc, token asc),
+    *    rest → [[UnkTok]]; model size v = |vocab| + 1.
+    *  - ALL model counts derive from the normalized trigram-transition
+    *    stream (positions i ≥ 2): tri = its (p2,p1,c) counts, bi/uni = its
+    *    (p1,c)/(c) re-aggregations, N = its total — one self-consistent
+    *    event space, so every denominator ≥ its numerator by construction.
+    *  - tri table capped at `maxTrigrams`, bi table at `maxBigrams`, both
+    *    by (count desc, keys asc); a cut n-gram backs off as unseen — the
+    *    cap trades tail resolution for a bounded broadcast, not
+    *    correctness. Denominators ride INSIDE the capped tables (joined
+    *    before broadcast), so caps never skew a modeled ratio.
+    *  - docs with < 3 tokens (incl. blank) score (0, 0, 0).
+    *
+    * Scale shape: ONE corpus-wide exchange — the trigram count shuffle —
+    * which every other model table re-aggregates (AQE ReuseExchange dedups
+    * the scan); the capped tri/bi tables join their context denominators
+    * BEFORE broadcasting (≤ maxTrigrams/maxBigrams rows move), the uni
+    * table is ≤ v+1 rows, and scoring is three broadcast lookups on the
+    * un-shuffled transition stream + one sparse (doc_id, long) partial-sum
+    * exchange. At 100 TB the broadcasts are bounded by the caps, never the
+    * corpus.
+    */
+  def backoffLmScore(docs: DataFrame, vocabSize: Int = 1 << 14,
+                     maxTrigrams: Int = 1 << 16, maxBigrams: Int = 1 << 16,
+                     alphaPm: Int = 400): DataFrame = {
+    require(vocabSize >= 1, "vocabSize >= 1")
+    require(maxTrigrams >= 1, "maxTrigrams >= 1")
+    require(maxBigrams >= 1, "maxBigrams >= 1")
+    require(alphaPm >= 1 && alphaPm <= 1000,
+      s"alphaPm must be in [1,1000], got $alphaPm")
+    import graft.functions.Functions.sb_log_prob_micro
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      toksOrEmpty(col("text")).as("toks"))
+
+    val vocab = base.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select("tok")
+    val vModel = vocab.agg((count(lit(1)) + 1L).as("v_model")) // + <unk>
+
+    // normalized trigram-transition stream: in-row (toks[i-2..i]) triples,
+    // OOV → <unk> via three broadcast left joins (map-side; the stream
+    // never shuffles here)
+    val n = size(col("toks"))
+    val triples = base.where(n >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(3), n),
+        j => struct(element_at(col("toks"), j - 2).as("a"),
+          element_at(col("toks"), j - 1).as("b"),
+          element_at(col("toks"), j).as("c")))).as("t"))
+      .select(col("doc_id"), col("t.a").as("p2"), col("t.b").as("p1"),
+        col("t.c").as("cur"))
+    val v2 = vocab.withColumnRenamed("tok", "v_p2")
+    val v1 = vocab.withColumnRenamed("tok", "v_p1")
+    val vc = vocab.withColumnRenamed("tok", "v_c")
+    val norm = triples
+      .join(broadcast(v2), col("p2") === col("v_p2"), "left")
+      .join(broadcast(v1), col("p1") === col("v_p1"), "left")
+      .join(broadcast(vc), col("cur") === col("v_c"), "left")
+      .select(col("doc_id"),
+        coalesce(col("v_p2"), lit(UnkTok)).as("p2_n"),
+        coalesce(col("v_p1"), lit(UnkTok)).as("p1_n"),
+        coalesce(col("v_c"), lit(UnkTok)).as("c_n"))
+
+    // the one corpus-wide exchange; bi/uni/context tables re-aggregate it
+    val triAll = norm.groupBy("p2_n", "p1_n", "c_n")
+      .agg(count(lit(1)).as("t_cnt"))
+    val biCtx = triAll.groupBy("p2_n", "p1_n")
+      .agg(sum(col("t_cnt")).as("ctx2_cnt"))
+    val triTab = triAll
+      .orderBy(col("t_cnt").desc, col("p2_n").asc, col("p1_n").asc,
+        col("c_n").asc)
+      .limit(maxTrigrams)
+      .join(biCtx, Seq("p2_n", "p1_n"))
+    val p1Ctx = triAll.groupBy("p1_n").agg(sum(col("t_cnt")).as("ctx1_cnt"))
+    val biTab = triAll.groupBy("p1_n", "c_n").agg(sum(col("t_cnt")).as("b_cnt"))
+      .orderBy(col("b_cnt").desc, col("p1_n").asc, col("c_n").asc)
+      .limit(maxBigrams)
+      .join(broadcast(p1Ctx), Seq("p1_n"))
+    val uni = triAll.groupBy("c_n").agg(sum(col("t_cnt")).as("u_cnt"))
+    val nTot = triAll.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("n_tot"))
+
+    val scored = norm
+      .join(broadcast(triTab), Seq("p2_n", "p1_n", "c_n"), "left")
+      .join(broadcast(biTab), Seq("p1_n", "c_n"), "left")
+      .join(broadcast(uni), Seq("c_n"), "left") // u_cnt ≥ 1 by construction
+      .crossJoin(broadcast(nTot.crossJoin(vModel)))
+      .select(col("doc_id"),
+        when(col("t_cnt").isNotNull,
+          sb_log_prob_micro(lit(0L), col("t_cnt"), col("ctx2_cnt"), alphaPm))
+        .when(col("b_cnt").isNotNull,
+          sb_log_prob_micro(lit(1L), col("b_cnt"), col("ctx1_cnt"), alphaPm))
+        .otherwise(
+          sb_log_prob_micro(lit(2L), col("u_cnt") + lit(1L),
+            col("n_tot") + col("v_model"), alphaPm))
+        .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum(col("lp")).as("lp_micro_tot"))
+
+    val trivial = base.where(n < 3)
+      .select(col("doc_id"), lit(0L).as("n_trans"), lit(0L).as("lp_micro_tot"))
+    scored.unionByName(trivial)
+      .withColumn("lp_micro_per_tok",
+        when(col("n_trans") > 0L, expr("lp_micro_tot div n_trans"))
+          .otherwise(lit(0L)))
+  }
+
   /** Model-based quality filtering: a multinomial Naive Bayes text
     * classifier trained on a labeled seed set and applied to the whole
     * corpus — the "quality classifier" stage of web-scale curation (GPT-3

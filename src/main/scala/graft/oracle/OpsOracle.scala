@@ -858,6 +858,67 @@ object OpsOracle {
     }
   }
 
+  /** Sequential `TextOps.backoffLmScore`: the identical stupid-backoff
+    * contract — vocab = top-`vocabSize` tokens (count desc, token asc),
+    * all model counts from the normalized trigram-transition stream
+    * (positions i ≥ 2), tri/bi tables capped by (count desc, keys asc),
+    * per-transition `round((k·ln α + ln(num/den))·1e6)` with StrictMath,
+    * docs under 3 tokens → zeros. Returns
+    * (doc_id, n_trans, lp_micro_tot, lp_micro_per_tok).
+    */
+  def backoffLmSeq(docs: Seq[(Long, String)], vocabSize: Int,
+                   maxTrigrams: Int, maxBigrams: Int,
+                   alphaPm: Int): Seq[(Long, Long, Long, Long)] = {
+    def toks(text: String): Array[String] = {
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.isEmpty) Array.empty[String]
+      else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    }
+    val docToks = docs.map { case (id, t) => id -> toks(t) }
+    val uniCnt = docToks.iterator.flatMap(_._2).toSeq
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val vocab = uniCnt.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(vocabSize).map(_._1).toSet
+    val vModel = vocab.size + 1L // + <unk>
+    def nrm(t: String): String = if (vocab(t)) t else "<unk>"
+    val stream = docToks.flatMap { case (_, ts) =>
+      (2 until ts.length).map(i => (nrm(ts(i - 2)), nrm(ts(i - 1)), nrm(ts(i))))
+    }
+    val triAll = stream.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val triTab = triAll.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(maxTrigrams).toMap
+    val biCtx = stream.groupBy(t => (t._1, t._2))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val biAll = stream.groupBy(t => (t._2, t._3))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val biTab = biAll.toSeq
+      .sortBy { case ((p, c), n) => (-n, p, c) }.take(maxBigrams).toMap
+    val p1Ctx = stream.groupBy(_._2).map { case (k, xs) => k -> xs.size.toLong }
+    val uni = stream.groupBy(_._3).map { case (k, xs) => k -> xs.size.toLong }
+    val nTot = stream.size.toLong
+    def lp(k: Long, num: Long, den: Long): Long =
+      Math.round((k * StrictMath.log(alphaPm.toDouble / 1000.0d) +
+        StrictMath.log(num.toDouble / den.toDouble)) * 1e6d)
+    docToks.map { case (id, ts) =>
+      if (ts.length < 3) (id, 0L, 0L, 0L)
+      else {
+        val lps = (2 until ts.length).map { i =>
+          val tr = (nrm(ts(i - 2)), nrm(ts(i - 1)), nrm(ts(i)))
+          if (triTab.contains(tr)) lp(0L, triTab(tr), biCtx((tr._1, tr._2)))
+          else if (biTab.contains((tr._2, tr._3)))
+            lp(1L, biTab((tr._2, tr._3)), p1Ctx(tr._2))
+          else lp(2L, uni(tr._3) + 1L, nTot + vModel)
+        }
+        val tot = lps.sum
+        (id, lps.length.toLong, tot, tot / lps.length.toLong)
+      }
+    }
+  }
+
   // ---- Naive Bayes quality classifier ---------------------------------------
 
   /** Sequential `TextOps.nbQualityScore`, restated with the model contract
@@ -1447,7 +1508,7 @@ object OpsGolden {
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
-    "incnd", "pagerank", "trustrank", "hits", "ugv", "ugenc")
+    "incnd", "pagerank", "trustrank", "hits", "sblm", "ugv", "ugenc")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1531,6 +1592,13 @@ object OpsGolden {
       Seq("rank", "left", "right", "n_occ"))
     write("lm",
       OpsOracle.lmScore(docs, vocabSize = 1 << 14, maxBigrams = 1 << 16),
+      Seq("doc_id", "n_trans", "lp_micro_tot", "lp_micro_per_tok"))
+    // trigram stupid-backoff LM: tight caps (vocab 16 of ~31 tokens, 1024
+    // of ~5k normalized trigrams, 128 of ~300 bigrams) so ALL THREE
+    // backoff levels fire at the gate scale
+    write("sblm",
+      OpsOracle.backoffLmSeq(docs, vocabSize = 16, maxTrigrams = 1024,
+        maxBigrams = 128, alphaPm = 400),
       Seq("doc_id", "n_trans", "lp_micro_tot", "lp_micro_per_tok"))
     // WordPiece inference with the SAME vocab the wpm golden's trainer
     // derivation builds (alphabet + merge tokens)

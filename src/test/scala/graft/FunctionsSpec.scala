@@ -105,6 +105,22 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("BIGINT")
   }
 
+  test("sb_log_prob_micro: codegen, kernel equality, null propagation") {
+    val df = spark.range(3).select(Functions.sb_log_prob_micro(
+      $"id", lit(3L), lit(10L), 400).as("lp"))
+    df.queryExecution.executedPlan.toString should include(
+      "*(1) Project [sb_log_prob_micro(")
+    df.as[Long].collect() shouldBe (0 until 3)
+      .map(i => graft.ops.TextOps.sbLogProbMicro(i.toLong, 3L, 10L, 400L)).toArray
+    // k=0 is a pure ratio (no penalty); each backoff level adds ln(0.4)
+    graft.ops.TextOps.sbLogProbMicro(0L, 1L, 1L, 400L) shouldBe 0L
+    graft.ops.TextOps.sbLogProbMicro(1L, 1L, 1L, 400L) shouldBe
+      Math.round(StrictMath.log(0.4) * 1e6)
+    val withNull = spark.range(1).select(Functions.sb_log_prob_micro(
+      lit(null).cast("bigint"), lit(3L), lit(10L), 400).as("lp"))
+    withNull.head().isNullAt(0) shouldBe true
+  }
+
   test("non-string arguments fail at analysis time with a clear type error") {
     Functions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT simhash64(1)").collect())

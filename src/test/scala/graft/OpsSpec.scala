@@ -183,6 +183,48 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("trigram backoff LM == sequential oracle with active caps, parallelism-invariant") {
+    val seq = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.backoffLmSeq(seq, vocabSize = 16,
+        maxTrigrams = 256, maxBigrams = 64, alphaPm = 400)
+      .map { case (id, n, tot, per) => (id, (n, tot, per)) }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.backoffLmScore(df, vocabSize = 16, maxTrigrams = 256,
+          maxBigrams = 64, alphaPm = 400)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = run(docs)
+    got shouldBe want
+    run(docs.repartition(3)) shouldBe want
+    // the caps are LIVE: loosening them moves at least one doc's score
+    // (i.e. some transitions really do back off because of a table cut)
+    val loose = TextOps.backoffLmScore(docs, vocabSize = 16,
+        maxTrigrams = 1 << 16, maxBigrams = 1 << 16, alphaPm = 400)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.count { case (id, (_, tot, _)) => tot != loose(id) } should be > 0
+  }
+
+  test("trigram backoff LM: repeated pattern beats scattered; levels ordered") {
+    // doc 1 cycles one trigram pattern (every transition a modeled trigram
+    // hit); doc 2 scatters over 12 symbols (tiny tri/bi caps force floors)
+    val predictable = ("a b c" + " a b c" * 27).trim
+    val rng = new scala.util.Random(11)
+    val scattered = (0 until 84).map(_ => s"w${rng.nextInt(12)}").mkString(" ")
+    val rows = Seq((1L, predictable), (2L, scattered), (3L, ""), (4L, "two toks"))
+    val got = TextOps.backoffLmScore(rows.toDF("doc_id", "text"),
+        vocabSize = 16, maxTrigrams = 8, maxBigrams = 8, alphaPm = 400)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got(1L)._1 shouldBe 82L
+    got(2L)._1 shouldBe 82L
+    got(1L)._3 should be > got(2L)._3 // backoff penalties bite the scatter
+    got(3L) shouldBe ((0L, 0L, 0L))
+    got(4L) shouldBe ((0L, 0L, 0L)) // < 3 tokens → no trigram transition
+    val want = graft.oracle.OpsOracle.backoffLmSeq(rows, vocabSize = 16,
+        maxTrigrams = 8, maxBigrams = 8, alphaPm = 400)
+      .map { case (id, n, tot, per) => (id, (n, tot, per)) }.toMap
+    got shouldBe want
+  }
+
   test("BM25 top-k == sequential oracle on the gate probes, parallelism-invariant") {
     val seq = docs.select($"doc_id", $"text").as[(Long, String)]
       .collect().toSeq.sortBy(_._1)
