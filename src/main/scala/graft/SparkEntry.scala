@@ -390,6 +390,27 @@ object SparkEntry {
           sum(col("rank_micro")).cast("long").as("sum_rank_micro"),
           max(col("rank_micro")).cast("long").as("max_rank_micro"))
     }),
+    // nepotistic-link ratio by source (Davison 2000: intra-host links are
+    // the link-spam axis — a source whose pages mostly cite themselves
+    // manufactures its own authority): per-source outlink count, intra-
+    // source count, and the per-mille ratio. Two metadata joins keyed on
+    // src/dst against the (doc_id, source) projection — at corpus scale
+    // both are plain keyed shuffle joins, no explosion anywhere
+    "q_link_nepotism" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      val e = Graph.linkEdges(docs)
+      val meta = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source"))
+      e.join(meta.select(col("doc_id").as("src"), col("source").as("s_src")),
+          Seq("src"))
+        .join(meta.select(col("doc_id").as("dst"), col("source").as("s_dst")),
+          Seq("dst"))
+        .groupBy(col("s_src").as("source"))
+        .agg(count(lit(1)).cast("long").as("n_links"),
+          sum(when(col("s_src") === col("s_dst"), 1L).otherwise(0L))
+            .cast("long").as("n_intra"))
+        .withColumn("intra_pm", expr("(n_intra * 1000L) div n_links"))
+    }),
     // incremental ingest dedup: the batch = the whole table, the committed
     // index = hashes of every 3rd doc — returns first-seen genuinely-new docs
     "q_incremental_dedup" -> ((s, dir) => {
@@ -1209,6 +1230,19 @@ object SparkEntry {
         "CAST(max(p.rank_micro) AS BIGINT) AS max_rank_micro " +
         "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/pagerank/*.parquet') p " +
         "JOIN documents d USING (doc_id) GROUP BY 1"),
+    "q_link_nepotism" ->
+      ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
+        "('0x' || substr(md5(d.text || ':' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
+        "('0x' || substr(md5(d.text || ':0'), 1, 8))::BIGINT AS h0 " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "e AS (SELECT DISTINCT src, h % (src + 1) AS dst FROM e0 " +
+        "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +
+        "m AS (SELECT doc_id, source FROM documents) " +
+        "SELECT ms.source AS source, CAST(count(*) AS BIGINT) AS n_links, " +
+        "CAST(sum(CASE WHEN ms.source = md.source THEN 1 ELSE 0 END) AS BIGINT) AS n_intra, " +
+        "CAST((sum(CASE WHEN ms.source = md.source THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS intra_pm " +
+        "FROM e JOIN m ms ON e.src = ms.doc_id JOIN m md ON e.dst = md.doc_id " +
+        "GROUP BY 1"),
     "q_dedup_clusters" ->
       "SELECT doc_id, cluster_id, n_members, is_keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/clusters/*.parquet')",
     "q_dedup_clusters_star" ->
