@@ -325,6 +325,13 @@ object SparkEntry {
       Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
+    // winnowing-fingerprint substring-overlap pairs (MOSS): the df cap
+    // drops boilerplate fingerprints BEFORE the pair expansion
+    "q_winnow_dup" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Dedup.winnowNearDup(docsTable(s, dir), k = 8, w = 16,
+        minShared = 2, maxDf = 32)
+    }),
 
     // ---- link graph / quality prior (PageRank family) -------------------
     // per-node in/out degrees over the deterministic md5-keyed link graph
@@ -1177,6 +1184,8 @@ object SparkEntry {
         "SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1, 2"),
     "q_simhash_near_dup" ->
       "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/simhash/*.parquet')",
+    "q_winnow_dup" ->
+      "SELECT a, b, n_shared FROM read_parquet('/root/repo/data/golden_ops/sf0.01/winnow/*.parquet')",
     // link graph restated end-to-end: same md5 edge derivation, degrees
     "q_link_degrees" ->
       ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +

@@ -211,6 +211,42 @@ case class Bm25MicroExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Runtime bridge for [[WinnowFpsExpr]]: builds the Catalyst ArrayData from
+  * the kernel's fingerprint array (called from generated code).
+  */
+object WinnowRuntime {
+  def fps(s: UTF8String, k: Int,
+          w: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      graft.ops.TextOps.winnowFps(s.toString, k, w))
+}
+
+/** Winnowing document fingerprints (Schleimer et al. 2003) as a native
+  * codegen expression returning `array<bigint>` — the O(n) rolling-hash +
+  * monotonic-deque kernel stays inside whole-stage codegen; k and w
+  * compile in as literals.
+  */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowRuntime.fps(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowRuntime.fps($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Runtime bridge for [[CdcChunksExpr]]: builds the Catalyst ArrayData from
   * the kernel's chunk array (called from generated code).
   */
@@ -296,6 +332,11 @@ object Functions {
         org.apache.spark.sql.GraftColumnBridge.expression(df),
         org.apache.spark.sql.GraftColumnBridge.expression(dl),
         nDocs, sumDl, k1Pm, bPm))
+
+  /** Column-level API: `winnow_fps(text, k, w)`. */
+  def winnow_fps(c: Column, k: Int = 8, w: Int = 16): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WinnowFpsExpr(org.apache.spark.sql.GraftColumnBridge.expression(c), k, w))
 
   /** Column-level API: `cdc_chunks(text, maskBits, minLen, maxLen)`. */
   def cdc_chunks(c: Column, maskBits: Int = 6, minLen: Int = 16,

@@ -610,6 +610,41 @@ object Dedup {
       .join(committed.select(col("content_md5")), Seq("content_md5"), "left_anti")
       .select(col("doc_id"), col("content_md5"))
 
+  // ---- Winnowing fingerprints ---------------------------------------------
+
+  /** Near-duplicate pairs by shared winnowing fingerprints (Schleimer et
+    * al. 2003 — MOSS; [[TextOps.winnowFps]] is the kernel): documents
+    * sharing ≥ `minShared` distinct fingerprints, returned as unordered
+    * (a < b, n_shared) pairs. Winnowing's guarantee makes this the
+    * SUBSTRING-overlap detector of the family: any shared run of
+    * ≥ w + k − 1 code points yields a shared fingerprint, so plagiarized /
+    * quoted / template-stitched passages surface even when whole-document
+    * similarity (MinHash/SimHash territory) is low.
+    *
+    * Scale shape: fingerprinting is in-row codegen at the scan (the text
+    * never shuffles — only the (doc_id, fp) posting pairs move, ≈ 2/w per
+    * code point); hot fingerprints above `maxDf` are dropped by a count +
+    * semi-join BEFORE the quadratic per-fingerprint pair expansion (a
+    * boilerplate fingerprint shared by everyone carries no pair signal —
+    * the same cap discipline as [[ngramJaccardPairs]]' df cap), and the
+    * self-join's sides are co-partitioned on the fingerprint key.
+    */
+  def winnowNearDup(docs: DataFrame, k: Int = 8, w: Int = 16,
+                    minShared: Int = 2, maxDf: Int = 256): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val fps = docs.select(col("doc_id").cast("long").as("doc_id"),
+      explode(graft.functions.Functions.winnow_fps(col("text"), k, w)).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("fp")
+    val capped = fps.join(rare, Seq("fp"), "left_semi")
+    capped.as("l").join(capped.as("r"),
+        col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** The within-batch keeper rule shared by the incremental entries. */
   private def firstInBatch(batch: DataFrame): DataFrame =
     batch

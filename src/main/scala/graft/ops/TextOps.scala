@@ -1333,6 +1333,70 @@ object TextOps {
           .otherwise(lit(0L)))
   }
 
+  /** MurmurHash3's 64-bit finalizer — mixes the weak low bits of the
+    * wrapping polynomial k-gram hash before winnowing compares values.
+    */
+  private[graft] def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL
+    x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L
+    x ^= (x >>> 33); x
+  }
+
+  /** Winnowing fingerprints of one text (Schleimer, Wilkerson & Aiken 2003,
+    * SIGMOD — the MOSS local fingerprinting algorithm): hash every k-gram
+    * of CODE POINTS with a wrapping base-1000003 polynomial (rolled in
+    * O(1) per position, finalized by [[fmix64]]), slide a window of `w`
+    * consecutive hashes, and select each window's minimum (ties → the
+    * rightmost occurrence, the paper's density rule; the selected VALUE set
+    * is what matters downstream). Returns the distinct selected hashes
+    * sorted ascending — a position-independent fingerprint set with the
+    * winnowing guarantee: two texts sharing any substring of ≥ w + k − 1
+    * code points share at least one fingerprint. Texts shorter than k have
+    * none; k ≤ |t| < k + w − 1 winnows one window covering all hashes.
+    *
+    * All arithmetic is wrapping-Long-exact (no floats, no platform
+    * dependence); the window minima come from a monotonic deque, so the
+    * kernel is O(|t|) — fit for the codegen hot path
+    * ([[graft.functions.WinnowFpsExpr]]).
+    */
+  def winnowFps(text: String, k: Int, w: Int): Array[Long] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    if (n < k) return Array.emptyLongArray
+    val B = 1000003L
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 } // B^(k-1), wrapping
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + cps(i); i += 1 }
+    hs(0) = fmix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - cps(i - 1) * bk) * B + cps(i + k - 1)
+      hs(i) = fmix64(h)
+      i += 1
+    }
+    val ww = math.min(w, m)
+    val sel = scala.collection.mutable.SortedSet.empty[Long]
+    val dq = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < m) {
+      // >= pop keeps the RIGHTMOST minimal index at the head on ties
+      while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst <= i - ww) dq.pollFirst()
+      if (i >= ww - 1) sel += hs(dq.peekFirst)
+      i += 1
+    }
+    sel.toArray
+  }
+
   /** Stupid-backoff score of one trigram transition in integer micro-nats:
     * `round((k·ln(α) + ln(num/den)) · 1e6)` with α = alphaPm/1000 and k the
     * backoff depth (0 = trigram hit, 1 = bigram backoff, 2 = Laplace

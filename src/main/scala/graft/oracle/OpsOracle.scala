@@ -1061,6 +1061,51 @@ object OpsOracle {
     java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
   }
 
+  // ---- winnowing fingerprints ----------------------------------------------
+
+  /** Independent restatement of `TextOps.winnowFps`: every k-gram hash is
+    * recomputed FROM SCRATCH (no rolling update) and every window minimum
+    * by a direct scan (no deque) — same wrapping base-1000003 polynomial
+    * and murmur fmix64 finalizer, so any defect in the distributed
+    * kernel's O(1) roll or monotonic-deque logic diverges here. Returns
+    * the distinct selected hash values sorted ascending.
+    */
+  def winnowSeq(text: String, k: Int, w: Int): Seq[Long] = {
+    def fmix(x0: Long): Long = {
+      var x = x0
+      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL
+      x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L
+      x ^= (x >>> 33); x
+    }
+    val cps = text.codePoints().toArray
+    if (cps.length < k) return Seq.empty
+    val hs = (0 to cps.length - k).map { i =>
+      fmix(cps.slice(i, i + k).foldLeft(0L)((h, c) => h * 1000003L + c))
+    }
+    val ww = math.min(w, hs.length)
+    (0 to hs.length - ww).map(i => hs.slice(i, i + ww).min)
+      .distinct.sorted
+  }
+
+  /** Sequential `Dedup.winnowNearDup`: fingerprint sets via [[winnowSeq]],
+    * fingerprints with document frequency > maxDf dropped, pairs counted
+    * over the survivors. Returns sorted (a, b, n_shared).
+    */
+  def winnowPairs(docs: Seq[(Long, String)], k: Int, w: Int,
+                  minShared: Int, maxDf: Int): Seq[(Long, Long, Long)] = {
+    val posts = docs.flatMap { case (id, t) => winnowSeq(t, k, w).map(_ -> id) }
+    val df = posts.groupBy(_._1).map { case (fp, xs) => fp -> xs.size }
+    val kept = posts.filter { case (fp, _) => df(fp) <= maxDf }
+    kept.groupBy(_._1).values.toSeq
+      .flatMap { xs =>
+        val ids = xs.map(_._2).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size)
+          yield (ids(i), ids(j))
+      }
+      .groupBy(identity).map { case ((a, b), xs) => (a, b, xs.size.toLong) }
+      .filter(_._3 >= minShared).toSeq.sorted
+  }
+
   // ---- link graph / pagerank ----------------------------------------------
 
   /** Sequential `Graph.linkEdges`: the same md5-keyed derivation
@@ -1508,7 +1553,7 @@ object OpsGolden {
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
-    "incnd", "pagerank", "trustrank", "hits", "sblm", "ugv", "ugenc")
+    "incnd", "pagerank", "trustrank", "hits", "sblm", "winnow", "ugv", "ugenc")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1540,6 +1585,9 @@ object OpsGolden {
       OpsOracle.simhashPairs(docs, maxHamming = 7)
         .map { case (a, b, h) => (a, b, h.toLong) },
       Seq("a", "b", "hamming"))
+    write("winnow",
+      OpsOracle.winnowPairs(docs, k = 8, w = 16, minShared = 2, maxDf = 32),
+      Seq("a", "b", "n_shared"))
     // batch (doc_id % 3 != 0) near-dedups against the committed-index
     // signatures of the rest — same split as the exact incremental gate
     write("incnd",

@@ -121,6 +121,33 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     withNull.head().isNullAt(0) shouldBe true
   }
 
+  test("winnow_fps: codegen, kernel == independent oracle, guarantee, edges") {
+    val df = spark.range(1).select(concat(
+        lit("the quick brown fox jumps over the lazy dog"),
+        when($"id" < 0, "x").otherwise("")).as("t"))
+      .select(Functions.winnow_fps($"t", 5, 4).as("fps"))
+    df.queryExecution.executedPlan.toString should include(
+      "*(1) Project [winnow_fps(")
+    // expression == kernel == the from-scratch/no-deque oracle restatement
+    val got = df.as[Array[Long]].head().toSeq
+    got shouldBe graft.ops.TextOps.winnowFps(
+      "the quick brown fox jumps over the lazy dog", 5, 4).toSeq
+    got shouldBe graft.oracle.OpsOracle.winnowSeq(
+      "the quick brown fox jumps over the lazy dog", 5, 4)
+    got should not be empty
+    // winnowing guarantee: a shared substring of >= w + k - 1 code points
+    // (here 8) forces a shared fingerprint, whatever surrounds it
+    val shared = "xxSHAREDRUNxx"
+    val a = graft.ops.TextOps.winnowFps("aaa" + shared + "bbb", 5, 4).toSet
+    val b = graft.ops.TextOps.winnowFps("qqqqq" + shared, 5, 4).toSet
+    (a intersect b) should not be empty
+    // edges: shorter than k -> none; k <= |t| < k+w-1 -> one global window
+    graft.ops.TextOps.winnowFps("abc", 5, 4) shouldBe empty
+    graft.ops.TextOps.winnowFps("abcdef", 5, 4).toSeq shouldBe
+      graft.oracle.OpsOracle.winnowSeq("abcdef", 5, 4)
+    graft.ops.TextOps.winnowFps("abcdef", 5, 4).length shouldBe 1
+  }
+
   test("non-string arguments fail at analysis time with a clear type error") {
     Functions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT simhash64(1)").collect())

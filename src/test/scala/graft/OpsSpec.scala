@@ -1154,6 +1154,24 @@ class OpsSpec extends AnyFunSuite with Matchers {
     pairs.length shouldBe brute
   }
 
+  test("winnow near-dup == sequential oracle with a live df cap; parallelism-invariant") {
+    val seq = docs.select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.winnowPairs(seq, k = 8, w = 16,
+      minShared = 2, maxDf = 8).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowNearDup(df, k = 8, w = 16, minShared = 2, maxDf = 8)
+        .as[(Long, Long, Long)].collect().toSet
+    val got = run(docs)
+    got shouldBe want
+    got should not be empty
+    run(docs.repartition(5)) shouldBe want
+    // the df cap is LIVE here: lifting it must admit more pair mass
+    val uncapped = graft.oracle.OpsOracle.winnowPairs(seq, k = 8, w = 16,
+      minShared = 2, maxDf = Int.MaxValue).toSet
+    uncapped.size should be > want.size
+  }
+
   test("ANN: brute matches local ground truth; LSH full recall on near-dups") {
     val brute = Similarity.bruteTopK(embs, nQueries = 10, k = 5)
       .select($"q_id".cast("long"), $"n_id".cast("long")).as[(Long, Long)].collect().toSet
