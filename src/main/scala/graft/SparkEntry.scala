@@ -659,6 +659,20 @@ object SparkEntry {
         .select(col("q_id"), col("doc_id"),
           col("rank").cast("long").as("rank"), col("score_micro"))
     }),
+    // hybrid retrieval: BM25 ⊕ dense-ANN via reciprocal-rank fusion —
+    // query q pairs the q-th text probe with the q-th document's
+    // embedding (a real system's (text, vector) query pairs, derived
+    // deterministically from the corpus here); the DuckDB oracle
+    // recomputes the whole fusion in ANSI SQL over the two goldens
+    "q_hybrid_rrf_topk" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val sparse = Retrieval.bm25TopK(docsTable(s, dir),
+          Retrieval.GateQueries, k = 10)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.bruteTopK(embTable(s, dir), nQueries = 20, k = 5)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+    }),
     // per-source token-distribution KL drift vs the corpus (micro-nats)
     "q_source_kl" -> ((s, dir) => {
       opsGolden(s, dir)
@@ -1366,6 +1380,17 @@ object SparkEntry {
       "SELECT source, n_toks, kl_micro_scaled, kl_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/srckl/*.parquet')",
     "q_bm25_topk" ->
       "SELECT q_id, doc_id, rank, score_micro FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bm25/*.parquet')",
+    "q_hybrid_rrf_topk" ->
+      ("WITH s AS (SELECT q_id, doc_id, rank FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bm25/*.parquet')), " +
+        "d AS (SELECT q_id, n_id AS doc_id, rank FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_brute/*.parquet')), " +
+        "u AS (SELECT q_id, doc_id, 1000000 // (60 + rank) AS c FROM s " +
+        "UNION ALL SELECT q_id, doc_id, 1000000 // (60 + rank) AS c FROM d), " +
+        "f AS (SELECT q_id, doc_id, sum(c) AS rrf_micro FROM u GROUP BY 1, 2), " +
+        "r AS (SELECT q_id, doc_id, rrf_micro, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC) AS rank FROM f) " +
+        "SELECT CAST(q_id AS BIGINT) AS q_id, CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CAST(rank AS BIGINT) AS rank, CAST(rrf_micro AS BIGINT) AS rrf_micro " +
+        "FROM r WHERE rank <= 10"),
     "q_media_phash_dup" ->
       "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/phash/*.parquet')",
     "q_semantic_decontam" ->

@@ -139,4 +139,40 @@ object Retrieval {
       .select(col("q_id"), col("n_id").as("doc_id"), col("rank"),
         col("score").cast("long").as("score_micro"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009 — the
+    * score-free rank combiner hybrid search standardized on: BM25 and
+    * dense-ANN scores live on incomparable scales, so fuse the RANKS):
+    * each input ranking contributes `1e6 div (kRrf + rank)` micro-units
+    * per (q_id, doc_id) entry; contributions sum and the fused top-k per
+    * query is returned as (q_id, doc_id, rank, rrf_micro). Integral
+    * division keeps every contribution a Long, so the fusion is
+    * bit-deterministic and engine-restatable (the gate recomputes it in
+    * ANSI SQL over the two goldens). Queries present in only some
+    * rankings fuse over what exists — RRF's standard behavior.
+    *
+    * Scale shape: inputs are top-k tables (≤ |queries|·k rows each — the
+    * expensive corpus work already happened inside BM25/ANN), so the
+    * union + sum is a sparse aggregate; ranking reuses the two-phase heap
+    * top-k, never a global window.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, "k >= 1")
+    require(kRrf >= 0, "kRrf >= 0")
+    val contribs = rankings.map(_.select(
+        col("q_id").cast("long").as("q_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        expr(s"1000000L div (${kRrf}L + CAST(rank AS BIGINT))").as("c")))
+      .reduce(_ unionByName _)
+    val fused = contribs.groupBy("q_id", "doc_id")
+      .agg(sum(col("c")).cast("long").as("rrf_micro"))
+    Similarity.topKPerQuery(
+      fused.select(col("q_id"), col("doc_id").as("n_id"),
+        col("rrf_micro").cast("double").as("score")), k)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+        col("rank").cast("long").as("rank"),
+        col("score").cast("long").as("rrf_micro"))
+  }
 }

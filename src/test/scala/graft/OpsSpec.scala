@@ -1154,6 +1154,26 @@ class OpsSpec extends AnyFunSuite with Matchers {
     pairs.length shouldBe brute
   }
 
+  test("RRF fusion matches a hand-computed trace; ties break on doc_id") {
+    // q0: list A ranks (doc1, doc2), list B ranks (doc2, doc3).
+    // c(r) = 1e6 div (60 + r): c(1) = 16393, c(2) = 16129.
+    // doc2 = 16393 + 16129 = 32522 > doc1 = 16393 > doc3 = 16129.
+    // q1: doc5 (A) and doc4 (B) both rank 1 → tie at 16393, doc4 first.
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 5L, 1L))
+      .toDF("q_id", "doc_id", "rank")
+    val b = Seq((0L, 2L, 1L), (0L, 3L, 2L), (1L, 4L, 1L))
+      .toDF("q_id", "doc_id", "rank")
+    val got = graft.ops.Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    got shouldBe Set(
+      (0L, 2L, 1L, 32522L), (0L, 1L, 2L, 16393L), (0L, 3L, 3L, 16129L),
+      (1L, 4L, 1L, 16393L), (1L, 5L, 2L, 16393L))
+    // k truncates the fused list, not the inputs
+    graft.ops.Retrieval.rrfFuse(Seq(a, b), k = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet shouldBe
+      Set((0L, 2L, 1L, 32522L), (1L, 4L, 1L, 16393L))
+  }
+
   test("winnow near-dup == sequential oracle with a live df cap; parallelism-invariant") {
     val seq = docs.select($"doc_id".cast("long"), $"text").as[(Long, String)]
       .collect().toSeq.sortBy(_._1)
