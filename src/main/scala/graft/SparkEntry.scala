@@ -325,6 +325,13 @@ object SparkEntry {
       Dedup.simHashNearDup(docsTable(s, dir), maxHamming = 7)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
+    // pairwise source-overlap estimation (mixture-contamination datasheet):
+    // one k-min signature per source over its shingle UNION, agreement
+    // estimator in-row on the |sources|-row broadcast self-join
+    "q_source_overlap" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Dedup.sourceOverlap(docsTable(s, dir), n = 3, k = 64)
+    }),
     // winnowing-fingerprint substring-overlap pairs (MOSS): the df cap
     // drops boilerplate fingerprints BEFORE the pair expansion
     "q_winnow_dup" -> ((s, dir) => {
@@ -1200,6 +1207,8 @@ object SparkEntry {
       "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/simhash/*.parquet')",
     "q_winnow_dup" ->
       "SELECT a, b, n_shared FROM read_parquet('/root/repo/data/golden_ops/sf0.01/winnow/*.parquet')",
+    "q_source_overlap" ->
+      "SELECT a, b, n_agree, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/srcover/*.parquet')",
     // link graph restated end-to-end: same md5 edge derivation, degrees
     "q_link_degrees" ->
       ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +

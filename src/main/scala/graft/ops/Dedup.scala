@@ -313,6 +313,43 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** Pairwise source-overlap estimation — the mixture-contamination
+    * datasheet (how much of src_a's n-gram universe src_b shares; the
+    * between-SOURCE analog of per-doc near-dup, used to spot mirrored /
+    * re-crawled / cross-syndicated mixture components before weighting
+    * them as independent): one k-min MinHash signature per source over
+    * the UNION of its docs' shingles (the [[MinHashSigAgg]] elementwise
+    * min is exactly the union-set signature), then the classic agreement
+    * estimator Ĵ(a,b) = |{i : sig_a(i) = sig_b(i)}| / k as per-mille.
+    * Returns (a, b, n_agree, jaccard_pm) for a < b.
+    *
+    * Scale shape: the shingle stream map-side-combines into k-long
+    * buffers keyed by source (|sources| rows survive the one shuffle —
+    * the raw shingles never move); the pairwise stage is a broadcast
+    * self-join of the |sources|-row signature table with the agreement
+    * count computed in-row (`zip_with`/`aggregate`) — |sources|² stays
+    * driver-trivial at any corpus size (sources are the mixing grain,
+    * not the document grain).
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3, k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"),
+      col("source"))
+    val sh = shingles(docs, n).join(meta, Seq("doc_id"))
+      .select(col("source"), col("shingle"))
+    val sigAgg = udaf(new MinHashSigAgg(k), Encoders.scalaLong)
+    val sigs = sh.groupBy("source").agg(sigAgg(col("shingle")).as("sig"))
+    sigs.as("l").join(broadcast(sigs.as("r")),
+        col("l.source") < col("r.source"))
+      .select(col("l.source").as("a"), col("r.source").as("b"),
+        aggregate(zip_with(col("l.sig"), col("r.sig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_agree"))
+      .withColumn("jaccard_pm", expr(s"(n_agree * 1000L) div ${k}L"))
+  }
+
   // ---- Cluster assignment (connected components) --------------------------
 
   /** Connected components over an undirected pair list, as (node, cluster_id)

@@ -1061,6 +1061,29 @@ object OpsOracle {
     java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
   }
 
+  /** Sequential `Dedup.sourceOverlap`: per-source shingle UNION sets via
+    * [[shingleSet]], the shared k-min kernel (`Dedup.minhashSig`) per
+    * source, and the agreement estimator with the distributed integral
+    * arithmetic. Returns sorted (source_a, source_b, n_agree, jaccard_pm)
+    * for a < b.
+    */
+  def sourceOverlapSeq(docs: Seq[(Long, String, String)], n: Int,
+                       k: Int): Seq[(String, String, Long, Long)] = {
+    val bySource = docs.groupBy(_._3).map { case (src, xs) =>
+      src -> xs.iterator.flatMap(d => shingleSet(d._2, n)).toSet
+    }
+    val sigs = bySource.map { case (src, sh) =>
+      src -> graft.ops.Dedup.minhashSig(sh, k)
+    }.toSeq.sortBy(_._1)
+    for {
+      i <- sigs.indices
+      j <- (i + 1) until sigs.size
+    } yield {
+      val agree = sigs(i)._2.zip(sigs(j)._2).count { case (x, y) => x == y }.toLong
+      (sigs(i)._1, sigs(j)._1, agree, agree * 1000L / k)
+    }
+  }
+
   // ---- winnowing fingerprints ----------------------------------------------
 
   /** Independent restatement of `TextOps.winnowFps`: every k-gram hash is
@@ -1553,7 +1576,8 @@ object OpsGolden {
     "decontam", "packing", "chunkpack", "manifest", "semdedup", "bpe", "lm",
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
-    "incnd", "pagerank", "trustrank", "hits", "sblm", "winnow", "ugv", "ugenc")
+    "incnd", "pagerank", "trustrank", "hits", "sblm", "winnow", "srcover",
+    "ugv", "ugenc")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1588,6 +1612,12 @@ object OpsGolden {
     write("winnow",
       OpsOracle.winnowPairs(docs, k = 8, w = 16, minShared = 2, maxDf = 32),
       Seq("a", "b", "n_shared"))
+    write("srcover", {
+      val srcs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source").as[(Long, String)].collect().toMap
+      OpsOracle.sourceOverlapSeq(
+        docs.map { case (id, t) => (id, t, srcs(id)) }, n = 3, k = 64)
+    }, Seq("a", "b", "n_agree", "jaccard_pm"))
     // batch (doc_id % 3 != 0) near-dedups against the committed-index
     // signatures of the rest — same split as the exact incremental gate
     write("incnd",

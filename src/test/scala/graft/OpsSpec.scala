@@ -1154,6 +1154,27 @@ class OpsSpec extends AnyFunSuite with Matchers {
     pairs.length shouldBe brute
   }
 
+  test("source overlap == sequential oracle; identical sources read as 1000‰") {
+    val seq = docs.select($"doc_id".cast("long"), $"text", $"source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val want = graft.oracle.OpsOracle.sourceOverlapSeq(seq, n = 3, k = 64).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sourceOverlap(df, n = 3, k = 64)
+        .as[(String, String, Long, Long)].collect().toSet
+    run(docs) shouldBe want
+    run(docs.repartition(5)) shouldBe want
+    // planted ground truth: a source that is an exact shingle-universe copy
+    // of another estimates 1000‰; a disjoint-vocabulary source estimates 0
+    val planted = seq.map { case (id, t, _) => (id, t, "sA") } ++
+      seq.map { case (id, t, _) => (id + 10000L, t, "sB") } ++
+      seq.map { case (id, _, _) =>
+        (id + 20000L, s"zz${id} qq${id} rr${id} ww${id}", "sC") }
+    val got = run(planted.toDF("doc_id", "text", "source"))
+      .map { case (a, b, _, j) => (a, b) -> j }.toMap
+    got(("sA", "sB")) shouldBe 1000L
+    got(("sA", "sC")) shouldBe 0L
+  }
+
   test("RRF fusion matches a hand-computed trace; ties break on doc_id") {
     // q0: list A ranks (doc1, doc2), list B ranks (doc2, doc3).
     // c(r) = 1e6 div (60 + r): c(1) = 16393, c(2) = 16129.
