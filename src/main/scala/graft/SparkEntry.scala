@@ -425,6 +425,42 @@ object SparkEntry {
             .cast("long").as("n_intra"))
         .withColumn("intra_pm", expr("(n_intra * 1000L) div n_links"))
     }),
+    // redirect-chain resolution (301/canonical alias collapse before
+    // URL-keyed dedup): pointer DOUBLING settles chains of length L in
+    // ceil(log2 L) self-join rounds instead of L chain-walk rounds; the
+    // derived alias map is acyclic by construction (dst < src), which is
+    // also what makes the DuckDB recursive-CTE oracle terminate
+    "q_url_redirects" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Graph.resolveRedirects(docs.select(col("doc_id")),
+        Graph.redirectEdges(docs))
+    }),
+    // top-k anchor terms per link target ("how the web titles each doc" —
+    // canonical-page naming + anchor-spam exposure): one (dst, anchor)
+    // count over the edge list, then a per-target top-3 window over the
+    // df-collapsed aggregate, ties broken by anchor text (total order)
+    "q_anchor_text" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Graph.topAnchors(Graph.anchorEdges(docs), k = 3)
+    }),
+    // exact radius-2 in-neighborhood / truncated harmonic centrality
+    // (HyperBall's quantity computed exactly while exactness is affordable):
+    // hub mids are dropped before the 2-hop self-join by an in-degree cap
+    // (maxMidIn=4 keeps the cap LIVE on the preferential-attachment gate
+    // graph, same discipline as q_coupling)
+    "q_harmonic_2hop" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Graph.neighborhood2(docs.select(col("doc_id")),
+        Graph.linkEdges(docs), maxMidIn = 4)
+    }),
+    // log2-bucketed in/out-degree histogram — the corpus-datasheet
+    // power-law check; integer bit-length bucketing (no float log2 edge
+    // cases), restated verbatim in DuckDB
+    "q_degree_hist" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Graph.degreeHistogram(
+        Graph.degreeStats(docs.select(col("doc_id")), Graph.linkEdges(docs)))
+    }),
     // incremental ingest dedup: the batch = the whole table, the committed
     // index = hashes of every 3rd doc — returns first-seen genuinely-new docs
     "q_incremental_dedup" -> ((s, dir) => {
@@ -644,6 +680,25 @@ object SparkEntry {
         lit("&a=1#sec"), (col("doc_id") % 3).cast("string"))
       UrlOps.domainStats(
         UrlOps.urlProfile(docsTable(s, dir).withColumn("url", url)))
+    }),
+    // per-host politeness schedule over the same canonical URLs: fetch
+    // order = md5 of doc id within host (ingest-order-independent), slot =
+    // (seq-1) div 4 — the crawl-frontier sharding every fetcher runs; one
+    // host-partitioned window exchange
+    "q_crawl_schedule" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise("HTTP"),
+        lit("://WWW."), col("source"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, ".CO.UK")
+          .when(col("doc_id") % 3 === 1, ".example.com").otherwise(".Org"),
+        when(col("doc_id") % 5 === 0, ":443")
+          .when(col("doc_id") % 5 === 1, ":8080").otherwise(""),
+        lit("/docs/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&b="), (col("doc_id") % 4).cast("string"),
+        lit("&a=1#sec"), (col("doc_id") % 3).cast("string"))
+      UrlOps.crawlSchedule(
+        UrlOps.urlProfile(docsTable(s, dir).withColumn("url", url)),
+        perSlot = 4)
     }),
     // word-blocklist filter (RefinedWeb/C4 bad-words rule) — the list words
     // are live corpus vocabulary so the per-mille threshold actually fires
@@ -1275,6 +1330,68 @@ object SparkEntry {
         "CAST((sum(CASE WHEN ms.source = md.source THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS intra_pm " +
         "FROM e JOIN m ms ON e.src = ms.doc_id JOIN m md ON e.dst = md.doc_id " +
         "GROUP BY 1"),
+    "q_url_redirects" ->
+      ("WITH RECURSIVE d0 AS (SELECT doc_id, " +
+        "('0x' || substr(md5(text || ':r'), 1, 8))::BIGINT AS h FROM documents), " +
+        "f AS (SELECT doc_id AS src, h % doc_id AS dst FROM d0 " +
+        "WHERE doc_id > 0 AND h % 1000 < 400), " +
+        "walk AS (SELECT src AS doc_id, dst AS cur, 1 AS hops FROM f " +
+        "UNION ALL SELECT w.doc_id, f2.dst, w.hops + 1 FROM walk w JOIN f f2 ON w.cur = f2.src), " +
+        "term AS (SELECT doc_id, cur AS final_id, hops FROM walk " +
+        "WHERE cur NOT IN (SELECT src FROM f)) " +
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, " +
+        "CAST(coalesce(t.final_id, d.doc_id) AS BIGINT) AS final_id, " +
+        "CAST(coalesce(t.hops, 0) AS BIGINT) AS hops " +
+        "FROM documents d LEFT JOIN term t USING (doc_id)"),
+    "q_anchor_text" ->
+      ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
+        "('0x' || substr(md5(d.text || ':a' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
+        "('0x' || substr(md5(d.text || ':a0'), 1, 8))::BIGINT AS h0, " +
+        "string_split(d.text, ' ') AS toks " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "e AS (SELECT DISTINCT src, h % (src + 1) AS dst, " +
+        "toks[CAST(h % len(toks) AS INT) + 1] AS anchor FROM e0 " +
+        "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +
+        "c AS (SELECT dst AS doc_id, anchor, count(*) AS n_mentions FROM e GROUP BY 1, 2), " +
+        "rk AS (SELECT doc_id, anchor, n_mentions, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY n_mentions DESC, anchor ASC) AS rnk FROM c) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, anchor, " +
+        "CAST(n_mentions AS BIGINT) AS n_mentions, CAST(rnk AS BIGINT) AS rnk " +
+        "FROM rk WHERE rnk <= 3"),
+    "q_harmonic_2hop" ->
+      ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
+        "('0x' || substr(md5(d.text || ':' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
+        "('0x' || substr(md5(d.text || ':0'), 1, 8))::BIGINT AS h0 " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "e AS (SELECT DISTINCT src, h % (src + 1) AS dst FROM e0 " +
+        "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +
+        "d1 AS (SELECT dst AS doc_id, count(*) AS n1 FROM e GROUP BY 1), " +
+        "ok AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 4), " +
+        "two0 AS (SELECT DISTINCT a.src AS w, b.dst AS v FROM e a " +
+        "JOIN ok ON a.dst = ok.dst JOIN e b ON a.dst = b.src WHERE a.src <> b.dst), " +
+        "two AS (SELECT t.w, t.v FROM two0 t LEFT JOIN e x " +
+        "ON t.w = x.src AND t.v = x.dst WHERE x.src IS NULL), " +
+        "d2 AS (SELECT v AS doc_id, count(*) AS n2 FROM two GROUP BY 1) " +
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, " +
+        "CAST(coalesce(d1.n1, 0) AS BIGINT) AS n1, " +
+        "CAST(coalesce(d2.n2, 0) AS BIGINT) AS n2, " +
+        "CAST(coalesce(d1.n1, 0) * 1000000 + coalesce(d2.n2, 0) * 500000 AS BIGINT) AS harmonic_micro " +
+        "FROM documents d LEFT JOIN d1 USING (doc_id) LEFT JOIN d2 USING (doc_id)"),
+    "q_degree_hist" ->
+      ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
+        "('0x' || substr(md5(d.text || ':' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
+        "('0x' || substr(md5(d.text || ':0'), 1, 8))::BIGINT AS h0 " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "e AS (SELECT DISTINCT src, h % (src + 1) AS dst FROM e0 " +
+        "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +
+        "o AS (SELECT src AS doc_id, count(*) AS dg FROM e GROUP BY 1), " +
+        "i AS (SELECT dst AS doc_id, count(*) AS dg FROM e GROUP BY 1), " +
+        "deg AS (SELECT d.doc_id, coalesce(o.dg, 0) AS out_deg, coalesce(i.dg, 0) AS in_deg " +
+        "FROM documents d LEFT JOIN o USING (doc_id) LEFT JOIN i USING (doc_id)), " +
+        "b AS (SELECT 'in' AS deg_kind, CASE WHEN in_deg = 0 THEN 0 ELSE length(bin(in_deg)) END AS bucket FROM deg " +
+        "UNION ALL SELECT 'out', CASE WHEN out_deg = 0 THEN 0 ELSE length(bin(out_deg)) END FROM deg) " +
+        "SELECT deg_kind, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_nodes FROM b GROUP BY 1, 2"),
     "q_dedup_clusters" ->
       "SELECT doc_id, cluster_id, n_members, is_keep FROM read_parquet('/root/repo/data/golden_ops/sf0.01/clusters/*.parquet')",
     "q_dedup_clusters_star" ->
@@ -1471,6 +1588,10 @@ object SparkEntry {
         "j AS (SELECT c.doc_id, c.cluster_id, length(d.text) AS sc FROM c JOIN documents d USING (doc_id)), " +
         "r AS (SELECT doc_id, cluster_id, row_number() OVER (PARTITION BY cluster_id ORDER BY sc DESC, doc_id ASC) AS rn FROM j) " +
         "SELECT doc_id, cluster_id, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"),
+    "q_crawl_schedule" -> (UrlOracleCtes +
+      "SELECT doc_id, host, seq, CAST((seq - 1) // 4 AS BIGINT) AS slot FROM " +
+      "(SELECT doc_id, host, CAST(row_number() OVER (PARTITION BY host " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS seq FROM w2) t"),
     "q_domain_stats" -> (UrlOracleCtes +
       "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts FROM w2 GROUP BY domain"),

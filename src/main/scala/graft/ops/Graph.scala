@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph operators for web-scale corpus curation: a deterministic
@@ -313,6 +313,209 @@ object Graph {
       Dedup.releaseCheckpoint(edgesByDst)
       Dedup.releaseCheckpoint(ids)
     }
+  }
+
+  /** Deterministic synthetic redirect table over `documents` — stands in
+    * for the HTTP 301/canonical-link map a crawl resolves before URL-keyed
+    * dedup (every fetched alias must collapse onto its terminal target or
+    * the same page survives dedup once per alias). Same md5 discipline as
+    * [[linkEdges]], salt ":r":
+    *
+    *   h            = int32(md5(text || ":r"))
+    *   redirect iff doc_id > 0 and h % 1000 < redirectPm
+    *   dst          = h % doc_id                (strictly < src)
+    *
+    * dst < src makes the map ACYCLIC by construction (chains always
+    * terminate at a non-redirect doc), which is also what makes the DuckDB
+    * recursive-CTE oracle safe. Pure projection, zero shuffle. Returns
+    * (src, dst), both long.
+    */
+  def redirectEdges(docs: DataFrame, redirectPm: Int = 400): DataFrame = {
+    require(redirectPm >= 0 && redirectPm <= 1000,
+      s"redirectPm must be in [0,1000], got $redirectPm")
+    val h = conv(substring(md5(concat(col("text"), lit(":r")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val src = Dedup.idLong(col("doc_id"), "doc_id")
+    docs.select(src.as("src"), h.as("h"))
+      .where(col("src") > 0 && col("h") % 1000 < redirectPm)
+      .select(col("src"), (col("h") % col("src")).as("dst"))
+  }
+
+  /** Resolve every node through the redirect map to its TERMINAL target by
+    * POINTER DOUBLING: each round composes the pointer table with itself
+    * (ptr'(v) = ptr(ptr(v)), hops added), so a chain of length L settles in
+    * ⌈log₂ L⌉ rounds instead of the L rounds a naive chain walk takes — on
+    * a crawl-scale alias map (chains of tens of hops through link
+    * shorteners and site moves) that is the difference between ~5 and ~50
+    * full shuffle rounds. The same path-halving idea as
+    * [[Dedup.connectedComponentsStar]].
+    *
+    * Physical shape per round: ONE self-join of the pointer table keyed on
+    * the current target (|redirects| rows, two longs + a counter — the
+    * node list and the edge list never re-shuffle), materialized via
+    * [[Dedup.materialize]] (reliable checkpoint when a dir is given), the
+    * previous round's blocks freed. The fixpoint test is a count on the
+    * just-materialized table — no extra job. Rounds are capped at 20
+    * (chains up to 2^20 ≈ 10^6 hops — far beyond any real alias map): only
+    * a CYCLIC map (which [[redirectEdges]] cannot produce, but a real
+    * crawl's alias table could) fails to settle, and the cap turns that
+    * into an error instead of an infinite loop.
+    *
+    * Returns (doc_id, final_id, hops) for EVERY node — non-redirect docs
+    * resolve to themselves with hops = 0.
+    */
+  def resolveRedirects(nodes: DataFrame, redirects: DataFrame,
+                       reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val ids = nodes.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"))
+    var ptr = Dedup.materialize(
+      redirects.select(col("src"), col("dst").as("cur"), lit(1L).as("hops")),
+      reliableCheckpointDir)
+    var rounds = 0
+    var advanced = 1L
+    while (advanced > 0) {
+      rounds += 1
+      if (rounds > 20)
+        throw new IllegalStateException(
+          "resolveRedirects: no fixpoint after 20 doubling rounds — the redirect map is cyclic")
+      val next = Dedup.materialize(
+        ptr.join(
+            ptr.select(col("src").as("cur"), col("cur").as("cur2"),
+              col("hops").as("hops2")),
+            Seq("cur"), "left")
+          .select(col("src"),
+            coalesce(col("cur2"), col("cur")).as("cur"),
+            (col("hops") + coalesce(col("hops2"), lit(0L))).as("hops"),
+            col("cur2").isNotNull.as("moved")),
+        reliableCheckpointDir)
+      advanced = next.where(col("moved")).count()
+      Dedup.releaseCheckpoint(ptr)
+      ptr = next.drop("moved")
+    }
+    try ids.join(ptr.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cur"), col("doc_id")).as("final_id"),
+        coalesce(col("hops"), lit(0L)).as("hops"))
+      // the result must outlive ptr's checkpoint blocks
+      .localCheckpoint(true)
+    finally Dedup.releaseCheckpoint(ptr)
+  }
+
+  /** Outlink table WITH anchor text — the (src, dst, anchor) triple the
+    * anchor parser of a real crawl emits. Same h_j/fanout derivation as
+    * [[linkEdges]] under salt ":a"; the anchor of edge j is a
+    * content-selected token of the SOURCE document:
+    *
+    *   anchor_j = tokens(src)[ h_j mod |tokens(src)| ]
+    *
+    * Distinct triples (one link may carry different anchors from different
+    * mentions — both survive; duplicate mentions collapse). Pure
+    * projection + explode; the distinct is the only shuffle.
+    */
+  def anchorEdges(docs: DataFrame, maxFanout: Int = 3): DataFrame = {
+    require(maxFanout >= 1, s"maxFanout must be >= 1, got $maxFanout")
+    def h(j: Int) =
+      conv(substring(md5(concat(col("text"), lit(":a" + j)).cast("binary")), 1, 8),
+        16, 10).cast("long")
+    val src = Dedup.idLong(col("doc_id"), "doc_id")
+    val toks = split(col("text"), " ")
+    val fanout = lit(1) + (h(0) % maxFanout)
+    val cands = (0 until maxFanout).map { j =>
+      when(lit(j) < fanout,
+        struct((h(j) % (src + 1)).as("dst"),
+          element_at(toks, (h(j) % size(toks)).cast("int") + 1).as("anchor")))
+        .otherwise(lit(null))
+    }
+    docs.select(src.as("src"), explode(array(cands: _*)).as("e"))
+      .where(col("e").isNotNull && col("e.dst") =!= col("src"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.anchor").as("anchor"))
+      .distinct()
+  }
+
+  /** Top-k anchor terms per link TARGET — how the web describes each
+    * document (the strongest relevance signal web search ever had; in
+    * curation it titles canonical pages and exposes anchor-spam farms
+    * whose inlinks all carry one term). Returns
+    * (doc_id, anchor, n_mentions, rnk ≤ k), ties broken by anchor text —
+    * a total order, so the row set is deterministic.
+    *
+    * Scale shape: one map-side-combined count on (dst, anchor) — the ONLY
+    * pass over the corpus-sized edge list — then a per-dst top-k window
+    * over the aggregated table, whose per-key width is the target's
+    * DISTINCT-anchor count (≤ vocabulary, df-collapsed), not its raw
+    * in-degree: the homepage with 10^9 inlinks lands ~10^4 aggregated rows.
+    */
+  def topAnchors(anchors: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = anchors.groupBy(col("dst").as("doc_id"), col("anchor"))
+      .agg(count(lit(1)).cast("long").as("n_mentions"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("n_mentions").desc, col("anchor").asc)
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Exact truncated (radius-2) in-neighborhood — the first two terms of
+    * harmonic centrality, the HyperBall quantity computed exactly instead
+    * of by HLL registers (Boldi & Vigna 2013; at radius 2 exact counting
+    * is affordable and bit-deterministic, which keeps it under the DuckDB
+    * oracle — the sketched variant takes over beyond radius ~3):
+    *
+    *   n1(v) = |{u : u→v}|
+    *   n2(v) = |{w : w→m→v, w ∉ n1(v), w ≠ v}|
+    *   harmonic_micro = n1·1000000 + n2·500000   (Σ 1/d(u,v) in micro-units)
+    *
+    * Scale shape: the 2-hop expansion e⋈e on the mid node generates
+    * in(m)·out(m) rows per mid, so HUB MIDS are the blow-up axis — mids
+    * with in-degree > `maxMidIn` are dropped BEFORE the join by a count +
+    * semi-join (same discipline as [[coupling]]'s in-degree cap: paths
+    * through the homepage say nothing about proximity; the cap is the
+    * semantics). After the cap: one self-join co-partitioned on the mid
+    * key, a distinct, one anti-join to remove level-1 sources, two counts.
+    */
+  def neighborhood2(nodes: DataFrame, edges: DataFrame,
+                    maxMidIn: Int = 64): DataFrame = {
+    require(maxMidIn >= 1, s"maxMidIn must be >= 1, got $maxMidIn")
+    val ids = nodes.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"))
+    val d1 = edges.groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n1"))
+    val okMid = edges.groupBy("dst")
+      .agg(count(lit(1)).as("g")).where(col("g") <= maxMidIn)
+      .select(col("dst"))
+    val intoOkMid = edges.join(okMid, Seq("dst"), "left_semi")
+    val two = intoOkMid.select(col("src").as("w"), col("dst").as("m"))
+      .join(edges.select(col("src").as("m"), col("dst").as("v")), Seq("m"))
+      .select(col("w"), col("v"))
+      .where(col("w") =!= col("v"))
+      .distinct()
+      .join(edges.select(col("src").as("w"), col("dst").as("v")),
+        Seq("w", "v"), "left_anti")
+    val d2 = two.groupBy(col("v").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n2"))
+    ids.join(d1, Seq("doc_id"), "left").join(d2, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .withColumn("harmonic_micro",
+        col("n1") * 1000000L + col("n2") * 500000L)
+  }
+
+  /** Log₂-bucketed degree histogram — the corpus-datasheet power-law check
+    * (a web graph whose in-degree tail is NOT heavy means the anchor
+    * parser broke). bucket = bit-length of the degree (0 for degree 0), an
+    * INTEGER bucketing both engines state identically — no float log2
+    * edge cases at exact powers of two. Returns
+    * (deg_kind ∈ {in, out}, bucket, n_nodes); two count aggregations over
+    * the [[degreeStats]] table, corpus-sized input touched once.
+    */
+  def degreeHistogram(degrees: DataFrame): DataFrame = {
+    def bucket(c: Column) =
+      when(c === 0L, lit(0L)).otherwise(length(bin(c)).cast("long"))
+    degrees.select(lit("in").as("deg_kind"), bucket(col("in_deg")).as("bucket"))
+      .unionByName(
+        degrees.select(lit("out").as("deg_kind"), bucket(col("out_deg")).as("bucket")))
+      .groupBy("deg_kind", "bucket")
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
   }
 
   /** One un-materialized PageRank round — the plan the loop materializes

@@ -103,6 +103,33 @@ object UrlOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("host")).as("n_hosts"))
 
+  /** Per-host politeness schedule — the fetch-slot assignment a crawl
+    * frontier computes so no host sees more than `perSlot` requests per
+    * scheduling slot (the crawl-side analog of robots crawl-delay; every
+    * large-scale fetcher shards its frontier this way). Within a host,
+    * fetch order is the md5 of the doc id — content-independent and
+    * ingest-order-independent, so re-planning the frontier never reorders
+    * a host's queue — and
+    *
+    *   slot = (seq − 1) div perSlot.
+    *
+    * Scale shape: ONE exchange partitioned by host for the row_number
+    * window. Politeness makes a host's queue inherently sequential, so
+    * per-host ranking is the semantics, not an artifact; the giant-host
+    * partition is the same work a real frontier serializes anyway, and
+    * hosts are the parallel unit. Returns (doc_id, host, seq, slot); the
+    * max(slot) per host is the host's crawl horizon.
+    */
+  def crawlSchedule(profile: DataFrame, perSlot: Int = 4): DataFrame = {
+    require(perSlot >= 1, s"perSlot must be >= 1, got $perSlot")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    profile.select(col("doc_id"), col("host"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("slot", expr(s"(seq - 1) div ${perSlot}L"))
+  }
+
   /** Domain opt-out compliance (robots/meta opt-outs, publisher takedown
     * lists): flag every doc whose registrable domain is on the blocked
     * list. The list ships as an InSet literal (opt-out lists are

@@ -181,6 +181,106 @@ class GraphSpec extends AnyFunSuite with Matchers {
       Set((20L, 21L, 3L), (20L, 22L, 2L), (21L, 22L, 2L))
   }
 
+  test("resolveRedirects: hand-traced chains, log-round doubling, cycle guard") {
+    // chain 5→3→1 and alias 4→1; 0,1,2 terminal
+    val nodes = (0L to 5L).toDF("doc_id")
+    val edges = Seq((5L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val r = Graph.resolveRedirects(nodes, edges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    r shouldBe Map(0L -> (0L, 0L), 1L -> (1L, 0L), 2L -> (2L, 0L),
+      3L -> (1L, 1L), 4L -> (1L, 1L), 5L -> (1L, 2L))
+
+    // a 9-hop chain settles (doubling: 4 rounds, not 9) with exact hop counts
+    val chainNodes = (0L to 9L).toDF("doc_id")
+    val chain = (1L to 9L).map(i => (i, i - 1)).toDF("src", "dst")
+    val rc = Graph.resolveRedirects(chainNodes, chain)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    rc shouldBe (0L to 9L).map(i => i -> (0L, i)).toMap
+
+    // partition invariance
+    Graph.resolveRedirects(chainNodes.repartition(7), chain.repartition(5))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap shouldBe rc
+
+    // a cyclic alias map must fail the round cap, not hang
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    an[IllegalStateException] should be thrownBy
+      Graph.resolveRedirects(Seq(1L, 2L).toDF("doc_id"), cyc).collect()
+  }
+
+  test("redirectEdges: acyclic by construction; resolveRedirects terminal on sample") {
+    val e = Graph.redirectEdges(docs).as[(Long, Long)].collect().toSeq
+    e should not be empty
+    e.foreach { case (s, d) => d should be < s } // strictly decreasing → acyclic
+    val resolved = Graph.resolveRedirects(docs.select($"doc_id"),
+      Graph.redirectEdges(docs)).cache()
+    resolved.count() shouldBe 40L
+    // every final target is terminal (not itself a redirect source)
+    val srcs = e.map(_._1).toSet
+    resolved.select($"final_id").as[Long].collect()
+      .foreach(f => srcs should not contain f)
+    // hops of a redirect doc is >= 1, of a terminal doc exactly 0
+    resolved.as[(Long, Long, Long)].collect().foreach { case (v, f, h) =>
+      if (srcs(v)) { h should be >= 1L; f should not be v }
+      else { h shouldBe 0L; f shouldBe v }
+    }
+  }
+
+  test("topAnchors: counts, top-k cut, deterministic tie-break") {
+    val anchors = Seq(
+      (10L, 1L, "spark"), (11L, 1L, "spark"), (12L, 1L, "query"),
+      (13L, 1L, "query"), (14L, 1L, "agg"), (15L, 1L, "batch"),
+      (10L, 2L, "scan")).toDF("src", "dst", "anchor")
+    val got = Graph.topAnchors(anchors, k = 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // ties at n=2 and n=1 break by anchor text: query < spark, agg < batch
+    got shouldBe Set((1L, "query", 2L, 1L), (1L, "spark", 2L, 2L),
+      (1L, "agg", 1L, 3L), (2L, "scan", 1L, 1L))
+  }
+
+  test("anchorEdges: anchors are source tokens; dst derivation invariants") {
+    val e = Graph.anchorEdges(docs).cache()
+    e.count() should be > 0L
+    val toks = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(' ').toSet }.toMap
+    e.as[(Long, Long, String)].collect().foreach { case (s, d, a) =>
+      d should be <= s
+      toks(s) should contain(a)
+    }
+  }
+
+  test("neighborhood2: hand-traced levels, d1 exclusion, live mid cap") {
+    // 1→0, 2→1, 3→2, 2→0, 4→1: d1(0)={1,2}, d1(1)={2,4}, d1(2)={3}
+    val nodes = (0L to 4L).toDF("doc_id")
+    val edges = Seq((1L, 0L), (2L, 1L), (3L, 2L), (2L, 0L), (4L, 1L))
+      .toDF("src", "dst")
+    // uncapped: 2-hop(0) via mid 1: {2 (excl: ∈d1), 4} → {4}; via mid 2: {3}
+    //           2-hop(1) via mid 2: {3}; 2-hop(2): none (3 has no inlinks)
+    val un = Graph.neighborhood2(nodes, edges, maxMidIn = 64)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    un shouldBe Map(0L -> (2L, 2L), 1L -> (2L, 1L), 2L -> (1L, 0L),
+      3L -> (0L, 0L), 4L -> (0L, 0L))
+    // maxMidIn=1 drops mids 0 and 1 (in-deg 2): 2-hop(0) keeps only mid 2
+    val capped = Graph.neighborhood2(nodes, edges, maxMidIn = 1)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    capped shouldBe Map(0L -> (2L, 1L), 1L -> (2L, 1L), 2L -> (1L, 0L),
+      3L -> (0L, 0L), 4L -> (0L, 0L))
+    // harmonic micro-units
+    Graph.neighborhood2(nodes, edges).where($"doc_id" === 0L)
+      .select($"harmonic_micro").as[Long].head() shouldBe 3000000L
+  }
+
+  test("degreeHistogram: bit-length buckets on a constructed degree table") {
+    val degs = Seq((0L, 0L, 1L), (1L, 1L, 2L), (2L, 3L, 4L), (3L, 8L, 0L))
+      .toDF("doc_id", "out_deg", "in_deg")
+    val got = Graph.degreeHistogram(degs)
+      .as[(String, Long, Long)].collect().toSet
+    got shouldBe Set(
+      ("out", 0L, 1L), ("out", 1L, 1L), ("out", 2L, 1L), ("out", 4L, 1L),
+      ("in", 0L, 1L), ("in", 1L, 1L), ("in", 2L, 1L), ("in", 3L, 1L))
+  }
+
   test("degreeStats sums match the edge count; absent directions are zero") {
     val nodes = docs.select($"doc_id")
     val edges = Graph.linkEdges(docs).cache()

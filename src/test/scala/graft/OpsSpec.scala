@@ -504,6 +504,35 @@ class OpsSpec extends AnyFunSuite with Matchers {
       not include "Exchange"
   }
 
+  test("crawl schedule: per-host slots, md5 fetch order, ingest-order invariance") {
+    val rows = Seq(
+      (1L, "a.com"), (2L, "a.com"), (3L, "a.com"), (4L, "a.com"), (5L, "a.com"),
+      (6L, "b.org"), (7L, "b.org"))
+      .toDF("doc_id", "host")
+    val got = UrlOps.crawlSchedule(rows, perSlot = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // per-host seq is a permutation of 1..n; slot = (seq-1) div 2
+    val byHost = got.groupBy(_._2)
+    byHost("a.com").map(_._3).toSeq.sorted shouldBe (1L to 5L)
+    byHost("b.org").map(_._3).toSeq.sorted shouldBe (1L to 2L)
+    got.foreach { case (_, _, seq, slot) => slot shouldBe (seq - 1) / 2 }
+    // a.com fills slots 0,0,1,1,2; b.org fills 0,0 — no host exceeds perSlot
+    byHost("a.com").toSeq.map(_._4).sorted shouldBe Seq(0L, 0L, 1L, 1L, 2L)
+    // fetch order is md5-of-doc-id within host: ingest order must not matter
+    val shuffled = UrlOps.crawlSchedule(rows.orderBy(rand(7)).repartition(5),
+      perSlot = 2).as[(Long, String, Long, Long)].collect().toSet
+    shuffled shouldBe got
+    // and the order really is the md5 order, not doc_id order
+    val expected = Seq(1L, 2L, 3L, 4L, 5L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    got.filter(_._2 == "a.com").foreach { case (id, _, seq, _) =>
+      seq shouldBe expected(id)
+    }
+  }
+
   test("blocklist filter: planted rows, case-insensitive, integer per-mille") {
     val rows = Seq(
       (1L, "clean words only here today"),                  // 0/5 → 0‰
