@@ -247,6 +247,32 @@ object SparkEntry {
     "q_doc_split" -> ((s, dir) => TextOps.hashSplit(docsTable(s, dir))
       .select(col("doc_id").cast("long").as("doc_id"),
         col("split_bucket"), col("split"))),
+    // domain-disjoint split (leakage-safe): the bucket keys on the
+    // registrable domain of the same canonical URLs, so templated
+    // near-dups within a domain can never straddle train/test
+    "q_domain_split" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise("HTTP"),
+        lit("://WWW."), col("source"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, ".CO.UK")
+          .when(col("doc_id") % 3 === 1, ".example.com").otherwise(".Org"),
+        when(col("doc_id") % 5 === 0, ":443")
+          .when(col("doc_id") % 5 === 1, ":8080").otherwise(""),
+        lit("/docs/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&b="), (col("doc_id") % 4).cast("string"),
+        lit("&a=1#sec"), (col("doc_id") % 3).cast("string"))
+      TextOps.domainSplit(
+        UrlOps.urlProfile(docsTable(s, dir).withColumn("url", url)))
+    }),
+    // word2phrase collocation mining: discounted-ratio score in integer
+    // per-mille (monotone in PMI), DECIMAL(38,0) products — restated
+    // verbatim in DuckDB over HUGEINT
+    "q_collocations" -> ((s, dir) =>
+      TextOps.collocations(docsTable(s, dir), minCount = 3, discount = 2,
+        minScorePm = 400L)),
+    // token frequency-of-frequencies (Zipf/hapax datasheet + Good-Turing
+    // input): two map-side-combined counts
+    "q_token_spectrum" -> ((s, dir) => TextOps.tokenSpectrum(docsTable(s, dir))),
     "q_source_stats" -> ((s, dir) => TextOps.sourceStats(docsTable(s, dir))),
     // HLL distinct-shingle sketch per source (p=6 so the gate corpus sits
     // in the raw-estimator regime; integer register columns ARE the gate)
@@ -1213,6 +1239,33 @@ object SparkEntry {
         "CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 950 THEN 'train' " +
         "WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 975 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents"),
+    "q_domain_split" -> (UrlOracleCtes +
+      "SELECT doc_id, domain, " +
+      "('0x' || substr(md5(domain), 1, 8))::BIGINT % 1000 AS split_bucket, " +
+      "CASE WHEN ('0x' || substr(md5(domain), 1, 8))::BIGINT % 1000 < 900 THEN 'train' " +
+      "WHEN ('0x' || substr(md5(domain), 1, 8))::BIGINT % 1000 < 950 THEN 'val' " +
+      "ELSE 'test' END AS split FROM w2"),
+    "q_collocations" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "pr0 AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p FROM t), " +
+        "pr AS (SELECT p.a AS a, p.b AS b FROM pr0), " +
+        "cp AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY 1, 2 HAVING count(*) >= 3), " +
+        "uni AS (SELECT unnest(toks) AS w FROM t), " +
+        "cu AS (SELECT w, count(*) AS c FROM uni GROUP BY 1), " +
+        "tt AS (SELECT count(*) AS t_tokens FROM uni), " +
+        "sc AS (SELECT cp.a, cp.b, CAST(cp.n_ab AS BIGINT) AS n_ab, " +
+        "CAST((CAST(cp.n_ab - 2 AS HUGEINT) * tt.t_tokens * 1000) // " +
+        "(CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS score_pm " +
+        "FROM cp JOIN cu ca ON cp.a = ca.w JOIN cu cb ON cp.b = cb.w CROSS JOIN tt) " +
+        "SELECT a, b, n_ab, score_pm FROM sc WHERE score_pm >= 400"),
+    "q_token_spectrum" ->
+      ("WITH u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT tok, count(*) AS tf FROM u GROUP BY 1) " +
+        "SELECT CAST(tf AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS n_types " +
+        "FROM c GROUP BY 1"),
     "q_source_stats" ->
       ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +

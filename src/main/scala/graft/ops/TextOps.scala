@@ -269,6 +269,91 @@ object TextOps {
       .orderBy(col("df").desc, col("tok"))
       .limit(k)
 
+  /** Collocation / phrase mining (the word2phrase rule — Mikolov et al.
+    * 2013 §4: adjacent pairs whose joint count beats chance become single
+    * tokens before embedding/tokenizer training). The score is the
+    * discounted ratio in integer per-mille:
+    *
+    *   score_pm = (c_ab − δ) · T · 1000  div  (c_a · c_b)
+    *
+    * with T the corpus token count and δ = `discount` suppressing rare-pair
+    * flukes — a pure ratio, NO logs, so the contract is integer-exact and
+    * the DuckDB oracle restates it directly (the PMI variant of the same
+    * quantity differs only by a monotone log — thresholding this ratio IS
+    * thresholding PMI). Products run in DECIMAL(38,0) (HUGEINT in the
+    * oracle): c_a·c_b reaches T² ≈ 10^26 at a 10^13-token corpus, far past
+    * a Long but inside 38 digits; all operands are positive
+    * (minCount > discount is required), so floor == truncate and both
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: the corpus-sized work is TWO map-side-combined counts
+    * (in-row zip_with pair stream, token stream — nothing quadratic, no
+    * doc text ever shuffles); the scoring joins are keyed on the token
+    * against VOCAB-SIZED aggregates (one row per type/pair), so the hot
+    * token ("the") is one row, not a skew axis — AQE broadcast-converts
+    * the unigram sides when the vocab is small. Returns
+    * (a, b, n_ab, score_pm) for pairs with n_ab ≥ minCount and
+    * score_pm ≥ minScorePm.
+    */
+  def collocations(docs: DataFrame, minCount: Int = 3, discount: Int = 2,
+                   minScorePm: Long = 0L): DataFrame = {
+    require(minCount > discount,
+      s"minCount ($minCount) must exceed discount ($discount) so scores stay positive")
+    val base = docs.select(toksOrEmpty(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val pairs = base.where(n >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cp = pairs.groupBy("a", "b")
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val cu = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+    val tot = cu.agg(sum(col("c")).as("t_tokens"))
+    cp.join(cu.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(cu.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("score_pm", expr(
+        s"CAST((CAST(n_ab - ${discount}L AS DECIMAL(38,0)) * t_tokens * 1000) " +
+          "div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"))
+      .where(col("score_pm") >= minScorePm)
+      .select(col("a"), col("b"), col("n_ab"), col("score_pm"))
+  }
+
+  /** DOMAIN-DISJOINT train/val/test split — the leakage-safe variant of
+    * [[hashSplit]]: the bucket is keyed on the registrable domain, so every
+    * document of a domain lands in the SAME split and near-duplicates
+    * inside a domain (templated pages, article revisions — the dominant
+    * intra-split leakage channel content hashing misses) can never straddle
+    * train/test. Same first-32-bits-of-md5 discipline; pure projection,
+    * zero shuffle. Input is a [[UrlOps.urlProfile]]-shaped table.
+    */
+  def domainSplit(profile: DataFrame, trainPm: Int = 900,
+                  valPm: Int = 950): DataFrame = {
+    val bucket = conv(substring(md5(col("domain").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    profile.select(col("doc_id"), col("domain"), bucket.as("split_bucket"),
+      when(bucket < trainPm, "train")
+        .when(bucket < valPm, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Token frequency-of-frequencies spectrum — the corpus-datasheet
+    * Zipf/hapax profile (count-of-counts is also the input to Good-Turing
+    * smoothing and the standard OCR-noise tell: a corrupted corpus shows a
+    * bloated hapax mass). Two map-side-combined counts: token → type count,
+    * then count → n_types; the second input is vocab-sized. Returns
+    * (tf, n_types) — rows like (1, #hapaxes), (2, #doubletons), …
+    */
+  def tokenSpectrum(docs: DataFrame): DataFrame =
+    docs.where(length(trim(col("text"))) > 0)
+      .select(explode(splitToks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy("tf").agg(count(lit(1)).cast("long").as("n_types"))
+
   /** Per-source corpus composition stats (one hash-shuffle with map-side
     * combine; source cardinality is tiny relative to docs).
     */

@@ -504,6 +504,53 @@ class OpsSpec extends AnyFunSuite with Matchers {
       not include "Exchange"
   }
 
+  test("collocations: hand-counted word2phrase scores, thresholds, guard") {
+    val docs = Seq((1L, "x y x y z"), (2L, "x y q")).toDF("doc_id", "text")
+    // c(x,y)=3, others 1; unigrams x:3 y:3 z:1 q:1, T=8
+    // score(x,y) = (3-2)*8*1000 div (3*3) = 888
+    TextOps.collocations(docs, minCount = 3, discount = 2, minScorePm = 0L)
+      .as[(String, String, Long, Long)].collect().toSet shouldBe
+      Set(("x", "y", 3L, 888L))
+    // the per-mille threshold is live
+    TextOps.collocations(docs, minCount = 3, discount = 2, minScorePm = 889L)
+      .collect() shouldBe empty
+    // dropping minCount admits the singletons with their own exact scores:
+    // (y,x) and (y,z): (1-0)*8*1000 div (3*3|3*1)
+    TextOps.collocations(docs, minCount = 1, discount = 0, minScorePm = 0L)
+      .as[(String, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+      .apply(("y", "z"))._2 shouldBe 2666L
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.collocations(docs, minCount = 2, discount = 2)
+  }
+
+  test("domainSplit: all docs of a domain share one split; md5 bucket exact") {
+    val profile = Seq(
+      (1L, "example.com"), (2L, "example.com"), (3L, "example.com"),
+      (4L, "news.co.uk"), (5L, "news.co.uk"), (6L, "other.org"))
+      .toDF("doc_id", "domain")
+    val got = TextOps.domainSplit(profile, trainPm = 900, valPm = 950)
+      .as[(Long, String, Long, String)].collect()
+    got.groupBy(_._2).values.foreach { rows =>
+      rows.map(_._4).distinct should have size 1
+      rows.map(_._3).distinct should have size 1
+    }
+    def bucket(d: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16) % 1000
+    got.foreach { case (_, d, b, s) =>
+      b shouldBe bucket(d)
+      s shouldBe (if (b < 900) "train" else if (b < 950) "val" else "test")
+    }
+  }
+
+  test("tokenSpectrum: count-of-counts; blank docs excluded") {
+    val docs = Seq((1L, "a a b"), (2L, "c"), (3L, "  ")).toDF("doc_id", "text")
+    TextOps.tokenSpectrum(docs).as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 2L), (2L, 1L))
+  }
+
   test("crawl schedule: per-host slots, md5 fetch order, ingest-order invariance") {
     val rows = Seq(
       (1L, "a.com"), (2L, "a.com"), (3L, "a.com"), (4L, "a.com"), (5L, "a.com"),
