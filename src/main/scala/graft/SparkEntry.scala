@@ -814,6 +814,15 @@ object SparkEntry {
       opsGolden(s, dir)
       TextOps.lmScore(docsTable(s, dir), vocabSize = 1 << 14, maxBigrams = 1 << 16)
     }),
+    // CCNet head/middle/tail terciles per source: milli-nat-binned
+    // value-at-rank cutoffs (bin-bounded per-source window), head = the
+    // training-quality slice — the oracle restates the binning, ranks and
+    // bucket rule in SQL over the lm golden
+    "q_ccnet_buckets" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.perplexityBuckets(docsTable(s, dir),
+        vocabSize = 1 << 14, maxBigrams = 1 << 16)
+    }),
     // trigram stupid-backoff LM (Brants 2007) — the sharper perplexity
     // filter; caps tightened so all three backoff levels fire at the gate
     "q_doc_lm_backoff" -> ((s, dir) => {
@@ -1547,6 +1556,23 @@ object SparkEntry {
       "SELECT a, b, est_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/streamnd/*.parquet')",
     "q_doc_lm_score" ->
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
+    "q_ccnet_buckets" ->
+      ("WITH lp AS (SELECT doc_id, (lp_micro_per_tok + 100000000) // 1000 AS lp_bin " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')), " +
+        "s AS (SELECT l.doc_id, d.source, l.lp_bin FROM lp l JOIN documents d USING (doc_id)), " +
+        "rle AS (SELECT source, lp_bin, count(*) AS cnt FROM s GROUP BY 1, 2), " +
+        "n AS (SELECT source, sum(cnt) AS n_docs FROM rle GROUP BY 1), " +
+        "cum AS (SELECT source, lp_bin, cnt, sum(cnt) OVER " +
+        "(PARTITION BY source ORDER BY lp_bin) AS cum FROM rle), " +
+        "cuts AS (SELECT c.source, " +
+        "max(CASE WHEN ((n.n_docs - 1) // 3) + 1 > c.cum - c.cnt " +
+        "AND ((n.n_docs - 1) // 3) + 1 <= c.cum THEN c.lp_bin END) AS v1, " +
+        "max(CASE WHEN ((2 * (n.n_docs - 1)) // 3) + 1 > c.cum - c.cnt " +
+        "AND ((2 * (n.n_docs - 1)) // 3) + 1 <= c.cum THEN c.lp_bin END) AS v2 " +
+        "FROM cum c JOIN n USING (source) GROUP BY 1) " +
+        "SELECT s.doc_id, s.source, CAST(s.lp_bin AS BIGINT) AS lp_bin, " +
+        "CASE WHEN s.lp_bin > t.v2 THEN 'head' WHEN s.lp_bin > t.v1 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket FROM s JOIN cuts t USING (source)"),
     "q_doc_lm_backoff" ->
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/sblm/*.parquet')",
     "q_doc_nb_quality" ->

@@ -1418,6 +1418,59 @@ object TextOps {
           .otherwise(lit(0L)))
   }
 
+  /** CCNet-style per-source perplexity terciles (Wenzek et al. 2020 §4.3:
+    * rank each language/source shard by LM perplexity and cut it into
+    * head / middle / tail — the head is the training-quality slice, the
+    * tail is discarded or down-weighted). Per-token log-prob comes from
+    * [[lmScore]]; LOWER perplexity == HIGHER lp, so head = highest bins.
+    *
+    * The cutoffs are value-at-rank over MILLI-NAT BINS, not raw micro-nat
+    * values: bin = (lp_micro_per_tok + 10^8) div 1000 (the +10^8 shift
+    * keeps the operand positive, so Spark's truncating `div` and the
+    * oracle's flooring `//` agree; lp per token is bounded well below 100
+    * nats by the Laplace floor ln(1/(C+V))). Binning is what makes the
+    * rank-select scale: the RLE table the per-source cumulative window
+    * sorts is bounded by #bins (≈10^5) per source — CCNet itself cuts on
+    * coarse perplexity thresholds — where raw micro-nat values are
+    * near-unique and would put the whole shard through one task's sort.
+    * Runs covering rank ⌊(n−1)/3⌋+1 and ⌊2(n−1)/3⌋+1 define v1/v2;
+    * bucket: bin > v2 → head, bin > v1 → middle, else tail (equal-value
+    * docs always share a bucket; a degenerate all-equal source is all
+    * tail).
+    *
+    * Returns (doc_id, source, lp_bin, bucket). Scale shape: the lmScore
+    * passes + one (source, bin) count, a bin-bounded per-source window,
+    * and a |sources|-row cutoff broadcast back onto the scored stream.
+    */
+  def perplexityBuckets(docs: DataFrame, vocabSize: Int = 1 << 14,
+                        maxBigrams: Int = 1 << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lp = lmScore(docs, vocabSize, maxBigrams)
+      .select(col("doc_id"),
+        expr("(lp_micro_per_tok + 100000000L) div 1000L").as("lp_bin"))
+    val meta = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+    val scored = lp.join(meta, Seq("doc_id"))
+    val rle = scored.groupBy("source", "lp_bin")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val counted = rle.groupBy("source")
+      .agg(sum(col("cnt")).cast("long").as("n_docs"))
+    val cum = rle.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy("source").orderBy(col("lp_bin"))))
+    val r1 = expr("((n_docs - 1) div 3) + 1")
+    val r2 = expr("((2 * (n_docs - 1)) div 3) + 1")
+    def covers(r: Column) = r > col("cum") - col("cnt") && r <= col("cum")
+    val cuts = cum.join(broadcast(counted), Seq("source"))
+      .where(covers(r1) || covers(r2))
+      .groupBy("source")
+      .agg(max(when(covers(r1), col("lp_bin"))).as("v1"),
+        max(when(covers(r2), col("lp_bin"))).as("v2"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("lp_bin"),
+        when(col("lp_bin") > col("v2"), "head")
+          .when(col("lp_bin") > col("v1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** MurmurHash3's 64-bit finalizer — mixes the weak low bits of the
     * wrapping polynomial k-gram hash before winnowing compares values.
     */

@@ -504,6 +504,36 @@ class OpsSpec extends AnyFunSuite with Matchers {
       not include "Exchange"
   }
 
+  test("ccnet perplexity buckets: tercile order, equal-bin consistency, degenerate source") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60).cache()
+    val got = TextOps.perplexityBuckets(docs, vocabSize = 32, maxBigrams = 256)
+      .as[(Long, String, Long, String)].collect()
+    got should have length 60
+    // buckets are consistent per (source, bin) and ordered: every head bin
+    // strictly above every middle bin, every middle above every tail
+    got.groupBy(r => (r._2, r._3)).values
+      .foreach(rows => rows.map(_._4).distinct should have size 1)
+    got.groupBy(_._2).values.foreach { rows =>
+      val byB = rows.groupBy(_._4).map { case (b, rs) => b -> rs.map(_._3) }
+      for (h <- byB.get("head"); m <- byB.get("middle")) h.min should be > m.max
+      for (m <- byB.get("middle"); t <- byB.get("tail")) m.min should be > t.max
+      // the tail is never empty (rank-1 run is always <= v1) and no bucket
+      // exceeds two thirds + the widest bin run
+      byB.keySet should contain("tail")
+    }
+    // partition invariance
+    TextOps.perplexityBuckets(docs.repartition(7), vocabSize = 32,
+      maxBigrams = 256)
+      .as[(Long, String, Long, String)].collect().toSet shouldBe got.toSet
+    // a source whose docs all score identically is all tail by contract
+    val flat = Seq((1L, "x y x", "s"), (2L, "x y x", "s"), (3L, "x y x", "s"))
+      .toDF("doc_id", "text", "source")
+    TextOps.perplexityBuckets(flat, vocabSize = 8, maxBigrams = 16)
+      .as[(Long, String, Long, String)].collect()
+      .map(_._4).toSet shouldBe Set("tail")
+  }
+
   test("collocations: hand-counted word2phrase scores, thresholds, guard") {
     val docs = Seq((1L, "x y x y z"), (2L, "x y q")).toDF("doc_id", "text")
     // c(x,y)=3, others 1; unigrams x:3 y:3 z:1 q:1, T=8
