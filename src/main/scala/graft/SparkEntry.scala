@@ -273,6 +273,9 @@ object SparkEntry {
     // token frequency-of-frequencies (Zipf/hapax datasheet + Good-Turing
     // input): two map-side-combined counts
     "q_token_spectrum" -> ((s, dir) => TextOps.tokenSpectrum(docsTable(s, dir))),
+    // Good-Turing adjusted counts r* = (r+1)·S_{r+1}/S_r in per-mille over
+    // the spectrum — one vocab-sized self-join, DECIMAL(38,0) products
+    "q_good_turing" -> ((s, dir) => TextOps.goodTuring(docsTable(s, dir))),
     "q_source_stats" -> ((s, dir) => TextOps.sourceStats(docsTable(s, dir))),
     // HLL distinct-shingle sketch per source (p=6 so the gate corpus sits
     // in the raw-estimator regime; integer register columns ARE the gate)
@@ -746,6 +749,18 @@ object SparkEntry {
       Retrieval.bm25TopK(docsTable(s, dir), Retrieval.GateQueries, k = 10)
         .select(col("q_id"), col("doc_id"),
           col("rank").cast("long").as("rank"), col("score_micro"))
+    }),
+    // retrieval-quality eval: reciprocal rank of the first conjunctive
+    // (all-terms) match per probe + match count in the top-k — the ranked
+    // table broadcasts into the corpus scan, relevance only evaluated on
+    // ranked candidates; DuckDB recomputes relevance from raw text over
+    // the bm25 golden
+    "q_retrieval_mrr" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val docs = docsTable(s, dir)
+      Retrieval.mrrEval(docs,
+        Retrieval.bm25TopK(docs, Retrieval.GateQueries, k = 10),
+        Retrieval.GateQueries)
     }),
     // hybrid retrieval: BM25 ⊕ dense-ANN via reciprocal-rank fusion —
     // query q pairs the q-th text probe with the q-th document's
@@ -1275,6 +1290,31 @@ object SparkEntry {
         "c AS (SELECT tok, count(*) AS tf FROM u GROUP BY 1) " +
         "SELECT CAST(tf AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS n_types " +
         "FROM c GROUP BY 1"),
+    "q_good_turing" ->
+      ("WITH u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT tok, count(*) AS tf FROM u GROUP BY 1), " +
+        "sp AS (SELECT tf, count(*) AS n_types FROM c GROUP BY 1) " +
+        "SELECT CAST(l.tf AS BIGINT) AS tf, CAST(l.n_types AS BIGINT) AS n_types, " +
+        "CAST(coalesce(r.n_types, 0) AS BIGINT) AS n_types_next, " +
+        "CAST((CAST(l.tf + 1 AS HUGEINT) * coalesce(r.n_types, 0) * 1000) // " +
+        "CAST(l.n_types AS HUGEINT) AS BIGINT) AS r_star_pm " +
+        "FROM sp l LEFT JOIN sp r ON l.tf + 1 = r.tf"),
+    "q_retrieval_mrr" ->
+      ("WITH r AS (SELECT q_id, doc_id, rank FROM read_parquet('/root/repo/data/golden_ops/sf0.01/bm25/*.parquet')), " +
+        "q AS (SELECT * FROM (VALUES (0, 'join hash batch'), (1, 'customer filter'), " +
+        "(2, 'scan column row'), (3, 'slow small join'), (4, 'zzz_absent'), " +
+        "(5, 'hash hash join')) t(q_id, qtext)), " +
+        "rel AS (SELECT r.q_id, r.rank FROM r JOIN documents d ON r.doc_id = d.doc_id " +
+        "JOIN q ON q.q_id = r.q_id " +
+        "WHERE len(list_filter(list_distinct(string_split(q.qtext, ' ')), " +
+        "t -> NOT list_contains(string_split(d.text, ' '), t))) = 0), " +
+        "agg AS (SELECT q_id, count(*) AS n_rel_topk, min(rank) AS fr FROM rel GROUP BY 1) " +
+        "SELECT CAST(q.q_id AS BIGINT) AS q_id, " +
+        "CAST(coalesce(a.n_rel_topk, 0) AS BIGINT) AS n_rel_topk, " +
+        "CAST(coalesce(a.fr, 0) AS BIGINT) AS first_rel_rank, " +
+        "CAST(CASE WHEN a.fr IS NOT NULL THEN 1000000 // a.fr ELSE 0 END AS BIGINT) AS rr_micro " +
+        "FROM q LEFT JOIN agg a USING (q_id)"),
     "q_source_stats" ->
       ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +

@@ -175,4 +175,47 @@ object Retrieval {
         col("rank").cast("long").as("rank"),
         col("score").cast("long").as("rrf_micro"))
   }
+
+  /** Rank-quality evaluation of a retrieval run — the "measure, don't
+    * guess" harness for the BM25/hybrid stack: reciprocal rank of the
+    * first CONJUNCTIVE match (a doc containing EVERY distinct query term —
+    * boolean-AND relevance, the classic judgment-free proxy) plus the
+    * conjunctive-match count inside the top-k. Returns one row per query:
+    * (q_id, n_rel_topk, first_rel_rank, rr_micro) with rr_micro =
+    * 10^6 div first_rel_rank, 0 when nothing relevant ranked (q4's
+    * absent-term probe stays a live zero row). Mean rr_micro over queries
+    * is MRR·10^6.
+    *
+    * Scale shape: `ranked` is k·|Q| rows — it BROADCASTS into the corpus
+    * scan, so relevance is only ever evaluated on ranked candidates (the
+    * corpus is pruned by the broadcast hash join, never shuffled); the
+    * query-term arrays ride along as a second broadcast and the
+    * containment check is an in-row `forall`. Everything after the scan
+    * is |Q|-sized.
+    */
+  def mrrEval(docs: DataFrame, ranked: DataFrame,
+              queries: Seq[(Long, String)]): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("q_id", "qtext")
+    val qTerms = qdf.select(col("q_id"),
+      array_distinct(split(trim(col("qtext")), TextOps.WsPlus)).as("qterms"))
+    val cand = docs.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"),
+        TextOps.toksOrEmpty(col("text")).as("toks"))
+      .join(broadcast(ranked.select(col("q_id").cast("long").as("q_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank"))), Seq("doc_id"))
+    val rel = cand.join(broadcast(qTerms), Seq("q_id"))
+      .where(forall(col("qterms"), t => array_contains(col("toks"), t)))
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("long").as("n_rel_topk"),
+        min(col("rank")).cast("long").as("fr"))
+    qdf.select(col("q_id")).join(rel, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_rel_topk"), lit(0L)).as("n_rel_topk"),
+        coalesce(col("fr"), lit(0L)).as("first_rel_rank"),
+        when(col("fr").isNotNull, expr("1000000L div fr"))
+          .otherwise(lit(0L)).as("rr_micro"))
+  }
 }

@@ -354,6 +354,26 @@ object TextOps {
       .groupBy("tok").agg(count(lit(1)).cast("long").as("tf"))
       .groupBy("tf").agg(count(lit(1)).cast("long").as("n_types"))
 
+  /** Good-Turing adjusted counts over the [[tokenSpectrum]] (Good 1953;
+    * the smoothing every n-gram LM inherits): r* = (r+1)·S_{r+1}/S_r,
+    * emitted in integer per-mille with DECIMAL(38,0) products (r·S can
+    * reach corpus scale). Frequencies whose successor class is empty get
+    * r_star_pm = 0 — the standard "unreliable above the spectrum tail"
+    * region a production smoother fits with a regression; emitting the raw
+    * estimate keeps the contract exact. One self-join of the vocab-sized
+    * spectrum on tf+1 — nothing corpus-sized moves.
+    */
+  def goodTuring(docs: DataFrame): DataFrame = {
+    val spec = tokenSpectrum(docs)
+    spec.as("l")
+      .join(spec.as("r"), col("l.tf") + 1 === col("r.tf"), "left")
+      .select(col("l.tf").as("tf"), col("l.n_types").as("n_types"),
+        coalesce(col("r.n_types"), lit(0L)).as("n_types_next"))
+      .withColumn("r_star_pm", expr(
+        "CAST((CAST(tf + 1 AS DECIMAL(38,0)) * n_types_next * 1000) " +
+          "div CAST(n_types AS DECIMAL(38,0)) AS BIGINT)"))
+  }
+
   /** Per-source corpus composition stats (one hash-shuffle with map-side
     * combine; source cardinality is tiny relative to docs).
     */

@@ -581,6 +581,39 @@ class OpsSpec extends AnyFunSuite with Matchers {
       Set((1L, 2L), (2L, 1L))
   }
 
+  test("goodTuring: hand-computed adjusted counts; empty successor class") {
+    // a:3 b:1 c:1 d:2 e:2 f:2 → spectrum S1=2, S2=3, S3=1
+    val docs = Seq((1L, "a a a b c"), (2L, "d d e e f f")).toDF("doc_id", "text")
+    val got = TextOps.goodTuring(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // r*=（r+1)·S_{r+1}/S_r per-mille: r=1: 2·3·1000/2 = 3000;
+    // r=2: 3·1·1000/3 = 1000; r=3: successor empty → 0
+    got shouldBe Set((1L, 2L, 3L, 3000L), (2L, 3L, 1L, 1000L),
+      (3L, 1L, 0L, 0L))
+  }
+
+  test("mrrEval: conjunctive relevance, first-rank reciprocal, empty probes") {
+    val docs = Seq(
+      (10L, "join hash batch extra"), // all terms of q0
+      (11L, "join hash only"),        // misses 'batch'
+      (12L, "customer filter row"))   // all terms of q1
+      .toDF("doc_id", "text")
+    val ranked = Seq(
+      (0L, 11L, 1L), (0L, 10L, 2L),   // q0: first CONJUNCTIVE match at rank 2
+      (1L, 12L, 1L),                  // q1: match at rank 1
+      (2L, 10L, 1L))                  // q2's terms not all in doc 10
+      .toDF("q_id", "doc_id", "rank")
+    val qs = Seq(0L -> "join hash batch", 1L -> "customer filter",
+      2L -> "scan column row", 3L -> "zzz_absent")
+    val got = graft.ops.Retrieval.mrrEval(docs, ranked, qs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    got shouldBe Set(
+      (0L, 1L, 2L, 500000L),
+      (1L, 1L, 1L, 1000000L),
+      (2L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L))
+  }
+
   test("crawl schedule: per-host slots, md5 fetch order, ingest-order invariance") {
     val rows = Seq(
       (1L, "a.com"), (2L, "a.com"), (3L, "a.com"), (4L, "a.com"), (5L, "a.com"),
