@@ -996,6 +996,20 @@ object SparkEntry {
         .select(col("a"), col("b"),
           floor(col("score") * 1000).cast("long").as("score_pm"))
     }),
+    // contrastive (anchor, positive, negatives) triplet mining over the
+    // verified near-dup positives: deterministic md5-mod negatives with
+    // anchor/positive/collision skip — the embedding-trainer feed; DuckDB
+    // recomputes the whole derivation over the embdup golden
+    "q_contrastive_pairs" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val embs = embTable(s, dir)
+      val positives = Similarity.cosineNearDup(
+        embs.select(col("vec_id").cast("long"), col("embedding"))
+          .unionByName(Similarity.perturbed(embs, n = 20)),
+        minCosinePm = 990)
+      Similarity.contrastivePairs(positives, nVectors = embs.count(),
+        nNeg = 2, slack = 4)
+    }),
     // semantic decontamination: eval set = perturbed copies of the first 15
     // corpus embeddings (planted leaks); eval side broadcast, threshold
     // filter below the aggregate so only qualifying pairs ever shuffle
@@ -1510,6 +1524,23 @@ object SparkEntry {
       "SELECT q_id, n_id, rank, score_int FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_q8/*.parquet')",
     "q_emb_near_dup" ->
       "SELECT a, b, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')",
+    "q_contrastive_pairs" ->
+      ("WITH p AS (SELECT a AS anchor, b AS positive FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')), " +
+        "nv AS (SELECT count(*) AS n FROM embeddings), " +
+        "an AS (SELECT DISTINCT anchor FROM p), " +
+        "cand AS (SELECT an.anchor, r.j, " +
+        "('0x' || substr(md5(an.anchor::VARCHAR || ':' || r.j::VARCHAR), 1, 8))::BIGINT % nv.n AS negative " +
+        "FROM an CROSS JOIN nv CROSS JOIN range(0, 6) r(j)), " +
+        "bad AS (SELECT anchor, positive AS bad FROM p " +
+        "UNION SELECT positive, anchor FROM p), " +
+        "valid AS (SELECT c.anchor, c.j, c.negative FROM cand c " +
+        "LEFT JOIN bad ON c.anchor = bad.anchor AND c.negative = bad.bad " +
+        "WHERE bad.anchor IS NULL AND c.negative <> c.anchor), " +
+        "firstj AS (SELECT anchor, negative, min(j) AS j FROM valid GROUP BY 1, 2), " +
+        "rk AS (SELECT anchor, negative, row_number() OVER " +
+        "(PARTITION BY anchor ORDER BY j) AS neg_rank FROM firstj) " +
+        "SELECT p.anchor, p.positive, rk.negative, CAST(rk.neg_rank AS BIGINT) AS neg_rank " +
+        "FROM p JOIN rk USING (anchor) WHERE rk.neg_rank <= 2"),
     "q_media_features" ->
       "SELECT doc_id, media_ref, n_bytes, content_h64 FROM read_parquet('/root/repo/data/golden_ops/sf0.01/media/*.parquet')",
     "q_media_frames" ->

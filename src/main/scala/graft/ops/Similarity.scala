@@ -604,4 +604,57 @@ object Similarity {
       }
       .toDF("vec_id", "embedding")
   }
+
+  /** Contrastive training-pair mining — the (anchor, positive, negatives)
+    * triplet stream an embedding trainer consumes (SimCSE/CLIP-style):
+    * positives are the verified near-duplicate pairs (each `a < b` pair
+    * yields anchor a → positive b); negatives are the in-batch-negative
+    * analog drawn DETERMINISTICALLY from the id space [0, nVectors):
+    *
+    *   cand_j = int32(md5(anchor || ":" || j)) mod nVectors,  j = 0..nNeg+slack−1
+    *
+    * skipping the anchor itself, any verified positive of that anchor
+    * (either direction — a near-dup must never be labeled negative), and
+    * md5-collision repeats (first j wins); the first `nNeg` survivors by j
+    * are kept as neg_rank 1..nNeg. An anchor with pathological collision
+    * luck keeps fewer than nNeg — slack bounds that to vanishing
+    * probability and the contract emits what survives.
+    *
+    * Scale shape: everything is keyed on `anchor` against tables sized by
+    * the POSITIVE-PAIR count (near-dup pairs, ≪ corpus); the candidate
+    * explosion is nNeg+slack rows per anchor; the per-anchor ranking
+    * window sees ≤ nNeg+slack rows. The id space enters only as the
+    * literal modulus — no scan of the vector table at all. Returns
+    * (anchor, positive, negative, neg_rank), integer-exact and restated
+    * verbatim in DuckDB.
+    */
+  def contrastivePairs(positives: DataFrame, nVectors: Long, nNeg: Int = 2,
+                       slack: Int = 4): DataFrame = {
+    require(nVectors >= 2, s"nVectors must be >= 2, got $nVectors")
+    require(nNeg >= 1, s"nNeg must be >= 1, got $nNeg")
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    val pos = positives.select(col("a").cast("long").as("anchor"),
+      col("b").cast("long").as("positive"))
+    val cands = pos.select(col("anchor")).distinct()
+      .select(col("anchor"),
+        explode(array((0 until nNeg + slack).map(lit): _*)).as("j"))
+      .withColumn("negative",
+        conv(substring(md5(concat(col("anchor").cast("string"), lit(":"),
+          col("j").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % nVectors)
+    val bad = pos.select(col("anchor"), col("positive").as("bad"))
+      .unionByName(pos.select(col("positive").as("anchor"), col("anchor").as("bad")))
+    val firstJ = cands.where(col("negative") =!= col("anchor"))
+      .join(bad, cands("anchor") === bad("anchor") && col("negative") === col("bad"),
+        "left_anti")
+      .groupBy("anchor", "negative").agg(min(col("j")).as("j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor")).orderBy(col("j"))
+    val ranked = firstJ
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .where(col("neg_rank") <= nNeg)
+      .select(col("anchor"), col("negative"), col("neg_rank"))
+    pos.join(ranked, Seq("anchor"))
+      .select(col("anchor"), col("positive"), col("negative"), col("neg_rank"))
+  }
 }

@@ -581,6 +581,44 @@ class OpsSpec extends AnyFunSuite with Matchers {
       Set((1L, 2L), (2L, 1L))
   }
 
+  test("contrastivePairs: negatives skip anchor+positives, first-j ranking, determinism") {
+    val positives = Seq((0L, 7L), (0L, 3L), (5L, 9L)).toDF("a", "b")
+    val got = graft.ops.Similarity.contrastivePairs(positives,
+      nVectors = 10L, nNeg = 2, slack = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    // anchor 0's candidate stream collides into {0,7,3} for all but one j
+    // at nVectors=10 (verified by hand) — the "emits what survives"
+    // contract: 2 positives × 1 surviving negative; anchor 5 gets its
+    // full 2
+    got.groupBy(_._1).view.mapValues(_.length).toMap shouldBe
+      Map(0L -> 2, 5L -> 2)
+    got.filter(_._1 == 0L).map(_._3).toSet shouldBe Set(8L)
+    // contract invariants: negative never equals the anchor or any of its
+    // positives (either direction), ranks are 1..nNeg, ids in [0, nVectors)
+    val posSet = Set((0L, 7L), (7L, 0L), (0L, 3L), (3L, 0L), (5L, 9L), (9L, 5L))
+    got.foreach { case (a, p, n, r) =>
+      n should not be a
+      posSet should not contain ((a, n))
+      Set(1L, 2L) should contain(r)
+      n should (be >= 0L and be < 10L)
+      Set((a, p)) should (contain((0L, 7L)) or contain((0L, 3L)) or contain((5L, 9L)))
+    }
+    // negatives are the md5 derivation verbatim: recompute for anchor 5
+    def h(a: Long, j: Int): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a:$j".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16) % 10
+    val expect5 = (0 until 6).map(j => (h(5L, j), j))
+      .filter { case (n, _) => n != 5L && n != 9L }
+      .groupBy(_._1).map { case (n, js) => (n, js.map(_._2).min) }
+      .toSeq.sortBy(_._2).take(2).map(_._1)
+    got.filter(_._1 == 5L).sortBy(_._4).map(_._3).toSeq shouldBe expect5
+    // partition invariance
+    graft.ops.Similarity.contrastivePairs(positives.repartition(5),
+      nVectors = 10L, nNeg = 2, slack = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet shouldBe got.toSet
+  }
+
   test("goodTuring: hand-computed adjusted counts; empty successor class") {
     // a:3 b:1 c:1 d:2 e:2 f:2 → spectrum S1=2, S2=3, S3=1
     val docs = Seq((1L, "a a a b c"), (2L, "d d e e f f")).toDF("doc_id", "text")
