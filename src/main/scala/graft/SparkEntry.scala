@@ -729,6 +729,13 @@ object SparkEntry {
         UrlOps.urlProfile(docsTable(s, dir).withColumn("url", url)),
         perSlot = 4)
     }),
+    // multi-token PHRASE blocklist (C4 bad-phrases rule): exact
+    // token-boundary positional counting, overlaps counted, drop on any
+    // hit — phrases are live corpus bigrams so hits actually occur
+    "q_phrase_blocklist" -> ((s, dir) => TextOps.phraseBlocklist(
+      docsTable(s, dir),
+      Seq(Seq("slow", "join"), Seq("batch", "window"),
+        Seq("table", "table", "key")))),
     // word-blocklist filter (RefinedWeb/C4 bad-words rule) — the list words
     // are live corpus vocabulary so the per-mille threshold actually fires
     "q_doc_blocklist" -> ((s, dir) => TextOps.blocklistFilter(
@@ -1745,6 +1752,18 @@ object SparkEntry {
     "q_domain_stats" -> (UrlOracleCtes +
       "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts FROM w2 GROUP BY domain"),
+    "q_phrase_blocklist" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +
+        "s AS (SELECT doc_id, len(toks) AS n, " +
+        "(CASE WHEN len(toks) >= 2 THEN len(list_filter(range(1, len(toks)), " +
+        "i -> toks[i:i+1] = ['slow', 'join'])) ELSE 0 END) + " +
+        "(CASE WHEN len(toks) >= 2 THEN len(list_filter(range(1, len(toks)), " +
+        "i -> toks[i:i+1] = ['batch', 'window'])) ELSE 0 END) + " +
+        "(CASE WHEN len(toks) >= 3 THEN len(list_filter(range(1, len(toks) - 1), " +
+        "i -> toks[i:i+2] = ['table', 'table', 'key'])) ELSE 0 END) AS n_hits FROM t) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_toks, " +
+        "CAST(n_hits AS BIGINT) AS n_hits, n_hits > 0 AS drop_flag FROM s"),
     "q_doc_blocklist" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

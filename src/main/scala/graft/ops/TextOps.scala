@@ -1882,6 +1882,37 @@ object TextOps {
       .withColumn("blocked_flag", col("blocked_pm") > maxPm)
   }
 
+  /** Multi-token PHRASE blocklist (the C4 "bad phrases" rule — single-word
+    * lists miss exactly the content policy actually targets: it is the
+    * phrase that is disallowed, not its words): exact token-boundary
+    * occurrence counting — occ(p) = positions i where the token window
+    * starting at i equals p, overlaps counted — summed over the list, with
+    * drop_flag = any hit (C4 drops on first occurrence). Counting is an
+    * in-row HOF per phrase (sequence → slice → array equality) on the one
+    * tokenization — pure projection, zero shuffle at any corpus size,
+    * whole-stage codegen'd; the phrase list ships as expression literals
+    * (policy lists are 10^2–10^4 phrases — at the top of that range swap
+    * the per-phrase columns for one Aho-Corasick codegen expression, the
+    * contract is unchanged).
+    */
+  def phraseBlocklist(docs: DataFrame, phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phrases must be non-empty sequences of tokens")
+    val toks = toksOrEmpty(col("text"))
+    val n = size(toks)
+    def occ(p: Seq[String]) = {
+      val len = p.length
+      val parr = array(p.map(lit): _*)
+      when(n >= len,
+        size(filter(sequence(lit(1), n - len + 1),
+          i => slice(toks, i, lit(len)) === parr)))
+        .otherwise(lit(0))
+    }
+    docs.select(col("doc_id"), n.cast("long").as("n_toks"),
+        phrases.map(occ).reduce(_ + _).cast("long").as("n_hits"))
+      .withColumn("drop_flag", col("n_hits") > 0L)
+  }
+
   /** Per-source token-distribution drift: n_s·KL(source ‖ corpus) over
     * Laplace-smoothed unigram distributions in integer micro-nats — the
     * mixture-health diagnostic a curation pipeline watches as sources are

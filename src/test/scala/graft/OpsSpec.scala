@@ -681,6 +681,25 @@ class OpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("phraseBlocklist: positional counts, overlaps, boundaries, short docs") {
+    val docs = Seq(
+      (1L, "slow join is a slow join"),  // 2 hits of (slow join)
+      (2L, "slow joint and joinslow"),   // token-boundary: 0 hits
+      (3L, "a a a"),                     // overlapping (a a): 2 hits
+      (4L, "a"),                         // shorter than every phrase
+      (5L, "x a a y"))                   // 1 hit
+      .toDF("doc_id", "text")
+    val m = TextOps.phraseBlocklist(docs,
+      Seq(Seq("slow", "join"), Seq("a", "a")))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, n, h, f) => id -> ((n, h, f)) }.toMap
+    m(1L) shouldBe ((6L, 2L, true))
+    m(2L) shouldBe ((4L, 0L, false))
+    m(3L) shouldBe ((3L, 2L, true))
+    m(4L) shouldBe ((1L, 0L, false))
+    m(5L) shouldBe ((4L, 1L, true))
+  }
+
   test("blocklist filter: planted rows, case-insensitive, integer per-mille") {
     val rows = Seq(
       (1L, "clean words only here today"),                  // 0/5 → 0‰
