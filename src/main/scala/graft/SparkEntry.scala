@@ -731,8 +731,10 @@ object SparkEntry {
     }),
     // multi-token PHRASE blocklist (C4 bad-phrases rule): exact
     // token-boundary positional counting, overlaps counted, drop on any
-    // hit — phrases are live corpus bigrams so hits actually occur
-    "q_phrase_blocklist" -> ((s, dir) => TextOps.phraseBlocklist(
+    // hit — phrases are live corpus bigrams so hits actually occur; runs
+    // through the Aho–Corasick codegen expression (O(tokens) regardless
+    // of dictionary size), gated against the same positional-count oracle
+    "q_phrase_blocklist" -> ((s, dir) => TextOps.phraseBlocklistAc(
       docsTable(s, dir),
       Seq(Seq("slow", "join"), Seq("batch", "window"),
         Seq("table", "table", "key")))),

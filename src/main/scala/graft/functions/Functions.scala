@@ -247,6 +247,129 @@ case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Token-level Aho–Corasick automaton over phrase token sequences — the
+  * runtime behind [[PhraseHitsExpr]] and the documented escalation path of
+  * `TextOps.phraseBlocklist`: per-phrase positional scans cost
+  * O(tokens × phrases) per document, the automaton costs O(tokens) walks
+  * independent of dictionary size, which is what a 10^4-phrase policy list
+  * needs. Built once at plan construction and shipped to executors as a
+  * codegen reference object (standard Spark pattern for non-literal
+  * expression state). Counts EVERY dictionary-phrase occurrence ending at
+  * each position (overlaps and nested phrases included, via fail-link
+  * output aggregation) — bit-equal to the per-phrase positional count by
+  * construction.
+  */
+final class PhraseAc(phrases: Seq[Seq[String]]) extends Serializable {
+  require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+    "phrases must be non-empty sequences of tokens")
+
+  // trie over tokens (goto), BFS failure links, aggregated output counts
+  private val (gotoMaps, fail, outCount): (Array[java.util.HashMap[String, Integer]],
+      Array[Int], Array[Int]) = {
+    import scala.jdk.CollectionConverters._
+    val gotos = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[String, Integer]())
+    val ends = scala.collection.mutable.ArrayBuffer(0)
+    for (p <- phrases) {
+      var node = 0
+      for (tok <- p) {
+        val nxt = gotos(node).get(tok)
+        node = if (nxt != null) nxt.intValue()
+        else {
+          gotos += new java.util.HashMap[String, Integer]()
+          ends += 0
+          gotos(node).put(tok, Integer.valueOf(gotos.length - 1))
+          gotos.length - 1
+        }
+      }
+      ends(node) += 1
+    }
+    val fl = new Array[Int](gotos.length)
+    val out = new Array[Int](gotos.length)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    for (e <- gotos(0).entrySet().asScala) {
+      fl(e.getValue.intValue()) = 0
+      queue += e.getValue.intValue()
+    }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      out(u) = ends(u) + out(fl(u))
+      for (e <- gotos(u).entrySet().asScala) {
+        val tok = e.getKey
+        val v = e.getValue.intValue()
+        var f = fl(u)
+        var target = -1
+        while (target < 0) {
+          val t = gotos(f).get(tok)
+          if (t != null) target = t.intValue()
+          else if (f == 0) target = 0
+          else f = fl(f)
+        }
+        fl(v) = target
+        queue += v
+      }
+    }
+    (gotos.toArray, fl, out)
+  }
+
+  /** Total dictionary matches in one token array (called from generated
+    * code). Null elements reset to the root and match nothing.
+    */
+  def hits(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var node = 0
+    var total = 0L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) node = 0
+      else {
+        val tok = arr.getUTF8String(i).toString
+        var done = false
+        while (!done) {
+          val t = gotoMaps(node).get(tok)
+          if (t != null) { node = t.intValue(); done = true }
+          else if (node == 0) done = true
+          else node = fail(node)
+        }
+      }
+      total += outCount(node)
+      i += 1
+    }
+    total
+  }
+}
+
+/** Total dictionary-phrase hits in a token array via a plan-time
+  * Aho–Corasick automaton — `phrase_hits(toks)`, returning BIGINT. The
+  * automaton rides into generated code as a reference object, so the
+  * matcher stays inside whole-stage codegen like its unary siblings.
+  */
+case class PhraseHitsExpr(child: Expression, phrases: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<STRING> argument, got ${other.catalogString}")
+  }
+  override def prettyName: String = "phrase_hits"
+
+  @transient private lazy val ac = new PhraseAc(phrases)
+
+  override def nullSafeEval(input: Any): Any =
+    ac.hits(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("phraseAc", ac,
+      classOf[PhraseAc].getName)
+    defineCodeGen(ctx, ev, c => s"$acRef.hits($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Runtime bridge for [[CdcChunksExpr]]: builds the Catalyst ArrayData from
   * the kernel's chunk array (called from generated code).
   */
@@ -337,6 +460,13 @@ object Functions {
   def winnow_fps(c: Column, k: Int = 8, w: Int = 16): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       WinnowFpsExpr(org.apache.spark.sql.GraftColumnBridge.expression(c), k, w))
+
+  /** Column-level API: `phrase_hits(toks, phrases)` — Aho–Corasick
+    * dictionary matching over a token array.
+    */
+  def phrase_hits(c: Column, phrases: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      PhraseHitsExpr(org.apache.spark.sql.GraftColumnBridge.expression(c), phrases))
 
   /** Column-level API: `cdc_chunks(text, maskBits, minLen, maxLen)`. */
   def cdc_chunks(c: Column, maskBits: Int = 6, minLen: Int = 16,

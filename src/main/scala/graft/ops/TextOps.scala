@@ -1922,6 +1922,22 @@ object TextOps {
       .withColumn("drop_flag", col("n_hits") > 0L)
   }
 
+  /** [[phraseBlocklist]] through the Aho–Corasick codegen expression
+    * (`graft.functions.PhraseAc`) — bit-identical output, O(tokens)
+    * matching independent of dictionary size (the per-phrase positional
+    * scan above is O(tokens × phrases): fine for tens of phrases, wrong
+    * for the 10^4-phrase policy lists real pipelines carry). The automaton
+    * is built once at plan time and ships as a codegen reference object;
+    * the whole scan stays inside whole-stage codegen.
+    */
+  def phraseBlocklistAc(docs: DataFrame, phrases: Seq[Seq[String]]): DataFrame = {
+    import graft.functions.Functions.phrase_hits
+    docs.select(col("doc_id"), toksOrEmpty(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        phrase_hits(col("toks"), phrases).as("n_hits"))
+      .withColumn("drop_flag", col("n_hits") > 0L)
+  }
+
   /** Per-source token-distribution drift: n_s·KL(source ‖ corpus) over
     * Laplace-smoothed unigram distributions in integer micro-nats — the
     * mixture-health diagnostic a curation pipeline watches as sources are

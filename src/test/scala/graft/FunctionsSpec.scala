@@ -148,6 +148,41 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     graft.ops.TextOps.winnowFps("abcdef", 5, 4).length shouldBe 1
   }
 
+  test("phrase_hits: codegen, nested/overlap counting, HOF-path equality") {
+    import org.apache.spark.sql.functions._
+    val phrases = Seq(Seq("a", "b"), Seq("b"), Seq("a", "b", "c"))
+    // codegen path: range source so the projection cannot constant-fold
+    val df = spark.range(3).select(Functions.phrase_hits(
+      split(concat(lit("a b c a b x"), lit(" "), $"id".cast("string")), " "),
+      phrases).as("h"))
+    df.queryExecution.executedPlan.toString should include("*(1) Project [phrase_hits(")
+    // "a b c a b x <id>": (a b)@1, b@2, (a b c)@1, (a b)@4, b@5 → 5
+    df.as[Long].collect() shouldBe Array(5L, 5L, 5L)
+
+    // nested phrase (suffix via fail links): "z a b c" hits (a b), b, (a b c)
+    val one = spark.range(1).select(Functions.phrase_hits(
+      split(concat(lit("z a b c"), when($"id" < 0, "x").otherwise("")), " "),
+      phrases).as("h"))
+    one.as[Long].head() shouldBe 3L
+
+    // differential: AC output == the per-phrase positional-scan HOF output
+    // on a real doc sample, same schema and values
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ps = Seq(Seq("slow", "join"), Seq("batch", "window"),
+      Seq("table", "table", "key"), Seq("value"))
+    val hof = graft.ops.TextOps.phraseBlocklist(docs, ps)
+      .orderBy("doc_id").collect().toSeq
+    val ac = graft.ops.TextOps.phraseBlocklistAc(docs, ps)
+      .orderBy("doc_id").collect().toSeq
+    ac shouldBe hof
+
+    // empty token array → 0; automaton rejects empty dictionaries
+    spark.sql("SELECT 1").select(Functions.phrase_hits(
+      array().cast("array<string>"), Seq(Seq("x"))).as("h"))
+      .as[Long].head() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy new graft.functions.PhraseAc(Seq(Seq()))
+  }
+
   test("non-string arguments fail at analysis time with a clear type error") {
     Functions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT simhash64(1)").collect())
