@@ -277,6 +277,9 @@ object SparkEntry {
     // the spectrum — one vocab-sized self-join, DECIMAL(38,0) products
     "q_good_turing" -> ((s, dir) => TextOps.goodTuring(docsTable(s, dir))),
     "q_source_stats" -> ((s, dir) => TextOps.sourceStats(docsTable(s, dir))),
+    // per-source exact-dedup lift (the curation datasheet row): docs,
+    // distinct contents, removals, per-mille rate — two-phase distinct
+    "q_dedup_lift" -> ((s, dir) => Dedup.dedupLift(docsTable(s, dir))),
     // HLL distinct-shingle sketch per source (p=6 so the gate corpus sits
     // in the raw-estimator regime; integer register columns ARE the gate)
     "q_hll_shingles" -> ((s, dir) =>
@@ -1313,6 +1316,12 @@ object SparkEntry {
         "c AS (SELECT tok, count(*) AS tf FROM u GROUP BY 1) " +
         "SELECT CAST(tf AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS n_types " +
         "FROM c GROUP BY 1"),
+    "q_dedup_lift" ->
+      ("WITH c AS (SELECT source, md5(text) AS h, count(*) AS c FROM documents GROUP BY 1, 2), " +
+        "r AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_unique FROM c GROUP BY 1) " +
+        "SELECT source, n_docs, n_unique, n_docs - n_unique AS n_removed, " +
+        "CAST(((n_docs - n_unique) * 1000) // n_docs AS BIGINT) AS dup_pm FROM r"),
     "q_good_turing" ->
       ("WITH u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents " +
         "WHERE length(trim(text)) > 0), " +

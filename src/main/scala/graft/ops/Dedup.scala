@@ -76,6 +76,23 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("content_md5"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
 
+  /** Per-source exact-dedup lift — the datasheet row every curation run
+    * reports (how much of each source survives dedup; a source whose
+    * dup_pm spikes between crawls is re-serving old content): docs,
+    * distinct contents, duplicates removed, and the per-mille removal
+    * rate. One (source, md5) map-side-combined count, then a |sources|-
+    * bounded rollup — the standard two-phase distinct shape, no row
+    * carries text past the first projection.
+    */
+  def dedupLift(docs: DataFrame): DataFrame =
+    docs.select(col("source"), md5(col("text").cast("binary")).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_unique"))
+      .withColumn("n_removed", col("n_docs") - col("n_unique"))
+      .withColumn("dup_pm", expr("(n_removed * 1000L) div n_docs"))
+
   /** Word n-gram shingle hashes per doc: (doc_id, shingle). NOT globally
     * deduplicated — a global `.distinct()` would shuffle the whole shingle
     * table before any aggregation. Every consumer applies set semantics

@@ -619,6 +619,17 @@ class OpsSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Long)].collect().toSet shouldBe got.toSet
   }
 
+  test("dedupLift: planted per-source duplicate rates") {
+    val docs = Seq(
+      (1L, "same text", "s1"), (2L, "same text", "s1"), (3L, "same text", "s1"),
+      (4L, "other", "s1"),
+      (5L, "a", "s2"), (6L, "b", "s2"))
+      .toDF("doc_id", "text", "source")
+    graft.ops.Dedup.dedupLift(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet shouldBe
+      Set(("s1", 4L, 2L, 2L, 500L), ("s2", 2L, 2L, 0L, 0L))
+  }
+
   test("goodTuring: hand-computed adjusted counts; empty successor class") {
     // a:3 b:1 c:1 d:2 e:2 f:2 → spectrum S1=2, S2=3, S3=1
     val docs = Seq((1L, "a a a b c"), (2L, "d d e e f f")).toDF("doc_id", "text")
