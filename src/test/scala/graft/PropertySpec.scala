@@ -213,4 +213,52 @@ class PropertySpec extends AnyFunSuite with Matchers {
       got shouldBe want
     }
   }
+
+  test("phrase automaton == brute-force positional count on random dictionaries") {
+    val genTok = Gen.oneOf("a", "b", "c", "ab")
+    val genPhrase = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, genTok))
+    val genCase = for {
+      dict <- Gen.chooseNum(1, 5).flatMap(k => Gen.listOfN(k, genPhrase))
+      toks <- Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, genTok))
+    } yield (dict, toks)
+    forAll(genCase, n = 300) { case (dict, toks) =>
+      val ac = new graft.functions.PhraseAc(dict.map(_.toSeq))
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(t =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)).toArray[Any])
+      // brute force: every dict entry (duplicates included) at every position
+      val brute = dict.map { p =>
+        (0 to toks.length - p.length).count(i => toks.slice(i, i + p.length) == p)
+      }.sum.toLong
+      ac.hits(arr) shouldBe brute
+    }
+  }
+
+  test("pointer-doubling redirect resolution == naive chain walk on random acyclic maps") {
+    val spark = SparkSessions.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(8, 24)
+      // dst strictly below src → acyclic by construction, like redirectEdges
+      redirects <- Gen.sequence[List[Option[(Int, Int)]], Option[(Int, Int)]](
+        (1 until n).toList.map { s =>
+          Gen.option(Gen.chooseNum(0, s - 1).map(d => (s, d)))
+        }).map(_.flatten)
+    } yield (n, redirects)
+    forAll(gen, n = 6) { case (n, redirects) =>
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val edf = if (redirects.isEmpty)
+        Seq.empty[(Long, Long)].toDF("src", "dst")
+      else redirects.map { case (s, d) => (s.toLong, d.toLong) }.toDF("src", "dst")
+      val m = redirects.map { case (s, d) => s.toLong -> d.toLong }.toMap
+      def walk(v: Long): (Long, Long) = {
+        var c = v; var h = 0L
+        while (m.contains(c)) { c = m(c); h += 1 }
+        (c, h)
+      }
+      graft.ops.Graph.resolveRedirects(nodes, edf)
+        .as[(Long, Long, Long)].collect()
+        .foreach { case (v, f, h) => (f, h) shouldBe walk(v) }
+    }
+  }
 }
