@@ -475,6 +475,14 @@ object SparkEntry {
       val docs = docsTable(s, dir)
       Graph.topAnchors(Graph.anchorEdges(docs), k = 3)
     }),
+    // anchor-uniformity spam flag: targets whose inlink anchors are
+    // dominated by one term (link-farm boost signal) — per-target rollup
+    // + one join-back for the dominant anchor, no window
+    "q_anchor_spam" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Graph.anchorSpam(Graph.anchorEdges(docs),
+        minMentions = 3, minSharePm = 600)
+    }),
     // exact radius-2 in-neighborhood / truncated harmonic centrality
     // (HyperBall's quantity computed exactly while exactness is affordable):
     // hub mids are dropped before the 2-hop self-join by an in-degree cap
@@ -1492,6 +1500,24 @@ object SparkEntry {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, anchor, " +
         "CAST(n_mentions AS BIGINT) AS n_mentions, CAST(rnk AS BIGINT) AS rnk " +
         "FROM rk WHERE rnk <= 3"),
+    "q_anchor_spam" ->
+      ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
+        "('0x' || substr(md5(d.text || ':a' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
+        "('0x' || substr(md5(d.text || ':a0'), 1, 8))::BIGINT AS h0, " +
+        "string_split(d.text, ' ') AS toks " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "e AS (SELECT DISTINCT src, h % (src + 1) AS dst, " +
+        "toks[CAST(h % len(toks) AS INT) + 1] AS anchor FROM e0 " +
+        "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +
+        "c AS (SELECT dst AS doc_id, anchor, count(*) AS n FROM e GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, sum(n) AS n_mentions, max(n) AS top_n FROM c GROUP BY 1) " +
+        "SELECT CAST(c.doc_id AS BIGINT) AS doc_id, " +
+        "CAST(t.n_mentions AS BIGINT) AS n_mentions, CAST(t.top_n AS BIGINT) AS top_n, " +
+        "min(c.anchor) AS top_anchor, " +
+        "CAST((t.top_n * 1000) // t.n_mentions AS BIGINT) AS top_share_pm, " +
+        "(t.n_mentions >= 3 AND (t.top_n * 1000) // t.n_mentions >= 600) AS spam_flag " +
+        "FROM c JOIN t USING (doc_id) WHERE c.n = t.top_n " +
+        "GROUP BY 1, 2, 3, 5, 6"),
     "q_harmonic_2hop" ->
       ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
         "('0x' || substr(md5(d.text || ':' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +

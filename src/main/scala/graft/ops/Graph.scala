@@ -500,6 +500,41 @@ object Graph {
         col("n1") * 1000000L + col("n2") * 500000L)
   }
 
+  /** Anchor-uniformity spam flag (Davison 2000 companion to
+    * [[topAnchors]]): a target whose inlink anchors are dominated by ONE
+    * term was likely boosted by a link farm — organic inlinks describe a
+    * page many ways. Per target: total mentions, the dominant anchor's
+    * count (ties by anchor text — total order), the per-mille share, and
+    * the flag at `minSharePm` (only meaningful above `minMentions`; low-
+    * degree targets are never flagged — two mentions agreeing is not
+    * evidence). Same scale shape as topAnchors: one (dst, anchor) count
+    * over the edge list, then a df-collapsed per-target max — via
+    * max(struct), no window at all.
+    */
+  def anchorSpam(anchors: DataFrame, minMentions: Int = 4,
+                 minSharePm: Int = 800): DataFrame = {
+    require(minMentions >= 1, s"minMentions must be >= 1, got $minMentions")
+    require(minSharePm >= 0 && minSharePm <= 1000,
+      s"minSharePm must be in [0,1000], got $minSharePm")
+    val counts = anchors.groupBy(col("dst").as("doc_id"), col("anchor"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    // dominant anchor by (count desc, anchor asc): a per-target rollup,
+    // then one join back on (doc_id, n == top_n) taking min(anchor) —
+    // both sides df-collapsed aggregates, no window anywhere
+    val tot = counts.groupBy("doc_id")
+      .agg(sum(col("n")).cast("long").as("n_mentions"),
+        max(col("n")).cast("long").as("top_n"))
+    counts.join(tot, Seq("doc_id"))
+      .where(col("n") === col("top_n"))
+      .groupBy("doc_id", "n_mentions", "top_n")
+      .agg(min(col("anchor")).as("top_anchor"))
+      .withColumn("top_share_pm", expr("(top_n * 1000L) div n_mentions"))
+      .withColumn("spam_flag",
+        col("n_mentions") >= minMentions && col("top_share_pm") >= minSharePm)
+      .select(col("doc_id"), col("n_mentions"), col("top_n"),
+        col("top_anchor"), col("top_share_pm"), col("spam_flag"))
+  }
+
   /** Log₂-bucketed degree histogram — the corpus-datasheet power-law check
     * (a web graph whose in-degree tail is NOT heavy means the anchor
     * parser broke). bucket = bit-length of the degree (0 for degree 0), an

@@ -250,6 +250,24 @@ class GraphSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("anchorSpam: dominance share, tie toward lowest anchor, degree floor") {
+    val anchors = Seq(
+      // target 1: spark×4 of 5 mentions → 800‰, flagged
+      (10L, 1L, "spark"), (11L, 1L, "spark"), (12L, 1L, "spark"),
+      (13L, 1L, "spark"), (14L, 1L, "query"),
+      // target 2: 2/2 uniform but below the degree floor → not flagged
+      (10L, 2L, "scan"), (11L, 2L, "scan"),
+      // target 3: tie 2-2 → top anchor is the lexicographically lowest
+      (10L, 3L, "batch"), (11L, 3L, "batch"), (12L, 3L, "agg"), (13L, 3L, "agg"))
+      .toDF("src", "dst", "anchor")
+    val got = Graph.anchorSpam(anchors, minMentions = 3, minSharePm = 700)
+      .as[(Long, Long, Long, String, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    got(1L) shouldBe ((5L, 4L, "spark", 800L, true))
+    got(2L) shouldBe ((2L, 2L, "scan", 1000L, false))
+    got(3L) shouldBe ((4L, 2L, "agg", 500L, false))
+  }
+
   test("neighborhood2: hand-traced levels, d1 exclusion, live mid cap") {
     // 1→0, 2→1, 3→2, 2→0, 4→1: d1(0)={1,2}, d1(1)={2,4}, d1(2)={3}
     val nodes = (0L to 4L).toDF("doc_id")
