@@ -475,6 +475,17 @@ object SparkEntry {
       val docs = docsTable(s, dir)
       Graph.topAnchors(Graph.anchorEdges(docs), k = 3)
     }),
+    // alias-chain depth histogram over the resolved redirect map — the
+    // datasheet row that sizes the doubling-round count (max hops →
+    // ceil(log2) rounds) and watches alias sprawl between crawls
+    "q_redirect_stats" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      Graph.resolveRedirects(docs.select(col("doc_id")),
+          Graph.redirectEdges(docs))
+        .groupBy("hops")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("final_id")).cast("long").as("n_targets"))
+    }),
     // anchor-uniformity spam flag: targets whose inlink anchors are
     // dominated by one term (link-farm boost signal) — per-target rollup
     // + one join-back for the dominant anchor, no window
@@ -1500,6 +1511,19 @@ object SparkEntry {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, anchor, " +
         "CAST(n_mentions AS BIGINT) AS n_mentions, CAST(rnk AS BIGINT) AS rnk " +
         "FROM rk WHERE rnk <= 3"),
+    "q_redirect_stats" ->
+      ("WITH RECURSIVE d0 AS (SELECT doc_id, " +
+        "('0x' || substr(md5(text || ':r'), 1, 8))::BIGINT AS h FROM documents), " +
+        "f AS (SELECT doc_id AS src, h % doc_id AS dst FROM d0 " +
+        "WHERE doc_id > 0 AND h % 1000 < 400), " +
+        "walk AS (SELECT src AS doc_id, dst AS cur, 1 AS hops FROM f " +
+        "UNION ALL SELECT w.doc_id, f2.dst, w.hops + 1 FROM walk w JOIN f f2 ON w.cur = f2.src), " +
+        "term AS (SELECT doc_id, cur AS final_id, hops FROM walk " +
+        "WHERE cur NOT IN (SELECT src FROM f)), " +
+        "res AS (SELECT d.doc_id, coalesce(t.final_id, d.doc_id) AS final_id, " +
+        "coalesce(t.hops, 0) AS hops FROM documents d LEFT JOIN term t USING (doc_id)) " +
+        "SELECT CAST(hops AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT final_id) AS BIGINT) AS n_targets FROM res GROUP BY 1"),
     "q_anchor_spam" ->
       ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
         "('0x' || substr(md5(d.text || ':a' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
