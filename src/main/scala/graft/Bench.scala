@@ -103,10 +103,19 @@ object Bench {
       s""""query_rows":$qrows,"failed_queries":$failed,"cpus":$cpus}""")
     // ...then the contract line LAST, compact, so a tail window always
     // captures the per-query timings intact
-    println(
+    val contract =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extraction":{"mode":"custom","docs":$docs,"spans":$spans,"secs":${ms(extractSec)},""" +
-      s""""docs_per_sec":${ms(dps)},"spans_per_sec":${ms(sps)}},"cpus":$cpus}""")
+      s""""docs_per_sec":${ms(dps)},"spans_per_sec":${ms(sps)}},"cpus":$cpus}"""
+    println(contract)
+    // ALSO write the full contract to a file: at 130+ queries even the
+    // compact line can exceed a bytes-bounded stdout-tail capture (the
+    // round-4 artifact gap — BENCH_r04.json parsed as null). The file is
+    // the durable machine-readable record; stdout stays the driver contract.
+    val contractPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_CONTRACT.json")
+    val pw = new java.io.PrintWriter(contractPath, "UTF-8")
+    try pw.println(contract) finally pw.close()
     spark.stop()
   }
 }

@@ -1281,10 +1281,10 @@ object SparkEntry {
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct, " +
         "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
-        "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopword, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), w -> w IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopword, " +
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS n_tokens, " +
         "CAST(floor(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1000 / greatest(length(text), 1)) AS BIGINT) AS punct_pm, " +
-        "CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','in','is'))) * 1000 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END, 1)) AS BIGINT) AS stopword_pm " +
+        "CAST(floor(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), w -> w IN ('the','a','and','of','to','in','is'))) * 1000 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END, 1)) AS BIGINT) AS stopword_pm " +
         "FROM documents"),
     "q_doc_fingerprint" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_hex FROM documents",
@@ -1315,7 +1315,7 @@ object SparkEntry {
       "WHEN ('0x' || substr(md5(domain), 1, 8))::BIGINT % 1000 < 950 THEN 'val' " +
       "ELSE 'test' END AS split FROM w2"),
     "q_collocations" ->
-      ("WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents " +
+      ("WITH t AS (SELECT regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents " +
         "WHERE length(trim(text)) > 0), " +
         "pr0 AS (SELECT unnest(list_transform(range(1, len(toks)), " +
         "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p FROM t), " +
@@ -1330,7 +1330,7 @@ object SparkEntry {
         "FROM cp JOIN cu ca ON cp.a = ca.w JOIN cu cb ON cp.b = cb.w CROSS JOIN tt) " +
         "SELECT a, b, n_ab, score_pm FROM sc WHERE score_pm >= 400"),
     "q_token_spectrum" ->
-      ("WITH u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents " +
+      ("WITH u AS (SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok FROM documents " +
         "WHERE length(trim(text)) > 0), " +
         "c AS (SELECT tok, count(*) AS tf FROM u GROUP BY 1) " +
         "SELECT CAST(tf AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS n_types " +
@@ -1342,7 +1342,7 @@ object SparkEntry {
         "SELECT source, n_docs, n_unique, n_docs - n_unique AS n_removed, " +
         "CAST(((n_docs - n_unique) * 1000) // n_docs AS BIGINT) AS dup_pm FROM r"),
     "q_good_turing" ->
-      ("WITH u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents " +
+      ("WITH u AS (SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok FROM documents " +
         "WHERE length(trim(text)) > 0), " +
         "c AS (SELECT tok, count(*) AS tf FROM u GROUP BY 1), " +
         "sp AS (SELECT tf, count(*) AS n_types FROM c GROUP BY 1) " +
@@ -1358,8 +1358,8 @@ object SparkEntry {
         "(5, 'hash hash join')) t(q_id, qtext)), " +
         "rel AS (SELECT r.q_id, r.rank FROM r JOIN documents d ON r.doc_id = d.doc_id " +
         "JOIN q ON q.q_id = r.q_id " +
-        "WHERE len(list_filter(list_distinct(string_split(q.qtext, ' ')), " +
-        "t -> NOT list_contains(string_split(d.text, ' '), t))) = 0), " +
+        "WHERE len(list_filter(list_distinct(regexp_split_to_array(trim(q.qtext), '[ \\t\\n\\x0B\\f\\r]+')), " +
+        "t -> NOT list_contains(regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+'), t))) = 0), " +
         "agg AS (SELECT q_id, count(*) AS n_rel_topk, min(rank) AS fr FROM rel GROUP BY 1) " +
         "SELECT CAST(q.q_id AS BIGINT) AS q_id, " +
         "CAST(coalesce(a.n_rel_topk, 0) AS BIGINT) AS n_rel_topk, " +
@@ -1500,8 +1500,9 @@ object SparkEntry {
       ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
         "('0x' || substr(md5(d.text || ':a' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
         "('0x' || substr(md5(d.text || ':a0'), 1, 8))::BIGINT AS h0, " +
-        "string_split(d.text, ' ') AS toks " +
-        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+') AS toks " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j) " +
+        "WHERE length(trim(d.text)) > 0), " +
         "e AS (SELECT DISTINCT src, h % (src + 1) AS dst, " +
         "toks[CAST(h % len(toks) AS INT) + 1] AS anchor FROM e0 " +
         "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +
@@ -1528,8 +1529,9 @@ object SparkEntry {
       ("WITH e0 AS (SELECT d.doc_id AS src, r.j, " +
         "('0x' || substr(md5(d.text || ':a' || r.j::VARCHAR), 1, 8))::BIGINT AS h, " +
         "('0x' || substr(md5(d.text || ':a0'), 1, 8))::BIGINT AS h0, " +
-        "string_split(d.text, ' ') AS toks " +
-        "FROM documents d CROSS JOIN range(0,3) AS r(j)), " +
+        "regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+') AS toks " +
+        "FROM documents d CROSS JOIN range(0,3) AS r(j) " +
+        "WHERE length(trim(d.text)) > 0), " +
         "e AS (SELECT DISTINCT src, h % (src + 1) AS dst, " +
         "toks[CAST(h % len(toks) AS INT) + 1] AS anchor FROM e0 " +
         "WHERE j < 1 + (h0 % 3) AND h % (src + 1) <> src), " +

@@ -370,13 +370,33 @@ object Graph {
     var ptr = Dedup.materialize(
       redirects.select(col("src"), col("dst").as("cur"), lit(1L).as("hops")),
       reliableCheckpointDir)
+    // PRECONDITION guard: the map must be a FUNCTION of src — one dst per
+    // src. [[redirectEdges]] guarantees this by construction, but a real
+    // crawl's alias table may not, and a multi-valued src silently fans the
+    // self-join out into duplicate doc_id rows with ambiguous final_id/hops
+    // (ADVICE round 4). One cheap aggregate on the just-materialized table
+    // (2 longs/row, far smaller than the corpus) turns that into a loud
+    // failure before any doubling work runs.
+    val fn = ptr.agg(count(lit(1)).as("n"),
+      countDistinct(col("src")).as("d")).head()
+    if (fn.getLong(0) != fn.getLong(1)) {
+      Dedup.releaseCheckpoint(ptr)
+      throw new IllegalArgumentException(
+        s"resolveRedirects: redirect map is not a function of src — " +
+        s"${fn.getLong(0)} edges over ${fn.getLong(1)} distinct src; " +
+        "collapse multi-valued aliases (e.g. min(dst) per src) first")
+    }
     var rounds = 0
     var advanced = 1L
     while (advanced > 0) {
       rounds += 1
-      if (rounds > 20)
+      if (rounds > 20) {
+        // release before throwing: the last round's checkpoint blocks must
+        // not outlive the failed call (ADVICE round 4)
+        Dedup.releaseCheckpoint(ptr)
         throw new IllegalStateException(
           "resolveRedirects: no fixpoint after 20 doubling rounds — the redirect map is cyclic")
+      }
       val next = Dedup.materialize(
         ptr.join(
             ptr.select(col("src").as("cur"), col("cur").as("cur2"),
@@ -410,6 +430,12 @@ object Graph {
     * Distinct triples (one link may carry different anchors from different
     * mentions — both survive; duplicate mentions collapse). Pure
     * projection + explode; the distinct is the only shuffle.
+    *
+    * Tokenization is the engine-wide canonical one (trim + `[ \t\n\x0B\f\r]+`,
+    * [[TextOps.toksOrEmpty]] — ADVICE round 4: this op previously split on a
+    * literal single space, diverging from every other text op on tabbed /
+    * multi-space text). A token-less (blank) document emits NO anchor edges —
+    * there is no token to select an anchor from.
     */
   def anchorEdges(docs: DataFrame, maxFanout: Int = 3): DataFrame = {
     require(maxFanout >= 1, s"maxFanout must be >= 1, got $maxFanout")
@@ -417,7 +443,7 @@ object Graph {
       conv(substring(md5(concat(col("text"), lit(":a" + j)).cast("binary")), 1, 8),
         16, 10).cast("long")
     val src = Dedup.idLong(col("doc_id"), "doc_id")
-    val toks = split(col("text"), " ")
+    val toks = TextOps.toksOrEmpty(col("text"))
     val fanout = lit(1) + (h(0) % maxFanout)
     val cands = (0 until maxFanout).map { j =>
       when(lit(j) < fanout,
@@ -425,7 +451,8 @@ object Graph {
           element_at(toks, (h(j) % size(toks)).cast("int") + 1).as("anchor")))
         .otherwise(lit(null))
     }
-    docs.select(src.as("src"), explode(array(cands: _*)).as("e"))
+    docs.where(length(trim(col("text"))) > 0)
+      .select(src.as("src"), explode(array(cands: _*)).as("e"))
       .where(col("e").isNotNull && col("e.dst") =!= col("src"))
       .select(col("src"), col("e.dst").as("dst"), col("e.anchor").as("anchor"))
       .distinct()

@@ -118,7 +118,9 @@ object TextOps {
     val nChars = length(t)
     val punct = length(regexp_replace(t, "[^.!?,;:]", ""))
     val digits = length(regexp_replace(t, "[^0-9]", ""))
-    val stop = size(filter(split(t, " "),
+    // canonical tokenizer (trim + WsPlus), same as every other text op —
+    // a single-space split misses stopwords on tabbed/multi-space text
+    val stop = size(filter(toksOrEmpty(t),
       w => w.isin("the", "a", "and", "of", "to", "in", "is")))
     val tokens = tokenCount(t)
     docs.select(
