@@ -547,6 +547,14 @@ object SparkEntry {
     // first occurrence kept, later copies cut, cleaned text md5-pinned
     "q_doc_seg_clean" -> ((s, dir) =>
       Dedup.removeDupSegments(docsTable(s, dir), seg = 20)),
+    // full variable-alignment ExactSubstr (Lee et al. 2022): the maximal
+    // duplicated spans themselves, gated against a sequential SUFFIX-ARRAY
+    // golden (independent construction — the engine uses the equivalent
+    // stride-1 window union)
+    "q_exact_substr" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Dedup.exactSubstrSpans(docsTable(s, dir), minLen = 20)
+    }),
     // SemDeDup cluster-then-dedup over the embeddings (+ the same planted
     // perturbed copies as q_emb_near_dup, so true semantic dups exist)
     "q_semantic_dedup" -> ((s, dir) => {
@@ -1671,6 +1679,9 @@ object SparkEntry {
         "CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows, " +
         "CAST((coalesce(d.n_dup, 0) * 1000) // b.n_windows AS BIGINT) AS dup_pm " +
         "FROM b LEFT JOIN d USING (doc_id)"),
+    "q_exact_substr" ->
+      ("SELECT doc_id, start_tok, end_tok, len_toks " +
+        "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/exactsub/*.parquet')"),
     "q_doc_seg_clean" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
         "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks FROM documents), " +

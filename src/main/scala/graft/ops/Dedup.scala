@@ -951,6 +951,70 @@ object Dedup {
         md5(concat_ws(" ", cleaned).cast("binary")).as("clean_md5"))
   }
 
+  /** Variable-alignment EXACT-SUBSTRING duplicate spans — the full
+    * ExactSubstr discipline of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", §3.1): every maximal region of a
+    * document covered by SOME token span of length ≥ `minLen` that occurs at
+    * least twice anywhere in the corpus (another doc OR the same doc),
+    * regardless of alignment. [[removeDupSegments]] restates the removal at
+    * fixed non-overlapping segments (cheap, alignment-limited);
+    * [[dupWindows]] counts stride-1 duplicated windows but never locates
+    * them. This op emits the actual spans: (doc_id, start_tok,
+    * end_tok exclusive, len_toks) — `flatten`-subtract them to reproduce the
+    * paper's "remove every duplicated substring" corpus edit.
+    *
+    * WHY stride-1 windows equal the suffix-array construction: a duplicated
+    * span of length m ≥ L contains a duplicated L-window at EVERY offset
+    * 0..m−L, so ∪ᵢ[i, i+maxmatch(i)) over suffix-array maxmatches ≥ L (the
+    * textbook ExactSubstr coverage) equals ∪ₚ[p, p+L) over duplicated
+    * stride-1 L-windows — the two constructions mark the same position set,
+    * and therefore the same maximal runs. The sequential oracle computes the
+    * left side with a real suffix array (OpsOracle.exactSubstrSpans); this
+    * op computes the right side, which distributes.
+    *
+    * Scale shape: windows become 16-byte md5s map-side off the scan (same
+    * discipline as [[dupWindows]] — the text never shuffles). Exchange 1:
+    * groupBy(hash) count with map-side combine (a long, never a posting
+    * list — boilerplate hashes are safe). Exchange 2: the window stream
+    * left-semi-joins the `count > 1` hash set (cannot multiply rows; hot
+    * hashes are AQE-splittable). Exchange 3: covered window-starts group by
+    * DOC for the run merge — per-doc windowed gaps-and-islands, state
+    * bounded by one document's token count (the engine's page/doc-local
+    * bound, same as reading order). No pair is ever emitted — unlike the
+    * near-dup families there is no quadratic expansion to cap.
+    */
+  def exactSubstrSpans(docs: DataFrame, minLen: Int = 20): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val base = docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"),
+        TextOps.splitToks(col("text")).as("toks"))
+      .where(length(trim(col("text"))) > 0 && size(col("toks")) >= minLen)
+    val wins = base.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), size(col("toks")) - minLen),
+        i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(minLen)))
+          .cast("binary")))).as(Seq("pos", "h")))
+    val dupHashes = wins.groupBy("h")
+      .agg(count(lit(1)).as("tot"))
+      .where(col("tot") > 1)
+      .select("h")
+    val covered = wins.join(dupHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands over the covered window STARTS: all intervals are
+    // [pos, pos+minLen), so coverage is contiguous exactly while consecutive
+    // starts differ by ≤ minLen — a gap > minLen opens a new run
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    covered
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > minLen, 1)
+          .otherwise(0))
+      .withColumn("run", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + minLen).cast("long").as("end_tok"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("len_toks"))
+  }
+
   /** Benchmark decontamination: flag every training document sharing at
     * least one word n-gram with an evaluation/benchmark text (the GPT-3 /
     * PaLM eval-overlap discipline, usually run with n = 13; n is a

@@ -1129,6 +1129,101 @@ object OpsOracle {
       .filter(_._3 >= minShared).toSeq.sorted
   }
 
+  /** Sequential `Dedup.exactSubstrSpans` ground truth via a REAL suffix
+    * array (Lee et al. 2022's construction, not the engine's stride-1
+    * window restatement — the two are proven equivalent in the engine's
+    * scaladoc, and this independence is the point of the oracle):
+    *
+    * 1. intern every token to an int id; concatenate all docs' id streams
+    *    with a UNIQUE negative separator id per doc (so no match can bridge
+    *    documents, and every suffix comparison terminates);
+    * 2. suffix array by direct lexicographic sort, LCP by Kasai;
+    * 3. maxmatch(i) = max(lcp[rank(i)], lcp[rank(i)+1]) — the longest
+    *    prefix of suffix i occurring elsewhere in the corpus;
+    * 4. coverage = ∪ { [i, i+maxmatch(i)) : maxmatch(i) ≥ minLen };
+    * 5. per doc, emit maximal contiguous covered runs as
+    *    (doc_id, start_tok, end_tok exclusive, len_toks).
+    *
+    * Tokenization matches the engine's splitToks (space-trim, split on the
+    * explicit whitespace class, limit −1).
+    */
+  def exactSubstrSpans(docs: Seq[(Long, String)],
+                       minLen: Int): Seq[(Long, Long, Long, Long)] = {
+    def toks(text: String): Array[String] = {
+      var i0 = 0; var i1 = text.length
+      while (i0 < i1 && text.charAt(i0) == ' ') i0 += 1
+      while (i1 > i0 && text.charAt(i1 - 1) == ' ') i1 -= 1
+      val t = text.substring(i0, i1)
+      if (t.isEmpty) Array.empty[String]
+      else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    }
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // (docIdx, tokPos) per stream slot; (-1, -1) marks a separator
+    val meta = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val docSeq = docs.toIndexedSeq
+    docSeq.zipWithIndex.foreach { case ((_, text), d) =>
+      val ts = toks(text)
+      var p = 0
+      while (p < ts.length) {
+        ids += dict.getOrElseUpdate(ts(p), dict.size)
+        meta += ((d, p))
+        p += 1
+      }
+      ids += -(d + 1) // unique separator, never equal to any token or sep
+      meta += ((-1, -1))
+    }
+    val a = ids.toArray
+    val n = a.length
+    val sa = Array.range(0, n).sortWith { (x, y) =>
+      var i = x; var j = y
+      while (i < n && j < n && a(i) == a(j)) { i += 1; j += 1 }
+      if (i == n) j != n else if (j == n) false else a(i) < a(j)
+    }
+    val rank = new Array[Int](n)
+    var r = 0
+    while (r < n) { rank(sa(r)) = r; r += 1 }
+    val lcp = new Array[Int](n) // lcp(r) = LCP(sa(r-1), sa(r)); lcp(0) = 0
+    var h = 0
+    var i = 0
+    while (i < n) {
+      val ri = rank(i)
+      if (ri > 0) {
+        val j = sa(ri - 1)
+        while (i + h < n && j + h < n && a(i + h) == a(j + h)) h += 1
+        lcp(ri) = h
+        if (h > 0) h -= 1
+      } else h = 0
+      i += 1
+    }
+    val covered = new Array[Boolean](n)
+    i = 0
+    while (i < n) {
+      val ri = rank(i)
+      val m = math.max(lcp(ri), if (ri + 1 < n) lcp(ri + 1) else 0)
+      if (m >= minLen) {
+        var p = i
+        while (p < i + m) { covered(p) = true; p += 1 }
+      }
+      i += 1
+    }
+    // separators carry unique ids so no maxmatch ever covers one — runs
+    // cannot straddle documents; still, meta guards the doc boundary.
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    i = 0
+    while (i < n) {
+      if (covered(i) && meta(i)._1 >= 0) {
+        val (d, start) = meta(i)
+        var j = i
+        while (j < n && covered(j) && meta(j)._1 == d) j += 1
+        val len = j - i
+        out += ((docSeq(d)._1, start.toLong, (start + len).toLong, len.toLong))
+        i = j
+      } else i += 1
+    }
+    out.toSeq.sorted
+  }
+
   // ---- link graph / pagerank ----------------------------------------------
 
   /** Sequential `Graph.linkEdges`: the same md5-keyed derivation
@@ -1577,7 +1672,7 @@ object OpsGolden {
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
     "incnd", "pagerank", "trustrank", "hits", "sblm", "winnow", "srcover",
-    "ugv", "ugenc")
+    "ugv", "ugenc", "exactsub")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1612,6 +1707,11 @@ object OpsGolden {
     write("winnow",
       OpsOracle.winnowPairs(docs, k = 8, w = 16, minShared = 2, maxDf = 32),
       Seq("a", "b", "n_shared"))
+    // suffix-array ExactSubstr spans — the engine recomputes them via the
+    // equivalent stride-1 window construction (Dedup.exactSubstrSpans)
+    write("exactsub",
+      OpsOracle.exactSubstrSpans(docs, minLen = 20),
+      Seq("doc_id", "start_tok", "end_tok", "len_toks"))
     write("srcover", {
       val srcs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "source").as[(Long, String)].collect().toMap

@@ -2140,4 +2140,49 @@ class OpsSpec extends AnyFunSuite with Matchers {
       byId(i)._4 shouldBe 1L
     }
   }
+
+  test("exact-substring spans: misaligned duplicates that fixed segments miss") {
+    // a 25-token run planted at DIFFERENT offsets (3 and 7) in two docs —
+    // no fixed 20-token segment boundary aligns, so removeDupSegments
+    // provably cannot see it; exactSubstrSpans must locate it exactly
+    val run = (1 to 25).map(i => s"r$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5"),          // run at toks [3, 28)
+      (2L, s"b1 b2 b3 b4 b5 b6 b7 $run"),    // run at toks [7, 32)
+      (3L, "entirely unique tokens that appear nowhere else in this corpus"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(planted, minLen = 20)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    got shouldBe Set((1L, 3L, 28L, 25L), (2L, 7L, 32L, 25L))
+    // the fixed-segment op removes NOTHING here — the misalignment blinds it
+    Dedup.removeDupSegments(planted, seg = 20)
+      .where($"n_removed" > 0).count() shouldBe 0L
+    // within-doc repetition is duplication too; runs separated by a gap
+    // > minLen stay separate spans
+    val gap = (1 to 21).map(i => s"g$i").mkString(" ")
+    val internal = Seq((9L, s"$run $gap $run")).toDF("doc_id", "text")
+    Dedup.exactSubstrSpans(internal, minLen = 20)
+      .as[(Long, Long, Long, Long)].collect().toSet shouldBe
+      Set((9L, 0L, 25L, 25L), (9L, 46L, 71L, 25L))
+    // adjacent copies merge into one maximal span (71 covered positions)
+    val adjacent = Seq((8L, s"$run $run $run")).toDF("doc_id", "text")
+    Dedup.exactSubstrSpans(adjacent, minLen = 20)
+      .as[(Long, Long, Long, Long)].head() shouldBe ((8L, 0L, 75L, 75L))
+  }
+
+  test("exact-substring spans: corpus equals suffix-array oracle, parallelism-invariant") {
+    // the engine computes coverage via duplicated stride-1 windows; the
+    // oracle builds a REAL suffix array (Kasai LCP, maxmatch union) — the
+    // scaladoc's equivalence proof is exercised end-to-end here
+    val local = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val want = oracle.OpsOracle.exactSubstrSpans(local, minLen = 20).toSet
+    val got = Dedup.exactSubstrSpans(docs, minLen = 20)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    got shouldBe want
+    want should not be empty // the gate corpus plants near/exact dups
+    val again = Dedup.exactSubstrSpans(docs.repartition(7), minLen = 20)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    again shouldBe want
+  }
 }
