@@ -139,6 +139,23 @@ object SparkEntry {
         .map { case (id, html) => (id, graft.parse.HtmlText.htmlToMarkdownAtx(html)) }
         .toDF("doc_id", "md_from_html_atx")
     }),
+    // deterministic HTML-format verification (the verify_html_formatting
+    // analog, gemini_corrector.py:568–627): five-category lint scored to the
+    // reference's JSON output contract; golden computed by the sequential
+    // oracle, scalar semantics pinned by HtmlVerifySpec's hand-broken vectors
+    "x_html_verify" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).select(col("doc_id"), col("html")).as[(String, String)]
+        .map { case (id, html) =>
+          val r = graft.parse.HtmlVerify.verify(html)
+          (id, r.alignmentIssues.size.toLong, r.spacingIssues.size.toLong,
+            r.tableIssues.size.toLong, r.fontSizeIssues.size.toLong,
+            r.boldIssues.size.toLong, r.overallScore.toLong,
+            if (r.needsCorrection) 1L else 0L, r.toJson)
+        }
+        .toDF("doc_id", "n_alignment", "n_spacing", "n_table", "n_font_size",
+          "n_bold", "overall_score", "needs_correction", "report_json")
+    }),
     // interleaved-payload composition profile: per-doc span-kind counts,
     // media-linking volume and text mass — pure in-row HOFs over the spans
     // array straight off the extraction node, ZERO shuffle (the analytics
@@ -1216,6 +1233,10 @@ object SparkEntry {
       "SELECT doc_id, md_from_html FROM read_parquet('/root/repo/data/golden_htmlmd/sf0.01/*.parquet')",
     "x_html_to_markdown_atx" ->
       "SELECT doc_id, md_from_html_atx FROM read_parquet('/root/repo/data/golden_htmlmd_atx/sf0.01/*.parquet')",
+    "x_html_verify" ->
+      ("SELECT doc_id, n_alignment, n_spacing, n_table, n_font_size, n_bold, " +
+        "overall_score, needs_correction, report_json " +
+        "FROM read_parquet('/root/repo/data/golden_verify/sf0.01/*.parquet')"),
     "x_extract_totals" ->
       "SELECT total_docs, total_spans, total_failures, avg_conf_pm FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
     "x_extract_metrics" ->

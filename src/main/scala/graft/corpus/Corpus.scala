@@ -23,6 +23,7 @@ object Corpus {
   def goldenMetricsPath(sf: String): String = s"$Root/golden_metrics/$sf"
   def goldenHtmlMdPath(sf: String): String = s"$Root/golden_htmlmd/$sf"
   def goldenHtmlMdAtxPath(sf: String): String = s"$Root/golden_htmlmd_atx/$sf"
+  def goldenVerifyPath(sf: String): String = s"$Root/golden_verify/$sf"
 
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
@@ -66,7 +67,8 @@ object Corpus {
     if (!exists(spansPath) || !exists(goldenMdPath(sf)) ||
         !exists(goldenHtmlPath(sf)) || !exists(goldenCorrectedPath(sf)) ||
         !exists(goldenTotalsPath(sf)) || !exists(goldenMetricsPath(sf)) ||
-        !exists(goldenHtmlMdPath(sf)) || !exists(goldenHtmlMdAtxPath(sf))) {
+        !exists(goldenHtmlMdPath(sf)) || !exists(goldenHtmlMdAtxPath(sf)) ||
+        !exists(goldenVerifyPath(sf))) {
       import spark.implicits._
       val spec = CorpusGen.specFor(sf)
       // ONE parse pass per doc yields both the golden surfaces and the
@@ -89,6 +91,17 @@ object Corpus {
       golden.map(e => (e.doc_id, graft.parse.HtmlText.htmlToMarkdownAtx(e.html)))
         .toDF("doc_id", "md_from_html_atx")
         .write.mode(SaveMode.Overwrite).parquet(goldenHtmlMdAtxPath(sf))
+      // deterministic HTML-format verification report per doc
+      // (verify_html_formatting analog; gemini_corrector.py:568–627)
+      golden.map { e =>
+        val r = graft.parse.HtmlVerify.verify(e.html)
+        (e.doc_id, r.alignmentIssues.size.toLong, r.spacingIssues.size.toLong,
+          r.tableIssues.size.toLong, r.fontSizeIssues.size.toLong,
+          r.boldIssues.size.toLong, r.overallScore.toLong,
+          if (r.needsCorrection) 1L else 0L, r.toJson)
+      }.toDF("doc_id", "n_alignment", "n_spacing", "n_table", "n_font_size",
+          "n_bold", "overall_score", "needs_correction", "report_json")
+        .write.mode(SaveMode.Overwrite).parquet(goldenVerifyPath(sf))
       golden.map { e =>
         val r = graft.parse.Corrector.correct(e.markdown)
         (e.doc_id, r.corrected, r.regexFired.toLong,
