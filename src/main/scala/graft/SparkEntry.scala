@@ -1039,6 +1039,17 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
           floor(col("score") * 1000).cast("long").as("score_pm"))
     }),
+    // IVF-PQ memory tier: coarse cells + product-quantized residual codes
+    // (m=8 sub-bytes per vector instead of 64 floats), asymmetric
+    // table-lookup scoring; both codebooks content-hash-seeded + micro-unit
+    // Lloyd-trained → bit-reproducible by the sequential oracle
+    "q_ann_ivfpq_topk" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Similarity.ivfpqTopK(embTable(s, dir), nQueries = 20, k = 5, nCells = 32,
+          nProbe = 4, m = 8, ks = 16, pqIters = 2)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+          floor(col("score") * 1000).cast("long").as("score_pm"))
+    }),
     // near-dups are PLANTED (perturbed copies of the first 20 vectors):
     // the driver corpus has no true embedding near-duplicates, so recall is
     // measured against a known ground truth instead of an empty set
@@ -1621,6 +1632,8 @@ object SparkEntry {
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_ivf_km/*.parquet')",
     "q_ann_q8_topk" ->
       "SELECT q_id, n_id, rank, score_int FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_q8/*.parquet')",
+    "q_ann_ivfpq_topk" ->
+      "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_ivfpq/*.parquet')",
     "q_emb_near_dup" ->
       "SELECT a, b, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')",
     "q_contrastive_pairs" ->

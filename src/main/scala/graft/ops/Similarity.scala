@@ -416,6 +416,209 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ---- IVF-PQ: the memory tier (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011) ------------------------------------
+
+  /** Inner product in the same precision discipline as the engine's cosine
+    * (multiply in FLOAT, accumulate in double) — the shared scoring leaf of
+    * the PQ asymmetric-distance tables.
+    */
+  def ipF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) { val p: Float = a(i) * b(i); dot += p; i += 1 }
+    dot
+  }
+
+  /** Subspace slice `s` of a vector (dims [s·subDim, (s+1)·subDim)). */
+  def subVec(v: Array[Float], s: Int, subDim: Int): Array[Float] =
+    java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)
+
+  /** Coarse residual v − c, component-wise in FLOAT (IEEE-deterministic). */
+  def residualOf(v: Array[Float], c: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i) - c(i); i += 1 }
+    out
+  }
+
+  /** Nearest sub-centroid by squared L2 (subtract/multiply in FLOAT,
+    * accumulate in double; ties → lowest code). The PQ assignment leaf,
+    * shared with the sequential oracle.
+    */
+  def pqNearestCode(sub: Array[Float], book: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < book.length) {
+      val c = book(j)
+      var d = 0.0
+      var i = 0
+      while (i < sub.length) {
+        val diff: Float = sub(i) - c(i)
+        val p: Float = diff * diff
+        d += p
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Per-query ADC lookup tables, flattened to one `Array[Double]` of
+    * m×ks entries: `tables(s·ks + j) = ⟨q_s, books(s)(j)⟩`. Slots past a
+    * book's actual size (corpus smaller than ks) stay 0 and are never
+    * referenced by any emitted code.
+    */
+  def adcTables(q: Array[Float], books: Array[Array[Array[Float]]], ks: Int): Array[Double] = {
+    val m = books.length
+    val subDim = q.length / m
+    val out = new Array[Double](m * ks)
+    var s = 0
+    while (s < m) {
+      val qs = subVec(q, s, subDim)
+      val book = books(s)
+      var j = 0
+      while (j < book.length) { out(s * ks + j) = ipF(qs, book(j)); j += 1 }
+      s += 1
+    }
+    out
+  }
+
+  /** Product-quantization codebooks over a residual corpus: m subspaces ×
+    * ≤ks codes each, trained with `iters` Lloyd rounds of the SAME pinned
+    * micro-unit arithmetic as [[kmeansCodebook]] (floor components to micro
+    * longs, long-sum, floorDiv) — partitioning-invariant and reproducible by
+    * the sequential oracle. Init is id-independent: the ks smallest-content-
+    * hash residual vectors, split into their m sub-vectors (one bounded
+    * TakeOrdered). Each round is ONE distributed pass for ALL m subspaces
+    * jointly — every vector emits its m (subspace·ks + code, sub-vector)
+    * assignments into the map-side-combined [[CellMicroSum]] aggregate, so
+    * the shuffle and the driver collect carry ≤ m×ks primitive-array rows
+    * regardless of corpus size. Driver state is m×ks×subDim = dim×ks floats
+    * (a 1024-dim, ks=256 quantizer is 1 MB) — no scale ceiling.
+    */
+  def pqCodebooks(resids: Dataset[Array[Float]], m: Int, ks: Int,
+                  iters: Int): Array[Array[Array[Float]]] = {
+    val spark = resids.sparkSession
+    import spark.implicits._
+    val seeds = resids
+      .map(v => (contentKey(v), v))
+      .toDF("h", "emb")
+      .orderBy(col("h")).limit(ks)
+      .as[(String, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    require(seeds.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val subDim = dim / m
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(s => Array.tabulate(seeds.length)(j => subVec(seeds(j), s, subDim)))
+    for (_ <- 0 until iters) {
+      val bBooks = spark.sparkContext.broadcast(books)
+      val stats = resids
+        .flatMap { v =>
+          val bs = bBooks.value
+          (0 until m).map { s =>
+            val sub = subVec(v, s, subDim)
+            (s * ks + pqNearestCode(sub, bs(s)), sub)
+          }
+        }
+        .groupByKey(_._1)
+        .agg(CellMicroSum.toColumn.name("stats"))
+        .collect() // ≤ m×ks rows, one primitive long array each
+      val next = books.map(_.map(_.clone()))
+      stats.foreach { case (key, (sums, n)) =>
+        val row = next(key / ks)(key % ks)
+        var d = 0
+        while (d < sums.length) {
+          row(d) = (Math.floorDiv(sums(d), n) / 1e6).toFloat
+          d += 1
+        }
+      }
+      bBooks.destroy()
+      books = next
+    }
+    books
+  }
+
+  /** IVF-PQ ANN top-k — the memory tier 100-TB ANN ships: a coarse IVF
+    * quantizer routes each vector to a cell, the RESIDUAL to its cell
+    * centroid is product-quantized into m sub-codes (1 byte each at
+    * ks ≤ 256), and queries score candidates ASYMMETRICALLY — the query
+    * stays float; a per-query m×ks lookup table turns each candidate's
+    * code word into Σ_s table[s][code_s], so
+    * score = ⟨q, coarse_cell⟩ + ⟨q, r̂⟩ ≈ ⟨q, x⟩ (ranking by inner product,
+    * the PQ-native metric; exact-cosine re-ranking of survivors is the
+    * [[bruteTopK]] composition if needed).
+    *
+    * Scale shape: the candidate join moves ONLY (vec_id, cell, m codes) —
+    * m bytes of payload per corpus vector instead of dim×4 (a 64-dim float
+    * corpus shrinks 32× at m=8; a 1024-dim one 512×) — queries (with their
+    * 128-entry tables at the gate's m=8×ks=16) broadcast, and the scoring
+    * expression is pure codegen'd HOFs over the code array. Both codebooks
+    * are deterministic and id-independent (content-hash init, micro-unit
+    * Lloyd), so the whole index is bit-reproducible by the sequential
+    * oracle at any partitioning.
+    */
+  def ivfpqTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
+                nCells: Int = 0, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
+                pqIters: Int = 2, coarseIters: Int = 0): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cells = if (nCells > 0) nCells else autoCells(embs)
+    val typed = embs.select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val coarse =
+      if (coarseIters > 0) kmeansCodebook(embs, cells, coarseIters)
+      else seedCodebook(embs, cells)
+    val bCoarse = spark.sparkContext.broadcast(coarse)
+    val subDim = coarse(0).length / m
+
+    val resids = typed.map { case (id, v) =>
+      val c = ivfCellOf(v, bCoarse.value)
+      (id, c, residualOf(v, bCoarse.value(c)))
+    }
+    val books = pqCodebooks(resids.map(_._3), m, ks, pqIters)
+    val bBooks = spark.sparkContext.broadcast(books)
+
+    // the compressed index: cell route + m sub-codes, NO float payload
+    val codes = resids.map { case (id, c, r) =>
+      val bs = bBooks.value
+      (id, c, Array.tabulate(m)(s => pqNearestCode(subVec(r, s, subDim), bs(s))))
+    }.toDF("vec_id", "cell", "codes")
+
+    // query branch mirrors ivfTopK (filter BEFORE any typed map); each query
+    // carries its coarse-cell inner product and its flattened ADC tables
+    val queries = embs
+      .select(Dedup.idLong(col("vec_id"), "vec_id"), col("embedding"))
+      .where(col("vec_id") < nQueries)
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val cents = bCoarse.value
+        val tables = adcTables(v, bBooks.value, ks)
+        cents.indices
+          .map(c => (c, graft.oracle.OpsOracle.cosineF(v, cents(c))))
+          .sortBy { case (c, s) => (-s, c) }
+          .take(math.min(nProbe, cents.length))
+          .map { case (c, _) => (id, c, ipF(v, cents(c)), tables) }
+      }
+      .toDF("q_id", "cell", "coarse_ip", "tables")
+
+    // each corpus vector lives in exactly ONE cell and probe cells are
+    // distinct, so (q_id, n_id) pairs are unique — no multi-probe dedup
+    val scored = codes.join(broadcast(queries), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (col("coarse_ip") + aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, s) => element_at(col("tables"), s * lit(ks) + code + lit(1))),
+          lit(0.0d), (a, x) => a + x)).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets with 1-bit
     * multi-probe on one side (recall ≈ 1 for true near-dups: a miss needs
     * ≥2 of nPlanes hyperplanes to split a near-parallel pair). Pairs are

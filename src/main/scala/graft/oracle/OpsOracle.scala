@@ -353,6 +353,87 @@ object OpsOracle {
     }
   }
 
+  /** Sequential `Similarity.pqCodebooks`: content-hash seed init (smallest
+    * ks residuals, split into m sub-vectors), then plain in-memory Lloyd
+    * rounds over the same micro-unit arithmetic. Shares only the
+    * [[Similarity.pqNearestCode]] / [[Similarity.subVec]] leaves; the
+    * one-pass-all-subspaces aggregation is restated sequentially.
+    */
+  def pqCodebooks(resids: Seq[Array[Float]], m: Int, ks: Int,
+                  iters: Int): Array[Array[Array[Float]]] = {
+    val seeds = seedCodebook(resids.map(v => (0L, v)), ks)
+    val dim = seeds(0).length
+    val subDim = dim / m
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(s => Array.tabulate(seeds.length)(j =>
+        Similarity.subVec(seeds(j), s, subDim)))
+    for (_ <- 0 until iters) {
+      val sums = Array.ofDim[Long](m * ks, subDim)
+      val counts = new Array[Long](m * ks)
+      resids.foreach { v =>
+        var s = 0
+        while (s < m) {
+          val sub = Similarity.subVec(v, s, subDim)
+          val key = s * ks + Similarity.pqNearestCode(sub, books(s))
+          counts(key) += 1
+          var d = 0
+          while (d < subDim) {
+            sums(key)(d) += math.floor(sub(d).toDouble * 1e6).toLong; d += 1
+          }
+          s += 1
+        }
+      }
+      books = Array.tabulate(m)(s => Array.tabulate(books(s).length) { j =>
+        val key = s * ks + j
+        if (counts(key) == 0) books(s)(j)
+        else Array.tabulate(subDim)(d =>
+          (Math.floorDiv(sums(key)(d), counts(key)) / 1e6).toFloat)
+      })
+    }
+    books
+  }
+
+  /** Sequential `Similarity.ivfpqTopK`: coarse content-hash (or Lloyd)
+    * codebook, residual PQ codes, cosine-ranked nProbe cells, asymmetric
+    * table scoring (coarse inner product + Σ sub-table lookups), top-k by
+    * (score desc, n_id).
+    */
+  def ivfpqTopK(embs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
+                nCells: Int, nProbe: Int, m: Int, ks: Int,
+                pqIters: Int, coarseIters: Int = 0): Seq[(Long, Long, Int, Double)] = {
+    val coarse =
+      if (coarseIters > 0) kmeansCodebook(embs, nCells, coarseIters)
+      else seedCodebook(embs, nCells)
+    val subDim = coarse(0).length / m
+    val resids = embs.map { case (id, v) =>
+      val c = Similarity.ivfCellOf(v, coarse)
+      (id, c, Similarity.residualOf(v, coarse(c)))
+    }
+    val books = pqCodebooks(resids.map(_._3), m, ks, pqIters)
+    val codes = resids.map { case (id, c, r) =>
+      (id, c, Array.tabulate(m)(s =>
+        Similarity.pqNearestCode(Similarity.subVec(r, s, subDim), books(s))))
+    }
+    embs.filter(_._1 < nQueries).sortBy(_._1).flatMap { case (q, qv) =>
+      val tables = Similarity.adcTables(qv, books, ks)
+      val probed = coarse.indices
+        .map(c => (c, cosineF(qv, coarse(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(math.min(nProbe, coarse.length))
+        .map { case (c, _) => c -> Similarity.ipF(qv, coarse(c)) }.toMap
+      val scored = codes.collect {
+        case (n, nc, ncodes) if n != q && probed.contains(nc) =>
+          // association pinned to the engine expression: the table sum
+          // folds from 0.0 first, THEN adds the coarse inner product
+          var t = 0.0
+          var i = 0
+          while (i < m) { t += tables(i * ks + ncodes(i)); i += 1 }
+          (n, probed(nc) + t)
+      }
+      rankTopK(scored, k).map { case (n, r, s) => (q, n, r, s) }
+    }
+  }
+
   /** Sequential int8 codes (shared arithmetic with `Similarity.quantizeCodes`). */
   def q8Codes(v: Array[Float]): Array[Long] = {
     val scale = v.map(x => math.abs(x)).max.toDouble
@@ -1672,7 +1753,7 @@ object OpsGolden {
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
     "incnd", "pagerank", "trustrank", "hits", "sblm", "winnow", "srcover",
-    "ugv", "ugenc", "exactsub")
+    "ugv", "ugenc", "exactsub", "ann_ivfpq")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1740,6 +1821,11 @@ object OpsGolden {
     write("ann_ivf_km",
       OpsOracle.ivfTopK(embs, nQueries = 20, k = 5, nCells = 32, nProbe = 4,
           trainIters = 3)
+        .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
+      Seq("q_id", "n_id", "rank", "score_pm"))
+    write("ann_ivfpq",
+      OpsOracle.ivfpqTopK(embs, nQueries = 20, k = 5, nCells = 32, nProbe = 4,
+          m = 8, ks = 16, pqIters = 2)
         .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
       Seq("q_id", "n_id", "rank", "score_pm"))
     write("ann_q8",

@@ -1584,6 +1584,40 @@ class OpsSpec extends AnyFunSuite with Matchers {
     rk should be >= 0.5
   }
 
+  test("IVF-PQ: distributed == sequential oracle; recall-vs-float curve (VERDICT r4 item 4)") {
+    val typed = embs.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    // exact distributed/sequential equality at the gate parameters — the PQ
+    // codebooks, codes, probe sets and asymmetric scores are all pinned
+    val dist = Similarity.ivfpqTopK(embs, nQueries = 10, k = 5, nCells = 32,
+        nProbe = 4, m = 8, ks = 16, pqIters = 2)
+      .select($"q_id".cast("long"), $"n_id".cast("long"),
+        $"rank".cast("int"), $"score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val seq = graft.oracle.OpsOracle.ivfpqTopK(typed, nQueries = 10, k = 5,
+        nCells = 32, nProbe = 4, m = 8, ks = 16, pqIters = 2).toSet
+    dist shouldBe seq
+    // recall@5 vs brute-force float ground truth across the quantization
+    // ladder: float IVF >= PQ at the same probe budget (PQ adds code error),
+    // and PQ must stay usable — the curve IS the measurement
+    val truth = graft.oracle.OpsOracle.bruteTopK(typed, nQueries = 10, k = 5)
+      .map { case (q, n, _, _) => (q, n) }.toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"q_id".cast("long"), $"n_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val rFloat = recall(Similarity.ivfTopK(embs, nQueries = 10, k = 5, nCells = 32))
+    val rPq8 = recall(Similarity.ivfpqTopK(embs, nQueries = 10, k = 5,
+      nCells = 32, nProbe = 4, m = 8, ks = 16, pqIters = 2))
+    val rPq16 = recall(Similarity.ivfpqTopK(embs, nQueries = 10, k = 5,
+      nCells = 32, nProbe = 4, m = 16, ks = 16, pqIters = 2))
+    info(f"recall@5: IVF-float=$rFloat%.3f IVF-PQ(m=8)=$rPq8%.3f IVF-PQ(m=16)=$rPq16%.3f")
+    rPq8 should be <= rFloat + 1e-9  // quantization cannot beat float at equal probes
+    rPq16 should be >= rPq8 - 0.08  // finer subspaces must not collapse recall
+    rPq8 should be >= 0.2           // and the compressed tier stays usable
+  }
+
   test("MinHashSigAgg (distributed k-min fold) == sequential minhashSig per doc") {
     val sh = Dedup.shingles(docs, 3)
     val sigAgg = udaf(new Dedup.MinHashSigAgg(64), org.apache.spark.sql.Encoders.scalaLong)
