@@ -5,8 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.pipeline.TableIO
 import graft.streaming.StreamingDedup
-import java.nio.file.{Files, Paths, Path}
-import java.util.Comparator
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** Driver-visible end-to-end gates for the surfaces that were previously
   * ScalaTest-only (VERDICT round 2 item 1): streaming dedup ingest, the
@@ -23,14 +22,17 @@ import java.util.Comparator
   */
 object Gates {
 
+  /** Recursive delete + recreate through the Hadoop FS API — like TableIO,
+    * so the gate harness exercises the same filesystem abstraction a real
+    * deployment runs on (HDFS/S3A/local alike; round-4 VERDICT item 6
+    * finished the port `java.nio` → Hadoop FS).
+    */
   private def clean(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally walk.close() // Files.walk holds a directory fd until closed
-    }
-    Files.createDirectories(p)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
     ()
   }
 
@@ -210,9 +212,10 @@ object Gates {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     Seq("gate_orders_bkt", "gate_customer_bkt").foreach { t =>
-      val p = Paths.get(warehouse, t)
-      if (Files.exists(p)) clean(p.toString) // leaves an empty dir
-      if (Files.exists(p)) Files.delete(p)
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new HPath(warehouse, t)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
     }
     spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_custkey"), col("o_totalprice"))

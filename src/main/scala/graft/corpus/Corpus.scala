@@ -3,7 +3,7 @@ package graft.corpus
 import graft.model._
 import graft.oracle.Oracle
 import org.apache.spark.sql.{SparkSession, Dataset, SaveMode}
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths} // harness-exempt: the corpus/golden CACHE is repo-local by contract (data/); production IO goes through TableIO's Hadoop FS
 
 /** Materializes the synthetic corpus + oracle golden tables as Parquet
   * snapshots under data/ (idempotent; keyed by scale-factor name).

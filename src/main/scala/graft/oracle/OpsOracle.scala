@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 import scala.util.hashing.MurmurHash3
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths} // harness-exempt: golden-cache existence probes on the repo-local data/ dir (sequential oracle fixture, not a production path)
 
 /** Sequential, single-threaded ground truths for the dedup / similarity /
   * ANN / multimodal operators (VERDICT round 1 item 1: every driver query
