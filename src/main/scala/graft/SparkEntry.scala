@@ -188,6 +188,26 @@ object SparkEntry {
       Extraction.metricsTotalsObserved(parsed)
     }),
 
+    // published bulk-pricing tiers (README.md:227–232) as a per-doc billing
+    // rollup: pages from ONE parse pass (map-side-combined count per doc),
+    // tier unit via codegen'd when/otherwise mirroring Extraction.bulkUnitKrw;
+    // the oracle recomputes pages INDEPENDENTLY from the raw corpus table
+    // (page_break spans), not from any engine output
+    "x_billing_tiers" -> ((s, dir) => {
+      val sf = Corpus.sfName(dir)
+      val parsed = Extraction.parsePages(
+        Extraction.readInput(s, Corpus.ensure(s, sf)),
+        s.sparkContext.defaultParallelism * 2)
+      parsed.toDF().groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("pages"))
+        .withColumn("unit_krw",
+          when(col("pages") >= 1000, 35L)
+            .when(col("pages") >= 500, 40L)
+            .when(col("pages") >= 100, 45L)
+            .otherwise(50L))
+        .withColumn("price_krw", (col("pages") * col("unit_krw")).cast("long"))
+    }),
+
     // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
     // two-phase AvailableNow dedup ingest through ONE checkpoint (restart
     // between phases); result = the sink parquet read back
@@ -1252,6 +1272,14 @@ object SparkEntry {
       "SELECT total_docs, total_spans, total_failures, avg_conf_pm FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
     "x_extract_metrics" ->
       "SELECT total_pages, total_spans, total_failures, sum_conf_pm, price_krw FROM read_parquet('/root/repo/data/golden_metrics/sf0.01/*.parquet')",
+    "x_billing_tiers" ->
+      ("WITH pg AS (SELECT doc_id, CAST(count(DISTINCT s.text) AS BIGINT) AS pages " +
+        "FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('/root/repo/data/corpus/sf0.01/*.parquet')) " +
+        "WHERE s.kind = 'page_break' GROUP BY doc_id) " +
+        "SELECT doc_id, pages, " +
+        "CAST(CASE WHEN pages >= 1000 THEN 35 WHEN pages >= 500 THEN 40 WHEN pages >= 100 THEN 45 ELSE 50 END AS BIGINT) AS unit_krw, " +
+        "CAST(pages * (CASE WHEN pages >= 1000 THEN 35 WHEN pages >= 500 THEN 40 WHEN pages >= 100 THEN 45 ELSE 50 END) AS BIGINT) AS price_krw " +
+        "FROM pg"),
     "q_stream_dedup" ->
       ("WITH p1 AS (SELECT md5(text) AS content_md5, min(doc_id) AS doc_id FROM documents WHERE doc_id % 2 = 0 GROUP BY md5(text)), " +
         "p2 AS (SELECT md5(text) AS content_md5, min(doc_id) AS doc_id FROM documents WHERE doc_id % 2 = 1 AND md5(text) NOT IN (SELECT content_md5 FROM p1) GROUP BY md5(text)), " +

@@ -201,6 +201,21 @@ object Extraction {
     */
   val PricePerPageKrw = 50L
   def priceKrw(pages: Long): Long = pages * PricePerPageKrw
+
+  /** Published bulk-pricing tiers (README.md:227–232): the per-page unit
+    * price steps down with the DOCUMENT's page count — 1–99: 50, 100–499:
+    * 45 (−10%), 500–999: 40 (−20%), 1000+: 35 (−30%). The reference code
+    * only carries the flat 50 (config.py:116–119); the tiers exist solely
+    * in the published price table, implemented here as the billing rollup
+    * (`x_billing_tiers`) so the engine's pricing surface covers the whole
+    * published policy, not just the code constant.
+    */
+  def bulkUnitKrw(pages: Long): Long =
+    if (pages >= 1000) 35L
+    else if (pages >= 500) 40L
+    else if (pages >= 100) 45L
+    else 50L
+  def priceKrwBulk(pages: Long): Long = pages * bulkUnitKrw(pages)
   def progressPct(done: Long, total: Long): Int =
     if (total <= 0) 0 else ((done.toDouble / total) * 90).toInt
 

@@ -243,6 +243,12 @@ class ResumeSpec extends AnyFunSuite with Matchers {
     confMass should be > 0L
     // pricing + progress math (tasks.py:263, 379)
     graft.pipeline.Extraction.priceKrw(totalPages) shouldBe totalPages * 50
+    // README bulk tiers (README.md:227–232) — every boundary both ways
+    Seq(1L -> 50L, 99L -> 50L, 100L -> 45L, 499L -> 45L, 500L -> 40L,
+        999L -> 40L, 1000L -> 35L, 5000L -> 35L).foreach { case (p, u) =>
+      graft.pipeline.Extraction.bulkUnitKrw(p) shouldBe u
+      graft.pipeline.Extraction.priceKrwBulk(p) shouldBe p * u
+    }
     graft.pipeline.Extraction.progressPct(0, 10) shouldBe 0
     graft.pipeline.Extraction.progressPct(5, 10) shouldBe 45
     graft.pipeline.Extraction.progressPct(10, 10) shouldBe 90
