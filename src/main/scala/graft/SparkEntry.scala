@@ -1070,6 +1070,16 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
           floor(col("score") * 1000).cast("long").as("score_pm"))
     }),
+    // PQ shortlist + exact-cosine re-rank (the two-stage serving shape:
+    // codes produce 4k candidates, only those rejoin the float corpus)
+    "q_ann_ivfpq_rerank" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Similarity.ivfpqRerankTopK(embTable(s, dir), nQueries = 20, k = 5,
+          nCells = 32, nProbe = 4, m = 8, ks = 16, pqIters = 2,
+          shortlistFactor = 4)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+          floor(col("score") * 1000).cast("long").as("score_pm"))
+    }),
     // near-dups are PLANTED (perturbed copies of the first 20 vectors):
     // the driver corpus has no true embedding near-duplicates, so recall is
     // measured against a known ground truth instead of an empty set
@@ -1662,6 +1672,8 @@ object SparkEntry {
       "SELECT q_id, n_id, rank, score_int FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_q8/*.parquet')",
     "q_ann_ivfpq_topk" ->
       "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_ivfpq/*.parquet')",
+    "q_ann_ivfpq_rerank" ->
+      "SELECT q_id, n_id, rank, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ann_ivfpq_rr/*.parquet')",
     "q_emb_near_dup" ->
       "SELECT a, b, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/embdup/*.parquet')",
     "q_contrastive_pairs" ->

@@ -619,6 +619,35 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-PQ with exact re-ranking — the standard two-stage serving shape:
+    * the PQ index produces a `shortlistFactor`×k candidate shortlist per
+    * query from codes alone (cheap, compressed), then ONLY the shortlist
+    * rows rejoin the float corpus for an exact-cosine re-rank. The
+    * expensive exact scoring touches nQueries × shortlistFactor×k vectors
+    * regardless of corpus size (the shortlist side of the re-rank join is
+    * broadcast; the corpus side is a semi-join-pruned scan), recovering
+    * most of the recall PQ gives up while keeping the full-corpus pass
+    * byte-cheap.
+    */
+  def ivfpqRerankTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
+                      nCells: Int = 0, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
+                      pqIters: Int = 2, shortlistFactor: Int = 4): DataFrame = {
+    val shortlist = ivfpqTopK(embs, nQueries, k * shortlistFactor, nCells,
+        nProbe, m, ks, pqIters)
+      .select(col("q_id"), col("n_id"))
+    val queries = embs.select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").as("q_emb"))
+      .where(col("vec_id") < nQueries)
+    // shortlist and queries are both tiny (bounded by nQueries × factor×k):
+    // broadcast them against the corpus scan, score exactly, merge top-k
+    val scored = embs.select(col("vec_id").cast("long").as("n_id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets with 1-bit
     * multi-probe on one side (recall ≈ 1 for true near-dups: a miss needs
     * ≥2 of nPlanes hyperplanes to split a near-parallel pair). Pairs are

@@ -434,6 +434,24 @@ object OpsOracle {
     }
   }
 
+  /** Sequential `Similarity.ivfpqRerankTopK`: PQ shortlist of
+    * shortlistFactor×k per query, exact-cosine re-rank, top-k by
+    * (score desc, n_id).
+    */
+  def ivfpqRerankTopK(embs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
+                      nCells: Int, nProbe: Int, m: Int, ks: Int, pqIters: Int,
+                      shortlistFactor: Int): Seq[(Long, Long, Int, Double)] = {
+    val short = ivfpqTopK(embs, nQueries, k * shortlistFactor, nCells, nProbe,
+        m, ks, pqIters)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byId = embs.toMap
+    embs.filter(_._1 < nQueries).sortBy(_._1).flatMap { case (q, qv) =>
+      val cand = short.getOrElse(q, Set.empty)
+      val scored = cand.toSeq.map(n => (n, cosineF(qv, byId(n))))
+      rankTopK(scored, k).map { case (n, r, s) => (q, n, r, s) }
+    }
+  }
+
   /** Sequential int8 codes (shared arithmetic with `Similarity.quantizeCodes`). */
   def q8Codes(v: Array[Float]): Array[Long] = {
     val scale = v.map(x => math.abs(x)).max.toDouble
@@ -1753,7 +1771,7 @@ object OpsGolden {
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
     "incnd", "pagerank", "trustrank", "hits", "sblm", "winnow", "srcover",
-    "ugv", "ugenc", "exactsub", "ann_ivfpq")
+    "ugv", "ugenc", "exactsub", "ann_ivfpq", "ann_ivfpq_rr")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1826,6 +1844,11 @@ object OpsGolden {
     write("ann_ivfpq",
       OpsOracle.ivfpqTopK(embs, nQueries = 20, k = 5, nCells = 32, nProbe = 4,
           m = 8, ks = 16, pqIters = 2)
+        .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
+      Seq("q_id", "n_id", "rank", "score_pm"))
+    write("ann_ivfpq_rr",
+      OpsOracle.ivfpqRerankTopK(embs, nQueries = 20, k = 5, nCells = 32,
+          nProbe = 4, m = 8, ks = 16, pqIters = 2, shortlistFactor = 4)
         .map { case (q, n, r, s) => (q, n, r.toLong, math.floor(s * 1000).toLong) },
       Seq("q_id", "n_id", "rank", "score_pm"))
     write("ann_q8",

@@ -1616,6 +1616,22 @@ class OpsSpec extends AnyFunSuite with Matchers {
     rPq8 should be <= rFloat + 1e-9  // quantization cannot beat float at equal probes
     rPq16 should be >= rPq8 - 0.08  // finer subspaces must not collapse recall
     rPq8 should be >= 0.2           // and the compressed tier stays usable
+    // exact re-rank over the 4k PQ shortlist: distributed == sequential, and
+    // the re-rank can only improve on raw PQ ranking (same candidate pool,
+    // exact scores) — the standard two-stage recall recovery
+    val rrDist = Similarity.ivfpqRerankTopK(embs, nQueries = 10, k = 5,
+        nCells = 32, nProbe = 4, m = 8, ks = 16, pqIters = 2, shortlistFactor = 4)
+      .select($"q_id".cast("long"), $"n_id".cast("long"),
+        $"rank".cast("int"), $"score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val rrSeq = graft.oracle.OpsOracle.ivfpqRerankTopK(typed, nQueries = 10,
+        k = 5, nCells = 32, nProbe = 4, m = 8, ks = 16, pqIters = 2,
+        shortlistFactor = 4).toSet
+    rrDist shouldBe rrSeq
+    val rRr = recall(Similarity.ivfpqRerankTopK(embs, nQueries = 10, k = 5,
+      nCells = 32, nProbe = 4, m = 8, ks = 16, pqIters = 2, shortlistFactor = 4))
+    info(f"recall@5: IVF-PQ+rerank(4x)=$rRr%.3f")
+    rRr should be >= rPq8 - 1e-9
   }
 
   test("MinHashSigAgg (distributed k-min fold) == sequential minhashSig per doc") {
