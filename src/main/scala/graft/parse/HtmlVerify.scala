@@ -89,8 +89,11 @@ object HtmlVerify {
   private final case class Close(name: String) extends Ev
   private final case class Text(s: String) extends Ev
 
+  /** Comments consume everything to `-->` (a tag inside a comment is not
+    * markup); non-comment tags allow `>` inside quoted attribute values.
+    */
   private val TagRe =
-    "<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>".r
+    "(?s)<!--.*?-->|<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>".r
   private val ClassRe = "class\\s*=\\s*\"([^\"]*)\"".r
   /** Void elements never take a close tag (HTML spec; the emitter uses img). */
   private val Void = Set("img", "br", "hr", "meta", "link", "input")
@@ -100,13 +103,15 @@ object HtmlVerify {
     var last = 0
     for (m <- TagRe.findAllMatchIn(html)) {
       if (m.start > last) out += Text(html.substring(last, m.start))
-      val name = m.group(2).toLowerCase
-      if (m.group(1) == "/") out += Close(name)
-      else {
-        val classes = ClassRe.findFirstMatchIn(m.group(3))
-          .map(_.group(1).trim.split("\\s+").toSeq.filter(_.nonEmpty))
-          .getOrElse(Seq.empty)
-        out += Open(name, classes, m.group(4) == "/" || Void(name))
+      if (m.group(2) != null) { // null group 2 = a comment: not markup, not text
+        val name = m.group(2).toLowerCase
+        if (m.group(1) == "/") out += Close(name)
+        else {
+          val classes = ClassRe.findFirstMatchIn(m.group(3))
+            .map(_.group(1).trim.split("\\s+").toSeq.filter(_.nonEmpty))
+            .getOrElse(Seq.empty)
+          out += Open(name, classes, m.group(4) == "/" || Void(name))
+        }
       }
       last = m.end
     }

@@ -125,6 +125,17 @@ and newline</div>""")
     assert(!j.exists(c => c < 0x20))
   }
 
+  test("lexer robustness: comments, doctype, case-insensitive tags, quoted attrs") {
+    // comments/doctype lex as text (no tag-name start char) — never issues
+    assert(HtmlVerify.verify("<!-- a <p> inside a comment --><p>x</p>").total == 0)
+    assert(HtmlVerify.verify("<!DOCTYPE html><p>x</p>").total == 0)
+    // tag names match case-insensitively (close must still pair)
+    assert(HtmlVerify.verify("<P class=\"align-left\">x</P>").total == 0)
+    assert(HtmlVerify.verify("<TABLE class=\"ocr-table\"><TR><TH>a</TH></TR></TABLE>").total == 0)
+    // a '>' inside a double-quoted attribute value does not end the tag
+    assert(HtmlVerify.verify("""<img src="a>b.png" alt="x"/>""").total == 0)
+  }
+
   test("emitter helpers produce verify-clean fragments") {
     val t = Html.mdTableToHtml("| a | b |\n|---|---|\n| 1 | 2 |", "ocr-table")
     assert(HtmlVerify.verify(t).total == 0)
