@@ -1282,10 +1282,19 @@ object SparkEntry {
       "SELECT total_docs, total_spans, total_failures, avg_conf_pm FROM read_parquet('/root/repo/data/golden_totals/sf0.01/*.parquet')",
     "x_extract_metrics" ->
       "SELECT total_pages, total_spans, total_failures, sum_conf_pm, price_krw FROM read_parquet('/root/repo/data/golden_metrics/sf0.01/*.parquet')",
+    // pages restates DocParser.splitPages exactly: a page per DISTINCT
+    // page-break NUMBER ('page:N' parsed as int, so 'page:1' and 'page: 1'
+    // are ONE page), plus the implicit page 1 when any non-break span
+    // precedes the first break (or the doc has spans but no breaks at all);
+    // docs with zero spans drop out of both sides
     "x_billing_tiers" ->
-      ("WITH pg AS (SELECT doc_id, CAST(count(DISTINCT s.text) AS BIGINT) AS pages " +
-        "FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('/root/repo/data/corpus/sf0.01/*.parquet')) " +
-        "WHERE s.kind = 'page_break' GROUP BY doc_id) " +
+      ("WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM read_parquet('/root/repo/data/corpus/sf0.01/*.parquet')), " +
+        "brk AS (SELECT doc_id, s.\"offset\" AS off, CAST(trim(CASE WHEN s.text LIKE 'page:%' THEN substr(s.text, 6) ELSE s.text END) AS BIGINT) AS pno FROM sp WHERE s.kind = 'page_break'), " +
+        "firstbrk AS (SELECT doc_id, min(off) AS first_off FROM brk GROUP BY doc_id), " +
+        "imp AS (SELECT sp.doc_id, CAST(1 AS BIGINT) AS pno FROM sp LEFT JOIN firstbrk f ON sp.doc_id = f.doc_id " +
+        "WHERE sp.s.kind <> 'page_break' AND (f.first_off IS NULL OR sp.s.\"offset\" < f.first_off) GROUP BY sp.doc_id), " +
+        "allp AS (SELECT doc_id, pno FROM brk UNION SELECT doc_id, pno FROM imp), " +
+        "pg AS (SELECT doc_id, CAST(count(DISTINCT pno) AS BIGINT) AS pages FROM allp GROUP BY doc_id) " +
         "SELECT doc_id, pages, " +
         "CAST(CASE WHEN pages >= 1000 THEN 35 WHEN pages >= 500 THEN 40 WHEN pages >= 100 THEN 45 ELSE 50 END AS BIGINT) AS unit_krw, " +
         "CAST(pages * (CASE WHEN pages >= 1000 THEN 35 WHEN pages >= 500 THEN 40 WHEN pages >= 100 THEN 45 ELSE 50 END) AS BIGINT) AS price_krw " +

@@ -107,10 +107,16 @@ object HtmlVerify {
         val name = m.group(2).toLowerCase
         if (m.group(1) == "/") out += Close(name)
         else {
-          val classes = ClassRe.findFirstMatchIn(m.group(3))
+          val raw = m.group(3)
+          val classes = ClassRe.findFirstMatchIn(raw)
             .map(_.group(1).trim.split("\\s+").toSeq.filter(_.nonEmpty))
             .getOrElse(Seq.empty)
-          out += Open(name, classes, m.group(4) == "/" || Void(name))
+          // the greedy attribute group swallows a trailing '/' (group 4 can
+          // only match when the attrs group is empty), so XML-style
+          // self-closes are detected off the raw attr text; a quoted value
+          // can't end the group with '/' (it ends with its quote char)
+          val selfSlash = m.group(4) == "/" || raw.trim.endsWith("/")
+          out += Open(name, classes, selfSlash || Void(name))
         }
       }
       last = m.end
@@ -166,8 +172,10 @@ object HtmlVerify {
 
     // ---- single pass: balance, bold runs, empty-line runs, table shape -----
     var stack = List.empty[Open]
-    var boldDepth = 0
-    var boldHasText = false
+    // one hasText flag per open bold level: a single boolean would be reset
+    // by a nested open and falsely flag the outer run as empty
+    var boldText = List.empty[Boolean]
+    def boldDepth = boldText.size
     var emptyRun = 0
     def flushEmptyRun(): Unit = {
       if (emptyRun > 5)
@@ -188,8 +196,7 @@ object HtmlVerify {
         if (!isEmptyLine) flushEmptyRun()
         if (BoldTags(name)) {
           if (boldDepth > 0) bold += s"nested <$name> inside bold run"
-          boldDepth += 1
-          boldHasText = false
+          boldText = false :: boldText
         }
         if (HeadingTags(name) && boldDepth > 0)
           bold += s"bold wrapping heading <$name>"
@@ -219,8 +226,8 @@ object HtmlVerify {
           case Some(top) if top.name == name =>
             if (name == "div" && top.classes.contains("empty-line")) emptyRun += 1
             if (BoldTags(name)) {
-              boldDepth -= 1
-              if (!boldHasText) bold += s"empty <$name></$name>"
+              if (!boldText.head) bold += s"empty <$name></$name>"
+              boldText = boldText.tail
             }
             name match {
               case "tr" =>
@@ -252,9 +259,22 @@ object HtmlVerify {
             // recover: drop through to the matching open if present
             val idx = stack.indexWhere(_.name == name)
             if (idx >= 0) {
+              val dropped = stack.take(idx + 1)
               stack.take(idx).foreach(o => structural(o.name, s"unclosed <${o.name}>"))
-              if (stack.take(idx + 1).exists(o => BoldTags(o.name)))
-                boldDepth = math.max(0, boldDepth - stack.take(idx + 1).count(o => BoldTags(o.name)))
+              // keep the auxiliary state machines aligned with the stack:
+              // pop one bold flag per dropped bold tag, one tableRows entry
+              // per dropped table (its rows are discarded — the table is
+              // already flagged unclosed/mismatched), and reset the open-row
+              // counters if a <tr> was dropped so later cells don't
+              // accumulate into a stale row
+              boldText = boldText.drop(dropped.count(o => BoldTags(o.name)))
+              dropped.foreach { o =>
+                if (o.name == "table" && tableRows.nonEmpty)
+                  tableRows = tableRows.tail
+              }
+              if (dropped.exists(_.name == "tr")) {
+                rowCells = -1; rowSawTh = false; rowSawTd = false
+              }
               stack = stack.drop(idx + 1)
             }
           case None =>
@@ -264,7 +284,8 @@ object HtmlVerify {
       case Text(s) =>
         if (s.trim.nonEmpty) {
           flushEmptyRun()
-          if (boldDepth > 0) boldHasText = true
+          // the text sits inside every open bold run, not just the innermost
+          if (boldText.nonEmpty) boldText = boldText.map(_ => true)
           if (stack.headOption.exists(o =>
               o.name == "div" && o.classes.contains("empty-line")))
             spacing += "empty-line div contains text"

@@ -93,15 +93,41 @@ class HtmlVerifySpec extends AnyFunSuite {
   }
 
   test("bold: unbalanced, nested, empty, inside heading") {
-    assert(HtmlVerify.verify("""<p><strong>x</p>""").boldIssues
-      .contains("unclosed <strong>") ||
-      HtmlVerify.verify("""<p><strong>x</p>""").boldIssues.nonEmpty)
+    assert(HtmlVerify.verify("""<p><strong>x</p>""").boldIssues ==
+      Seq("unclosed <strong>"))
     val nested = HtmlVerify.verify("""<p><strong>a<b>b</b>c</strong></p>""")
     assert(nested.boldIssues == Seq("nested <b> inside bold run"))
     val empty = HtmlVerify.verify("""<p><strong></strong></p>""")
     assert(empty.boldIssues == Seq("empty <strong></strong>"))
     val inHeading = HtmlVerify.verify("""<h1 class="align-left"><strong>t</strong></h1>""")
     assert(inHeading.boldIssues == Seq("bold inside heading"))
+  }
+
+  test("bold: a nested open must not reset the outer run's has-text flag") {
+    // the outer strong DOES contain text — only the inner b is empty
+    val r = HtmlVerify.verify("""<p><strong>text<b></b></strong></p>""")
+    assert(r.boldIssues.count(_ == "empty <b></b>") == 1, r.toJson)
+    assert(!r.boldIssues.contains("empty <strong></strong>"), r.toJson)
+    // and text inside the inner run also belongs to the outer run
+    val r2 = HtmlVerify.verify("""<p><strong><b>x</b></strong></p>""")
+    assert(!r2.boldIssues.exists(_.startsWith("empty")), r2.toJson)
+  }
+
+  test("lexer: XML-style self-closed non-void tag does not corrupt the stack") {
+    // the greedy attr group swallows the '/': detection must still fire, so
+    // the div is NOT pushed and the following close pairs cleanly
+    val r = HtmlVerify.verify("""<div class="figure-band"/><p>x</p>""")
+    assert(!r.alignmentIssues.exists(_.contains("unclosed <div>")), r.toJson)
+    assert(!r.alignmentIssues.exists(_.startsWith("mismatched")), r.toJson)
+  }
+
+  test("recovery: dropping a <table> pops its shape state") {
+    // the mismatched </figure> drops the unclosed table; the orphan <tr>
+    // after it must be flagged outside-a-table, not absorbed into stale state
+    val r = HtmlVerify.verify(
+      """<figure><table class="ocr-table"><tr><td>a</td></tr></figure><tr><td>b</td></tr>""")
+    assert(r.tableIssues.exists(_.contains("unclosed <table>")), r.toJson)
+    assert(r.tableIssues.contains("<tr> outside a table"), r.toJson)
   }
 
   test("score floors at 0; 21+ issues cannot go negative") {
