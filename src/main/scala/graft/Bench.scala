@@ -36,6 +36,7 @@ object Bench {
 
     val sf = Corpus.sfName(sfDir)
     val corpusPath = Corpus.ensure(spark, sf) // excluded from timing
+    Corpus.ensureWeb(spark, sf) // input table for the x_web_* queries
     // pre-materialize exactly what the queries would lazily ensure, so
     // first-run golden/oracle generation never lands in the timed region
     // (ADVICE round 1); at the bench sf0.1 the queries skip these anyway

@@ -208,6 +208,40 @@ object SparkEntry {
         .withColumn("price_krw", (col("pages") * col("unit_krw")).cast("long"))
     }),
 
+    // raw-HTML main-content extraction (north rule: "HTML boilerplate strip
+    // … DOM heuristics — text-density, link-density, tag-depth") over the
+    // wild-web pages table: block segmentation + integer feature scoring +
+    // jusText-style context smoothing + media-span linking, all inside ONE
+    // zero-shuffle typed map (parse/MainContent.scala). The oracle is the
+    // generator's PLANTED truth (corpus/WebGen.scala) — decided at layout
+    // time, fully independent of the extractor.
+    "x_web_main_content" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      s.read.parquet(Corpus.ensureWeb(s, sf)).as[(String, String)]
+        .flatMap { case (id, html) =>
+          graft.parse.MainContent.extract(html)
+            .map(sp => (id, sp.kind, sp.text, sp.media_ref, sp.order))
+        }
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
+    // per-page content-shape rollup (span/heading/media counts + content
+    // mass) computed IN the same per-page map — the acceptance stats a
+    // boilerplate-strip stage reports at corpus scale without a shuffle
+    "x_web_content_stats" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      s.read.parquet(Corpus.ensureWeb(s, sf)).as[(String, String)]
+        .map { case (id, html) =>
+          val spans = graft.parse.MainContent.extract(html)
+          (id, spans.size.toLong,
+            spans.count(_.kind == graft.parse.MainContent.KindHeading).toLong,
+            spans.count(_.kind == graft.parse.MainContent.KindMedia).toLong,
+            spans.map(_.text.length.toLong).sum)
+        }
+        .toDF("doc_id", "n_spans", "n_heading", "n_media", "main_chars")
+    }),
+
     // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
     // two-phase AvailableNow dedup ingest through ONE checkpoint (restart
     // between phases); result = the sink parquet read back
@@ -1299,6 +1333,18 @@ object SparkEntry {
         "CAST(CASE WHEN pages >= 1000 THEN 35 WHEN pages >= 500 THEN 40 WHEN pages >= 100 THEN 45 ELSE 50 END AS BIGINT) AS unit_krw, " +
         "CAST(pages * (CASE WHEN pages >= 1000 THEN 35 WHEN pages >= 500 THEN 40 WHEN pages >= 100 THEN 45 ELSE 50 END) AS BIGINT) AS price_krw " +
         "FROM pg"),
+    // the golden_web parquet is the generator's PLANTED truth (written by
+    // Corpus.ensureWeb from WebGen.genPage's layout decisions), NOT an
+    // extractor output — the strongest oracle shape in the repo: the
+    // distributed extractor must reconstruct the plant from raw markup
+    "x_web_main_content" ->
+      "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet')",
+    "x_web_content_stats" ->
+      ("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(count(*) FILTER (WHERE kind = 'heading') AS BIGINT) AS n_heading, " +
+        "CAST(count(*) FILTER (WHERE kind = 'media') AS BIGINT) AS n_media, " +
+        "CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS main_chars " +
+        "FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') GROUP BY doc_id"),
     "q_stream_dedup" ->
       ("WITH p1 AS (SELECT md5(text) AS content_md5, min(doc_id) AS doc_id FROM documents WHERE doc_id % 2 = 0 GROUP BY md5(text)), " +
         "p2 AS (SELECT md5(text) AS content_md5, min(doc_id) AS doc_id FROM documents WHERE doc_id % 2 = 1 AND md5(text) NOT IN (SELECT content_md5 FROM p1) GROUP BY md5(text)), " +

@@ -24,6 +24,8 @@ object Corpus {
   def goldenHtmlMdPath(sf: String): String = s"$Root/golden_htmlmd/$sf"
   def goldenHtmlMdAtxPath(sf: String): String = s"$Root/golden_htmlmd_atx/$sf"
   def goldenVerifyPath(sf: String): String = s"$Root/golden_verify/$sf"
+  def webPath(sf: String): String = s"$Root/web/$sf"
+  def goldenWebPath(sf: String): String = s"$Root/golden_web/$sf"
 
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
@@ -131,6 +133,36 @@ object Corpus {
       goldenAndStats.unpersist()
     }
     spansPath
+  }
+
+  /** Bump when the web-page generator's layout or planted truth changes. */
+  val WebFormatVersion = 1
+
+  /** Ensure the wild-web pages table (doc_id, html) AND its PLANTED
+    * main-content truth (doc_id, kind, text, media_ref, ord) exist; returns
+    * the pages path. One distributed pass generates both — the truth is the
+    * generator's plant, fully independent of [[graft.parse.MainContent]].
+    */
+  def ensureWeb(spark: SparkSession, sf: String): String = synchronized {
+    val path = webPath(sf)
+    val marker = Paths.get(path, s"_FORMAT_v$WebFormatVersion")
+    if (!exists(path) || !exists(goldenWebPath(sf)) || !Files.exists(marker)) {
+      import spark.implicits._
+      val spec = WebGen.specFor(sf)
+      val pages = spark.range(0, spec.docs.toLong, 1,
+          math.min(spec.docs, spark.sparkContext.defaultParallelism * 2))
+        .map(i => WebGen.genPage(i, spec))
+        .persist()
+      pages.map(p => (p.doc_id, p.html)).toDF("doc_id", "html")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      pages.flatMap(p => p.truth.map(s =>
+          (p.doc_id, s.kind, s.text, s.media_ref, s.order)))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+        .write.mode(SaveMode.Overwrite).parquet(goldenWebPath(sf))
+      pages.unpersist()
+      Files.write(marker, Array.empty[Byte])
+    }
+    path
   }
 
   /** Scale-factor name from a test-data dir like `/root/testdata/sf0.01`. */

@@ -1,0 +1,216 @@
+package graft.corpus
+
+import graft.model.OutSpan
+import graft.parse.MainContent
+import scala.util.Random
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic wild-web page generator with PLANTED ground truth for the
+  * raw-HTML main-content extractor ([[graft.parse.MainContent]]).
+  *
+  * Unlike the `golden_*` tables (sequential restatements of the same parse
+  * kernels), the truth here is INDEPENDENT of the extractor: the generator
+  * decides which blocks are article content when it lays the page out, and
+  * the gate asserts the extractor recovers exactly that plant. Every
+  * heuristic the extractor uses is exercised by construction:
+  *
+  *  - semantic/classed chrome: `header`/`nav`/`aside`/`footer` subtrees and
+  *    `class="related"` boxes full of links — must drop (class-hint + link
+  *    density);
+  *  - a LINK FARM paragraph with no bad class and plenty of text — must
+  *    drop on link density alone;
+  *  - a DEEP PROMO subtree: long clean text nested > DepthSlack levels
+  *    below the article — must drop on the depth band alone;
+  *  - short connectors between long paragraphs, an `h2` headline before
+  *    the first paragraph, figures with captions — must all be KEPT via
+  *    context smoothing (short-between-good, headline promotion, media
+  *    linking), none of which a per-block score can decide;
+  *  - entities (`&amp;`), an inline citation link inside a long paragraph
+  *    (low link density must NOT flag it), scripts/styles/comments with
+  *    `<` in their bodies.
+  *
+  * Seeding is per-document (same contract as [[CorpusGen]]): any subset
+  * regenerates identically, so generation parallelizes embarrassingly and
+  * the planted truth can be re-derived on any executor.
+  */
+object WebGen {
+
+  def docId(i: Long): String = f"web-$i%09d"
+
+  /** Pages share the corpus Spec's doc count (FIXTURES.md §1). */
+  def specFor(sfName: String): CorpusGen.Spec = CorpusGen.specFor(sfName)
+
+  // ---- text pools (Korean legal register, same voice as CorpusGen) --------
+
+  private val sentencePool = Vector(
+    "이 사건의 본문 내용은 당사자 간 계약의 성립과 이행 과정 전반에 관한 것이다",
+    "법원이 인정하는 사실관계는 제출된 증거와 변론 전체의 취지를 종합한 결과이다",
+    "계약 해석에 있어 당사자의 진정한 의사가 문언보다 우선한다는 것이 판례의 태도이다",
+    "손해배상의 범위는 통상손해를 원칙으로 하고 특별손해는 예견가능성이 있는 경우에 한한다",
+    "당사자 사이에 다툼이 없는 사실과 증거에 의하여 인정되는 사실은 다음과 같다",
+    "원고의 청구 중 일부는 이유 있으므로 인용하고 나머지 청구는 기각하기로 한다",
+    "감정인의 감정 결과와 증인의 진술은 그 신빙성이 인정되어 사실 인정의 자료가 된다",
+    "계약서 제3조와 제7조의 해석에 관하여 당사자의 주장이 첨예하게 대립하고 있다")
+
+  private val titlePool = Vector(
+    "손해배상 청구 사건의 쟁점 정리", "계약 해석에 관한 판례 동향",
+    "부동산 매매계약 분쟁의 판단 기준", "위약금 약정의 효력 범위")
+
+  private val connectorPool = Vector(
+    "다음 항목을 차례로 살핀다.", "구체적 판단은 아래와 같다.",
+    "이에 대한 근거는 다음과 같다.", "관련 법리를 먼저 본다.")
+
+  private val captionPool = Vector(
+    "증거사진 1: 계약 체결 현장", "별지 1: 계약서 사본",
+    "도표 1: 대금 지급 내역", "현장 사진: 이 사건 부동산")
+
+  private val navPool = Vector(
+    "홈", "판례검색", "법령정보", "커뮤니티", "공지사항", "이용안내", "로그인")
+
+  private val linkFarmPool = Vector(
+    "대법원 2023다1234 판결 전문 보기", "서울고등법원 항소심 판결 요지",
+    "관련 법령 민법 제390조 해설", "유사 사건 손해배상 산정례 모음",
+    "전문가 칼럼 위약금 감액 기준")
+
+  private val promoPool = Vector(
+    "지금 가입하시면 판례 전문 열람 서비스를 한 달간 무료로 이용하실 수 있으며 전문 변호사의 해설 영상 강의와 주요 판결 속보 알림까지 모두 제공됩니다",
+    "프리미엄 구독 회원에게는 대법원 주요 판결의 심층 분석 리포트와 쟁점별 판례 비교 자료를 매주 정리하여 이메일로 보내드리고 있습니다")
+
+  private def pick[A](rng: Random, xs: Vector[A]): A = xs(rng.nextInt(xs.length))
+
+  /** One generated page: raw markup + the planted main-content truth. */
+  final case class WebPage(doc_id: String, html: String, truth: Vector[OutSpan])
+
+  def genPage(i: Long, spec: CorpusGen.Spec): WebPage = {
+    val id = docId(i)
+    val rng = new Random(id.hashCode.toLong)
+    val sb = new StringBuilder
+    val truth = ArrayBuffer.empty[OutSpan]
+    var order = 0
+    def plant(kind: String, text: String, ref: String = ""): Unit = {
+      truth += OutSpan(kind, text, ref, order); order += 1
+    }
+
+    // a GOOD paragraph: 3–5 sentences (always ≥ GoodLen non-ws chars),
+    // sometimes carrying an entity and/or a short inline citation link
+    // (anchor mass far below the density ceiling)
+    def paragraph(): Unit = {
+      val n = 3 + rng.nextInt(3)
+      val parts = ArrayBuffer.fill(n)(pick(rng, sentencePool))
+      val withEntity = rng.nextDouble() < 0.3
+      if (withEntity) parts += "갑 & 을 양측의 주장을 모두 검토한다"
+      val plain = parts.mkString(". ") + "."
+      val link = rng.nextDouble() < 0.35
+      val anchor = "민법 제390조"
+      sb.append("<p>")
+      if (link) {
+        // anchor goes mid-paragraph: text up to the first period, the
+        // citation, then the rest
+        val cut = plain.indexOf('.') + 1
+        sb.append(esc(plain.substring(0, cut)))
+          .append(" <a href=\"/law/390\">").append(anchor).append("</a>")
+          .append(esc(plain.substring(cut)))
+        plant(MainContent.KindText,
+          plain.substring(0, cut) + " " + anchor + plain.substring(cut))
+      } else {
+        sb.append(esc(plain))
+        plant(MainContent.KindText, plain)
+      }
+      sb.append("</p>\n")
+    }
+
+    def esc(s: String): String = s.replace("&", "&amp;")
+
+    var imgIdx = 0
+    def figure(): Unit = {
+      val ref = s"media/web-$i-$imgIdx.png"; imgIdx += 1
+      val cap = pick(rng, captionPool)
+      sb.append("<figure><img src=\"").append(ref).append("\"/>")
+        .append("<figcaption>").append(cap).append("</figcaption></figure>\n")
+      plant(MainContent.KindMedia, "", ref)
+      plant(MainContent.KindText, cap)
+    }
+
+    def connector(): Unit = {
+      val c = pick(rng, connectorPool)
+      sb.append("<p>").append(c).append("</p>\n")
+      plant(MainContent.KindText, c)
+    }
+
+    def relatedBox(): Unit = {
+      sb.append("<div class=\"related\">")
+      (0 until 3).foreach { _ =>
+        sb.append("<a href=\"#\">").append(pick(rng, linkFarmPool)).append("</a> ")
+      }
+      sb.append("</div>\n")
+    }
+
+    def linkFarm(): Unit = {
+      // no bad class, plenty of text — only link density can drop it
+      sb.append("<p>추천: ")
+      (0 until 4).foreach { _ =>
+        sb.append("<a href=\"#\">").append(pick(rng, linkFarmPool)).append("</a> · ")
+      }
+      sb.append("</p>\n")
+    }
+
+    def deepPromo(): Unit = {
+      // clean classes, low link density, long text — nested DepthSlack+2
+      // levels below the article so only the depth band drops it
+      val nest = MainContent.DepthSlack + 2
+      sb.append("<div>" * nest)
+        .append(pick(rng, promoPool))
+        .append("</div>" * nest).append('\n')
+    }
+
+    // ---- page layout ------------------------------------------------------
+    sb.append("<!DOCTYPE html>\n<html>\n<head>\n")
+      .append("<title>판례 포털 - ").append(pick(rng, titlePool)).append("</title>\n")
+      .append("<style>body{margin:0} .x>a{color:#06c}</style>\n")
+      .append("<script>if(1<2){document.x='<div>not markup</div>';}</script>\n")
+      .append("</head>\n<body>\n")
+      .append("<!-- page chrome: <p>commented markup is not content</p> -->\n")
+      .append("<header class=\"site-header\"><img src=\"media/logo.png\"/>")
+      .append("<h1>법률 정보 포털</h1>\n<nav>")
+    (0 until 4 + rng.nextInt(4)).foreach { k =>
+      sb.append("<a href=\"/m").append(k).append("\">")
+        .append(pick(rng, navPool)).append("</a> ")
+    }
+    sb.append("</nav></header>\n<div class=\"content-wrap\">\n")
+    // 0–2 extra wrapper divs shift the whole article's depth band together
+    val wrap = rng.nextInt(3)
+    sb.append("<main class=\"article-body\">\n").append("<div>" * wrap)
+
+    val title = pick(rng, titlePool)
+    sb.append("<h2>").append(title).append("</h2>\n")
+    plant(MainContent.KindHeading, title)
+
+    paragraph()
+    val extras = 2 + rng.nextInt(4)
+    (0 until extras).foreach { _ =>
+      rng.nextInt(6) match {
+        case 0 => connector()
+        case 1 => figure()
+        case 2 => relatedBox()
+        case 3 => linkFarm()
+        case 4 => deepPromo()
+        case _ => ()
+      }
+      paragraph() // every special is followed by a long paragraph
+    }
+
+    sb.append("</div>" * wrap).append("</main>\n")
+      .append("<aside class=\"sidebar\"><h3>추천 서비스</h3><p>")
+      .append(pick(rng, promoPool))
+      .append("</p><ul>")
+    (0 until 3).foreach { _ =>
+      sb.append("<li><a href=\"#\">").append(pick(rng, linkFarmPool)).append("</a></li>")
+    }
+    sb.append("</ul></aside>\n</div>\n")
+      .append("<footer><div class=\"copyright\">© 2026 법률 정보 포털 · ")
+      .append("<a href=\"/terms\">이용약관</a> <a href=\"/privacy\">개인정보처리방침</a>")
+      .append("</div></footer>\n</body>\n</html>\n")
+
+    WebPage(id, sb.toString, truth.toVector)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.parse.MainContent
+import graft.corpus.{CorpusGen, WebGen}
+
+/** Vectors for the raw-HTML main-content extractor: every heuristic
+  * (class-hint words, link density, depth band, context smoothing, media
+  * linking, lexer robustness) pinned by hand-built pages, plus the planted-
+  * truth round-trip over the deterministic wild-web generator.
+  */
+class MainContentSpec extends AnyFunSuite {
+
+  private val longA =
+    "법원이 인정하는 사실관계는 제출된 증거와 변론 전체의 취지를 종합한 결과이다. " +
+    "계약 해석에 있어 당사자의 진정한 의사가 문언보다 우선한다는 것이 판례의 태도이다. " +
+    "원고의 청구 중 일부는 이유 있으므로 인용하고 나머지 청구는 기각하기로 한다."
+  private val longB =
+    "손해배상의 범위는 통상손해를 원칙으로 하고 특별손해는 예견가능성이 있는 경우에 한한다. " +
+    "당사자 사이에 다툼이 없는 사실과 증거에 의하여 인정되는 사실은 다음과 같다. " +
+    "감정인의 감정 결과와 증인의 진술은 그 신빙성이 인정되어 사실 인정의 자료가 된다."
+
+  private def texts(html: String): Seq[String] =
+    MainContent.extract(html).filter(_.kind != MainContent.KindMedia).map(_.text)
+  private def media(html: String): Seq[String] =
+    MainContent.extract(html).filter(_.kind == MainContent.KindMedia).map(_.media_ref)
+
+  test("semantic chrome and classed chrome drop; article text survives") {
+    val html =
+      s"""<body><nav><a href="/">홈</a> <a href="/a">판례</a></nav>
+         |<div class="site-header"><h1>포털</h1></div>
+         |<main><p>$longA</p><p>$longB</p></main>
+         |<aside><p>$longA</p></aside>
+         |<footer>© 2026 <a href="/t">약관</a></footer></body>""".stripMargin
+    assert(texts(html) == Seq(longA, longB))
+  }
+
+  test("bad words match class/id WORDS, not substrings") {
+    // 'header' inside 'site-header' flags; 'ad' inside 'reading-list' must not
+    val flagged = s"""<div class="site-header"><p>$longA</p></div>"""
+    assert(texts(flagged).isEmpty)
+    val clean = s"""<div class="reading-list"><p>$longA</p></div>"""
+    assert(texts(clean) == Seq(longA))
+    val byId = s"""<div id="main_sidebar"><p>$longA</p></div>"""
+    assert(texts(byId).isEmpty)
+  }
+
+  test("link density drops a link farm with no bad class") {
+    val farm = (1 to 4).map(k => s"""<a href="#$k">대법원 판결 전문 자료 모음집 $k</a>""")
+      .mkString("<p>추천: ", " · ", "</p>")
+    val html = s"<body><p>$longA</p>$farm<p>$longB</p></body>"
+    assert(texts(html) == Seq(longA, longB))
+    // a short inline citation must NOT trip the same rule
+    val cited = s"""<p>${longA.take(60)} <a href="/law">민법 제390조</a> ${longA.drop(60)}</p>"""
+    assert(texts(s"<body>$cited</body>").size == 1)
+  }
+
+  test("depth band: long clean text far below the article drops, promotable lengths too") {
+    val nest = "<div>" * (MainContent.DepthSlack + 2)
+    val unnest = "</div>" * (MainContent.DepthSlack + 2)
+    // NEAR-length deep text must not ride the smoothing rule either
+    val nearLen = "지금 가입하시면 판례 전문 열람 서비스를 한 달간 무료로 이용하실 수 있습니다"
+    val html = s"<body><main><p>$longA</p>$nest$nearLen$unnest<p>$longB</p></main></body>"
+    assert(texts(html) == Seq(longA, longB))
+    // but with NO shallow article, equally-deep text keeps itself
+    val onlyDeep = s"<body>$nest<p>$longA</p>$unnest</body>"
+    assert(texts(onlyDeep) == Seq(longA))
+  }
+
+  test("context smoothing: short kept between goods, dropped next to bad") {
+    val short = "구체적 판단은 아래와 같다."
+    val kept = s"<body><p>$longA</p><p>$short</p><p>$longB</p></body>"
+    assert(texts(kept) == Seq(longA, short, longB))
+    val farm = (1 to 5).map(k => s"""<a href="#$k">관련 판례 전문 보기 자료 $k</a>""")
+      .mkString("<p>", " ", "</p>")
+    val dropped = s"<body><p>$longA</p><p>$short</p>$farm</body>"
+    assert(texts(dropped) == Seq(longA))
+  }
+
+  test("headline promotion: heading kept iff followed by good content") {
+    val promoted = s"<body><h2>쟁점의 정리</h2><p>$longA</p></body>"
+    assert(texts(promoted) == Seq("쟁점의 정리", longA))
+    assert(MainContent.extract(promoted).head.kind == MainContent.KindHeading)
+    val orphan = s"<body><p>$longA</p><h2>쟁점의 정리</h2></body>"
+    assert(texts(orphan) == Seq(longA))
+  }
+
+  test("media linking: content figures kept in order, chrome images dropped") {
+    val html =
+      s"""<body><header><img src="media/logo.png"/></header>
+         |<main><p>$longA</p>
+         |<figure><img src="media/fig-1.png"/><figcaption>별지 1: 계약서 사본</figcaption></figure>
+         |<p>$longB</p></main>
+         |<footer><img src="media/badge.png"/></footer></body>""".stripMargin
+    assert(media(html) == Seq("media/fig-1.png"))
+    val spans = MainContent.extract(html)
+    assert(spans.map(s => (s.kind, s.order)).zipWithIndex.forall { case ((_, o), i) => o == i })
+    assert(spans.map(_.kind) ==
+      Seq(MainContent.KindText, MainContent.KindMedia, MainContent.KindText,
+        MainContent.KindText))
+    // an image stranded among boilerplate has no good neighbor
+    val stranded = s"""<body><nav><a href="/">홈</a></nav><div><img src="media/x.png"/></div></body>"""
+    assert(media(stranded).isEmpty)
+  }
+
+  test("lexer: script/style bodies and comments are not content, '<' inside JS is not a tag") {
+    val html =
+      s"""<head><title>제목</title><style>p>a{color:red}</style>
+         |<script>if(1<2){document.x='<p>ghost</p>';}</script></head>
+         |<body><!-- <p>commented</p> --><p>$longA</p></body>""".stripMargin
+    assert(texts(html) == Seq(longA))
+  }
+
+  test("entities decode in text and in planted truth") {
+    val html = s"<body><p>$longA 갑 &amp; 을 &lt;주문&gt;&nbsp;&#44032;</p></body>"
+    assert(texts(html) == Seq(s"$longA 갑 & 을 <주문> 가"))
+  }
+
+  test("wild HTML: unclosed <p> runs still segment as separate blocks") {
+    val html = s"<body><p>$longA<p>$longB</body>"
+    assert(texts(html) == Seq(longA, longB))
+  }
+
+  test("degenerate inputs") {
+    assert(MainContent.extract("").isEmpty)
+    assert(MainContent.extract("   \n\t ").isEmpty)
+    assert(MainContent.extract("plain text no markup").isEmpty) // short, no good neighbor
+    assert(MainContent.extract(s"<p>$longA</p>") == MainContent.extract(s"<P>$longA</P>"))
+  }
+
+  test("block features: link density per-mille, anchor-only block") {
+    val bs = MainContent.blocks(
+      """<body><p>가나다라 <a href="#">마바</a></p><p><a href="#">마바사아</a></p></body>""")
+    assert(bs.size == 2)
+    assert(bs(0).nonWs == 6 && bs(0).anchorNonWs == 2 && bs(0).linkPm == 333)
+    assert(bs(1).linkPm == 1000)
+  }
+
+  test("planted-truth round-trip: 300 generated pages extract exactly") {
+    val spec = CorpusGen.specFor("sf0.001")
+    for (i <- 0L until 300L) {
+      val p = WebGen.genPage(i, spec)
+      val got = MainContent.extract(p.html)
+      assert(got == p.truth, s"doc $i: got ${got.size} spans vs ${p.truth.size}")
+    }
+  }
+
+  test("generator coverage: every heuristic family appears across seeds") {
+    val spec = CorpusGen.specFor("sf0.001")
+    val htmls = (0L until 100L).map(WebGen.genPage(_, spec).html)
+    assert(htmls.exists(_.contains("class=\"related\"")))
+    assert(htmls.exists(_.contains("추천: <a")))          // link farm
+    assert(htmls.exists(_.contains("<div>" * (MainContent.DepthSlack + 2)))) // deep promo
+    assert(htmls.exists(_.contains("<figure>")))
+    assert(htmls.exists(_.contains("&amp;")))
+    assert(htmls.forall(_.contains("<nav>")))
+  }
+}
