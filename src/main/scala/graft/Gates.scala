@@ -119,6 +119,50 @@ object Gates {
     graft.pipeline.Extraction.explodeSpans(
       TableIO.readCommitted(spark, resumeTable(spark, sfDir)).get)
 
+  /** Build (once per JVM per sf) a two-snapshot committed WEB table: snapshot
+    * 1 main-content-extracts the even-index half of the raw crawl, snapshot 2
+    * resumes over the FULL crawl through the same committed-skip anti-join —
+    * the raw-HTML front end on the same exactly-once machinery as the PDF
+    * path. The union must extract every page exactly once.
+    */
+  def webResumeTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val sf = Corpus.sfName(sfDir)
+    webResumeCache.getOrElseUpdate(sf, {
+      val pagesPath = Corpus.ensureWeb(spark, sf)
+      val work = s"${Corpus.Root}/gates/$sf/web_resume"
+      clean(work)
+      val pages = spark.read.parquet(pagesPath)
+      pages.where(evenDoc).write.parquet(s"$work/phase1")
+      TableIO.commitWeb(spark, spark.read.parquet(s"$work/phase1"),
+        s"$work/table", "gate-w1")
+      TableIO.commitWeb(spark, pages, s"$work/table", "gate-w2")
+      s"$work/table"
+    })
+  }
+  private val webResumeCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** Full committed web scan after the resumed second run — must equal the
+    * PLANTED generator truth exactly (each page extracted exactly once, and
+    * correctly, through the two-snapshot commit path).
+    */
+  def webResumeExtract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.WebExtraction.explodeSpans(spark,
+      TableIO.readCommitted(spark, webResumeTable(spark, sfDir)).get)
+
+  /** Deterministic totals over the web table's per-partition lineage metrics
+    * across BOTH snapshots: pages parsed exactly once, spans = planted span
+    * count, zero failures. (Every generated page plants at least a headline
+    * and a paragraph, so pages_parsed == distinct planted doc_ids — a
+    * generator invariant the oracle leans on.)
+    */
+  def webMetricsTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    TableIO.readMetrics(spark, webResumeTable(spark, sfDir)).get
+      .agg(
+        sum(col("pages_parsed")).cast("long").as("total_pages"),
+        sum(col("spans_emitted")).cast("long").as("total_spans"),
+        sum(col("parse_failures")).cast("long").as("total_failures"))
+  }
+
   private def copyTree(src: String, dst: String): Unit = {
     // Hadoop-FS recursive copy (works on HDFS/S3A/local alike, like TableIO)
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()

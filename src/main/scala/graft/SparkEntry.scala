@@ -242,6 +242,16 @@ object SparkEntry {
         .toDF("doc_id", "n_spans", "n_heading", "n_media", "main_chars")
     }),
 
+    // the raw-HTML front end through the SAME committed-snapshot/resume
+    // machinery as the PDF path (TableIO.commitWeb): snapshot 1 extracts the
+    // even-index half of the crawl, snapshot 2 resumes over the full crawl
+    // via the committed-skip anti-join — the read-back union must equal the
+    // planted truth exactly (each page extracted exactly once, correctly)
+    "q_web_resume" -> ((s, dir) => Gates.webResumeExtract(s, dir)),
+    // deterministic totals over the web table's per-partition lineage
+    // metrics across both snapshots (pages once, spans planted, 0 failures)
+    "x_web_metrics" -> ((s, dir) => Gates.webMetricsTotals(s, dir)),
+
     // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
     // two-phase AvailableNow dedup ingest through ONE checkpoint (restart
     // between phases); result = the sink parquet read back
@@ -1339,6 +1349,19 @@ object SparkEntry {
     // distributed extractor must reconstruct the plant from raw markup
     "x_web_main_content" ->
       "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet')",
+    // resume gate: the two-snapshot committed union must equal the SAME
+    // planted truth — resume correctness reduces to extraction correctness
+    "q_web_resume" ->
+      "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet')",
+    // lineage-metrics totals: every page parsed exactly once across the two
+    // snapshots (pages == distinct planted doc_ids — every generated page
+    // plants at least a headline + paragraph), spans == planted count, zero
+    // failures (MainContent.extract is total)
+    "x_web_metrics" ->
+      ("SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS total_pages, " +
+        "CAST(count(*) AS BIGINT) AS total_spans, " +
+        "CAST(0 AS BIGINT) AS total_failures " +
+        "FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet')"),
     "x_web_content_stats" ->
       ("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(count(*) FILTER (WHERE kind = 'heading') AS BIGINT) AS n_heading, " +

@@ -225,6 +225,42 @@ object TableIO {
     Some(snapshotId)
   }
 
+  /** Raw-HTML analog of [[commitDocs]]: main-content-extract the web pages
+    * `(doc_id, html)` not yet committed under `outRoot` and commit ONE new
+    * snapshot (nested span data + per-partition lineage metrics) atomically.
+    * Same exactly-once story — a killed run leaves no visible output, a
+    * resumed run left-anti-skips committed doc_ids — so the crawl front end
+    * and the PDF pipeline share one checkpoint/resume discipline.
+    */
+  def commitWeb(spark: SparkSession, pages: DataFrame, outRoot: String,
+                runId: String): Option[String] = {
+    import spark.implicits._
+    val remaining = readCommitted(spark, outRoot) match {
+      case Some(done) =>
+        pages.join(done.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => pages
+    }
+    if (remaining.isEmpty) return None
+
+    val snaps = committedSnapshots(outRoot)
+    val snapshotId = nextId(snaps, runId)
+    val dir = new Path(outRoot, s"snap-$snapshotId")
+    fsFor(dir).mkdirs(dir)
+
+    val parsed = WebExtraction.parse(
+        remaining.select(col("doc_id").cast("string"), col("html")).as[(String, String)])
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      WebExtraction.assemble(parsed)
+        .write.mode(SaveMode.Overwrite).parquet(new Path(dir, "data").toString)
+      WebExtraction.metrics(parsed, runId, snapshotId)
+        .write.mode(SaveMode.Overwrite).parquet(new Path(dir, "metrics").toString)
+    } finally parsed.unpersist()
+
+    writeManifest(dir, snapshotId, runId, headOf(snaps).map(_.id))
+    Some(snapshotId)
+  }
+
   /** Atomic commit point: manifest written via temp file + rename (atomic on
     * HDFS and POSIX local FS; object stores give task-level atomicity the
     * same way their committers do).
