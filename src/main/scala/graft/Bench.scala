@@ -126,7 +126,8 @@ object Bench {
   * Usage: runMain graft.ExtractBench <corpusPath> [repeats] [mode]
   * mode: fanout (page fan-out + salted assembly) | doclocal (zero-shuffle
   * typed Dataset) | custom (zero-shuffle custom plan node, no Encoder
-  * round-trip)
+  * round-trip) | web (raw-HTML main-content extraction over the wild-web
+  * pages table — pass the web parquet dir, e.g. data/web/sf0.1)
   */
 object ExtractBench {
   def main(args: Array[String]): Unit = {
@@ -149,13 +150,21 @@ object ExtractBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // materialize the input table if absent (generation excluded from timing)
-    Corpus.ensure(spark, Corpus.sfName(corpusPath))
+    if (mode == "web") Corpus.ensureWeb(spark, Corpus.sfName(corpusPath))
+    else Corpus.ensure(spark, Corpus.sfName(corpusPath))
 
     for (r <- 1 to repeats) {
       val t0 = System.nanoTime()
       val out = mode match {
         case "doclocal" => Extraction.runDocLocal(spark, corpusPath)
         case "custom" => graft.plans.ExtractDocs.over(spark, corpusPath)
+        case "web" =>
+          import spark.implicits._
+          graft.pipeline.WebExtraction.assemble(
+            graft.pipeline.WebExtraction.parse(
+              spark.read.parquet(corpusPath)
+                .select(col("doc_id").cast("string"), col("html"))
+                .as[(String, String)]))
         case _ => Extraction.run(spark, corpusPath)
       }
       val row = out.agg(count(lit(1)), sum(size(col("spans")))).head()

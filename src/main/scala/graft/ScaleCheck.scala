@@ -53,6 +53,19 @@ object ScaleCheck {
     bad += diff(
       out.select(col("doc_id"), col("html")),
       spark.read.parquet(Corpus.goldenHtmlPath(sf)), s"$sf html")
+
+    // raw-HTML surface: main-content extraction vs the PLANTED generator
+    // truth (independent of the extractor) at the same scale
+    {
+      import spark.implicits._
+      val pages = spark.read.parquet(Corpus.ensureWeb(spark, sf))
+        .select(col("doc_id").cast("string"), col("html")).as[(String, String)]
+      val webOut = graft.pipeline.WebExtraction.explodeSpans(spark,
+        graft.pipeline.WebExtraction.assemble(
+          graft.pipeline.WebExtraction.parse(pages)))
+      bad += diff(webOut,
+        spark.read.parquet(Corpus.goldenWebPath(sf)), s"$sf web")
+    }
     spark.stop()
     if (bad > 0) sys.exit(1)
   }

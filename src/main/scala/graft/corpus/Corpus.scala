@@ -140,8 +140,12 @@ object Corpus {
 
   /** Ensure the wild-web pages table (doc_id, html) AND its PLANTED
     * main-content truth (doc_id, kind, text, media_ref, ord) exist; returns
-    * the pages path. One distributed pass generates both — the truth is the
-    * generator's plant, fully independent of [[graft.parse.MainContent]].
+    * the pages path. Two independent distributed passes — per-doc seeding
+    * makes regeneration exact and free, so NOTHING is cached (a .persist of
+    * the generated pages OOMed at sf10: 1M pages × ~130 MB blocks × 16
+    * concurrent tasks; deterministic re-derivation is the corpus-scale
+    * shape). The truth is the generator's plant, fully independent of
+    * [[graft.parse.MainContent]].
     */
   def ensureWeb(spark: SparkSession, sf: String): String = synchronized {
     val path = webPath(sf)
@@ -149,17 +153,15 @@ object Corpus {
     if (!exists(path) || !exists(goldenWebPath(sf)) || !Files.exists(marker)) {
       import spark.implicits._
       val spec = WebGen.specFor(sf)
-      val pages = spark.range(0, spec.docs.toLong, 1,
-          math.min(spec.docs, spark.sparkContext.defaultParallelism * 2))
+      def gen() = spark.range(0, spec.docs.toLong, 1,
+          math.min(spec.docs, spark.sparkContext.defaultParallelism * 4))
         .map(i => WebGen.genPage(i, spec))
-        .persist()
-      pages.map(p => (p.doc_id, p.html)).toDF("doc_id", "html")
+      gen().map(p => (p.doc_id, p.html)).toDF("doc_id", "html")
         .write.mode(SaveMode.Overwrite).parquet(path)
-      pages.flatMap(p => p.truth.map(s =>
+      gen().flatMap(p => p.truth.map(s =>
           (p.doc_id, s.kind, s.text, s.media_ref, s.order)))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
         .write.mode(SaveMode.Overwrite).parquet(goldenWebPath(sf))
-      pages.unpersist()
       Files.write(marker, Array.empty[Byte])
     }
     path
