@@ -163,6 +163,40 @@ object Gates {
         sum(col("parse_failures")).cast("long").as("total_failures"))
   }
 
+  /** Two-phase streaming web ingest through ONE checkpoint (kill-restart
+    * between phases): phase 1 drains the even-half files under
+    * `Trigger.AvailableNow`, phase 2 restarts over the full file set — the
+    * recovered source offsets skip phase-1 FILES and the committed-doc
+    * anti-join skips phase-1 PAGES, so the read-back table must equal the
+    * planted truth exactly once per page. Built once per JVM per sf.
+    */
+  def streamWebTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val sf = Corpus.sfName(sfDir)
+    streamWebCache.getOrElseUpdate(sf, {
+      val pagesPath = Corpus.ensureWeb(spark, sf)
+      val work = s"${Corpus.Root}/gates/$sf/stream_web"
+      clean(work)
+      val pages = spark.read.parquet(pagesPath)
+      pages.where(evenDoc).coalesce(1).write.parquet(s"$work/in/f-0")
+      graft.streaming.StreamingExtraction.ingestWebAvailableNow(spark,
+        s"$work/in/f-*", s"$work/table", s"$work/ckpt", "gate-sw1",
+        maxFilesPerTrigger = 100000)
+      pages.where(!evenDoc).coalesce(1).write.parquet(s"$work/in/f-1")
+      graft.streaming.StreamingExtraction.ingestWebAvailableNow(spark,
+        s"$work/in/f-*", s"$work/table", s"$work/ckpt", "gate-sw2",
+        maxFilesPerTrigger = 100000)
+      s"$work/table"
+    })
+  }
+  private val streamWebCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** Committed web table after the two-phase streaming ingest — must equal
+    * the planted generator truth (same oracle as the batch resume gate).
+    */
+  def streamWebExtract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.WebExtraction.explodeSpans(spark,
+      TableIO.readCommitted(spark, streamWebTable(spark, sfDir)).get)
+
   private def copyTree(src: String, dst: String): Unit = {
     // Hadoop-FS recursive copy (works on HDFS/S3A/local alike, like TableIO)
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()

@@ -251,6 +251,11 @@ object SparkEntry {
     // deterministic totals over the web table's per-partition lineage
     // metrics across both snapshots (pages once, spans planted, 0 failures)
     "x_web_metrics" -> ((s, dir) => Gates.webMetricsTotals(s, dir)),
+    // two-phase AvailableNow streaming ingest of the raw crawl through ONE
+    // checkpoint (restart between phases): recovered source offsets skip
+    // phase-1 files, the committed-doc anti-join skips phase-1 pages — the
+    // read-back committed table must equal the planted truth exactly
+    "q_stream_web_extract" -> ((s, dir) => Gates.streamWebExtract(s, dir)),
 
     // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
     // two-phase AvailableNow dedup ingest through ONE checkpoint (restart
@@ -1362,6 +1367,10 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS total_spans, " +
         "CAST(0 AS BIGINT) AS total_failures " +
         "FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet')"),
+    // streaming ingest reduces to the same planted truth: exactly-once per
+    // page across the restart, correct extraction per page
+    "q_stream_web_extract" ->
+      "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet')",
     "x_web_content_stats" ->
       ("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(count(*) FILTER (WHERE kind = 'heading') AS BIGINT) AS n_heading, " +

@@ -60,4 +60,37 @@ object StreamingExtraction {
     q.awaitTermination()
     batches
   }
+
+  /** Raw-HTML pages schema (the wild-web front end's input table). */
+  val webInputSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("html", StringType)))
+
+  /** AvailableNow ingest of raw web pages into committed snapshots via
+    * [[TableIO.commitWeb]] — the crawl front end as a tailing ingester, with
+    * the same end-to-end exactly-once story as the PDF path: streaming
+    * checkpoint (source offsets) + committed-doc skip make batch replays and
+    * restarts idempotent per doc_id.
+    */
+  def ingestWebAvailableNow(spark: SparkSession, inputPath: String,
+                            outRoot: String, checkpoint: String, runId: String,
+                            maxFilesPerTrigger: Int = 8): Long = {
+    var batches = 0L
+    val stream = spark.readStream
+      .schema(webInputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputPath)
+
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TableIO.commitWeb(spark, batch, outRoot, s"$runId-b$batchId")
+        batches += 1
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
 }

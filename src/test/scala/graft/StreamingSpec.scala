@@ -44,6 +44,32 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       .groupBy("doc_id").count().filter($"count" > 1).count() shouldBe 0
   }
 
+  test("AvailableNow web ingest: kill-restart through one checkpoint == planted truth, exactly-once") {
+    import graft.corpus.WebGen
+    val tmp = Files.createTempDirectory("graft-stream-web").toString
+    val spec = CorpusGen.Spec(docs = 30, megaPages = 8)
+    val pages = (0L until spec.docs.toLong).map(WebGen.genPage(_, spec))
+    val (first, rest) = pages.splitAt(18)
+    first.map(p => (p.doc_id, p.html)).toDF("doc_id", "html").coalesce(1)
+      .write.parquet(s"$tmp/in/f-0")
+
+    // phase 1 drains the first file set, then "dies"
+    StreamingExtraction.ingestWebAvailableNow(
+      spark, s"$tmp/in/f-*", s"$tmp/out", s"$tmp/ckpt", "sw1", maxFilesPerTrigger = 2)
+    // restart over MORE files, same checkpoint: recovered offsets skip f-0
+    rest.map(p => (p.doc_id, p.html)).toDF("doc_id", "html").coalesce(1)
+      .write.parquet(s"$tmp/in/f-1")
+    StreamingExtraction.ingestWebAvailableNow(
+      spark, s"$tmp/in/f-*", s"$tmp/out", s"$tmp/ckpt", "sw2", maxFilesPerTrigger = 2)
+
+    val committed = TableIO.readCommitted(spark, s"$tmp/out").get
+    committed.groupBy("doc_id").count().filter($"count" > 1).count() shouldBe 0
+    val got = committed.select($"doc_id", $"spans").as[(String, Seq[OutSpan])]
+      .collect().toMap
+    got.keySet shouldBe pages.map(_.doc_id).toSet
+    for (p <- pages) withClue(s"page ${p.doc_id}: ") { got(p.doc_id) shouldBe p.truth }
+  }
+
   test("watermarked tumbling-window counts emit exactly the closed windows") {
     import graft.streaming.StreamingMetrics
     import org.apache.spark.sql.functions._
