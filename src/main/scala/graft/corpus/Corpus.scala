@@ -136,7 +136,7 @@ object Corpus {
   }
 
   /** Bump when the web-page generator's layout or planted truth changes. */
-  val WebFormatVersion = 1
+  val WebFormatVersion = 2 // v2: mega-page skew plant (every 512th page)
 
   /** Ensure the wild-web pages table (doc_id, html) AND its PLANTED
     * main-content truth (doc_id, kind, text, media_ref, ord) exist; returns

@@ -186,7 +186,14 @@ object WebGen {
     plant(MainContent.KindHeading, title)
 
     paragraph()
-    val extras = 2 + rng.nextInt(4)
+    // SKEW PLANT: every 512th page is a mega-page (~100× the typical block
+    // count) — the crawl's long-tail outlier (a forum dump, an archive
+    // index). Row-wise parse cost is linear, so the extractor needs no
+    // special path; what the plant pins is that correctness and task
+    // balance hold when one row is 100× the median (the web analog of the
+    // corpus's 5,000-page mega-doc).
+    val mega = i % 512 == 511
+    val extras = if (mega) 256 + rng.nextInt(64) else 2 + rng.nextInt(4)
     (0 until extras).foreach { _ =>
       rng.nextInt(6) match {
         case 0 => connector()

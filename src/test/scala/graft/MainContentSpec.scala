@@ -145,6 +145,15 @@ class MainContentSpec extends AnyFunSuite {
     }
   }
 
+  test("mega-page skew plant: the 100x outlier extracts exactly and is actually 100x") {
+    val spec = CorpusGen.specFor("sf0.001")
+    val mega = WebGen.genPage(511L, spec)
+    val typicalSpans = (0L until 20L).map(WebGen.genPage(_, spec).truth.size).sum / 20
+    assert(mega.truth.size > typicalSpans * 20,
+      s"mega=${mega.truth.size} typical=$typicalSpans — plant not skewed enough")
+    assert(MainContent.extract(mega.html) == mega.truth)
+  }
+
   test("generator coverage: every heuristic family appears across seeds") {
     val spec = CorpusGen.specFor("sf0.001")
     val htmls = (0L until 100L).map(WebGen.genPage(_, spec).html)

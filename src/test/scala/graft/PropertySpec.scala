@@ -234,6 +234,35 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("MainContent.extract: total, deterministic, order-dense on arbitrary markup soup") {
+    import graft.parse.MainContent
+    // adversarial wild-web fragments: unclosed/mismatched tags, stray < > &,
+    // comments and scripts with markup inside, deep nesting, entities,
+    // nulls/controls — the crawl delivers all of these
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.oneOf("<div>", "</div>", "<p>", "</p", "<a href='x'>", "<img src=",
+        "<!-- <p>not a block</p>", "-->", "<script>if(a<b){}</script>",
+        "<<<", ">>>", "&amp;", "&bogus;", "&#x27;", "<P CLASS=", "'>",
+        " ", "<br/>", "</a>", "<table><tr><td>", "</html>"),
+      Gen.alphaNumStr,
+      Gen.oneOf("제1조 본문 내용이 길다 " * 8, "short", "", " \t\n"),
+      Gen.chooseNum(1, 40).map(d => "<div>" * d))
+    val genSoup: Gen[String] =
+      Gen.listOfN(30, frag).map(_.mkString)
+    forAll(genSoup, n = 300) { html =>
+      val a = MainContent.extract(html) // must not throw
+      val b = MainContent.extract(html)
+      a shouldBe b // deterministic
+      a.map(_.order) shouldBe a.indices.toVector // dense 0..n-1
+      a.foreach { s =>
+        Set(MainContent.KindHeading, MainContent.KindText,
+          MainContent.KindMedia) should contain(s.kind)
+        if (s.kind == MainContent.KindMedia) s.media_ref should not be empty
+        else s.text should not be empty
+      }
+    }
+  }
+
   test("pointer-doubling redirect resolution == naive chain walk on random acyclic maps") {
     val spark = SparkSessions.spark
     import spark.implicits._
