@@ -256,6 +256,24 @@ object SparkEntry {
     // phase-1 files, the committed-doc anti-join skips phase-1 pages — the
     // read-back committed table must equal the planted truth exactly
     "q_stream_web_extract" -> ((s, dir) => Gates.streamWebExtract(s, dir)),
+    // extract-then-dedup composition: the generator plants content
+    // duplicates under DIFFERENT chrome (every 101st page re-posts
+    // another page's article), so raw-HTML hashing can never pair them —
+    // dedup keyed on the EXTRACTED span signature catches every plant.
+    // This is why boilerplate removal precedes dedup in every corpus
+    // pipeline (C4/CCNet); plan shape = the per-page map + Dedup.exact's
+    // one map-side-combined shuffle of (md5, doc_id), no text moves
+    "q_web_content_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val sigs = s.read.parquet(Corpus.ensureWeb(s, sf)).as[(String, String)]
+        .map { case (id, html) =>
+          val spans = graft.parse.MainContent.extract(html)
+          (id, spans.map(sp => sp.kind + "\u001f" + sp.text + "\u001f" + sp.media_ref)
+            .mkString("\u001e"))
+        }.toDF("doc_id", "text")
+      graft.ops.Dedup.exact(sigs)
+    }),
 
     // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
     // two-phase AvailableNow dedup ingest through ONE checkpoint (restart
@@ -1371,6 +1389,14 @@ object SparkEntry {
     // page across the restart, correct extraction per page
     "q_stream_web_extract" ->
       "SELECT doc_id, kind, text, media_ref, ord FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet')",
+    // extract-then-dedup over the planted truth: per-page span signature
+    // (kind/text/media_ref joined by control chars in ord order) → md5
+    // groups; the planted re-posts land in n_docs=2 groups
+    "q_web_content_dedup" ->
+      ("WITH sig AS (SELECT doc_id, string_agg(kind || chr(31) || text || chr(31) || media_ref, chr(30) ORDER BY ord) AS s " +
+        "FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') GROUP BY doc_id) " +
+        "SELECT md5(s) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id " +
+        "FROM sig GROUP BY md5(s)"),
     "x_web_content_stats" ->
       ("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(count(*) FILTER (WHERE kind = 'heading') AS BIGINT) AS n_heading, " +

@@ -136,7 +136,10 @@ object Corpus {
   }
 
   /** Bump when the web-page generator's layout or planted truth changes. */
-  val WebFormatVersion = 2 // v2: mega-page skew plant (every 512th page)
+  // v2: mega-page skew plant (every 512th page); v3: content-duplicate
+  // plant (every 101st page re-renders another page's content in different
+  // chrome — dup beats mega when indices collide)
+  val WebFormatVersion = 3
 
   /** Ensure the wild-web pages table (doc_id, html) AND its PLANTED
     * main-content truth (doc_id, kind, text, media_ref, ord) exist; returns

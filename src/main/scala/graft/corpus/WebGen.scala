@@ -81,7 +81,64 @@ object WebGen {
   /** One generated page: raw markup + the planted main-content truth. */
   final case class WebPage(doc_id: String, html: String, truth: Vector[OutSpan])
 
-  def genPage(i: Long, spec: CorpusGen.Spec): WebPage = {
+  /** Every `DupStride`-th page is a CONTENT DUPLICATE of the page
+    * `DupStride-1` earlier: same main content, completely different chrome
+    * (a re-posting site skin). Raw-HTML hashing can NEVER pair these — only
+    * extract-then-dedup can, which is exactly why boilerplate removal
+    * precedes dedup in every corpus pipeline (C4, CCNet). The truth is the
+    * source page's truth verbatim.
+    */
+  val DupStride = 101
+
+  def genPage(i: Long, spec: CorpusGen.Spec): WebPage =
+    if (i % DupStride == DupStride - 1) genDup(i, spec) else genFresh(i, spec)
+
+  private def genDup(i: Long, spec: CorpusGen.Spec): WebPage = {
+    val id = docId(i)
+    // the source index is ≡ 0 (mod DupStride), so it is always a fresh page
+    val src = genPage(i - (DupStride - 1), spec)
+    val rng = new Random(id.hashCode.toLong ^ 0x5ca1ab1eL)
+    def esc(s: String): String = s.replace("&", "&amp;")
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html>\n<html>\n<head><title>판례 모음 - 재게시</title></head>\n<body>\n")
+      // chrome families DISJOINT from the fresh skin: a link-only banner
+      // (dropped on link density), a breadcrumb nav, a link-farm footer
+      .append("<div id=\"promo-banner\"><a href=\"/join\">")
+      .append(pick(rng, promoPool).take(40)).append("</a></div>\n")
+      .append("<header><nav class=\"breadcrumb\">")
+    (0 until 3 + rng.nextInt(5)).foreach { k =>
+      sb.append("<a href=\"/c").append(k).append("\">")
+        .append(pick(rng, navPool)).append("</a> &gt; ")
+    }
+    sb.append("</nav></header>\n<main class=\"post-body\">\n")
+    val t = src.truth
+    var k = 0
+    while (k < t.length) {
+      val s = t(k)
+      if (s.kind == MainContent.KindMedia) {
+        // the generator always plants a figure's caption text right after
+        // its media span — re-render them as one figure
+        require(k + 1 < t.length && t(k + 1).kind == MainContent.KindText,
+          s"media span without caption at $k in ${src.doc_id}")
+        sb.append("<figure><img src=\"").append(s.media_ref).append("\"/>")
+          .append("<figcaption>").append(esc(t(k + 1).text))
+          .append("</figcaption></figure>\n")
+        k += 2
+      } else if (s.kind == MainContent.KindHeading) {
+        sb.append("<h2>").append(esc(s.text)).append("</h2>\n"); k += 1
+      } else {
+        sb.append("<p>").append(esc(s.text)).append("</p>\n"); k += 1
+      }
+    }
+    sb.append("</main>\n<footer class=\"footer\">")
+    (0 until 2 + rng.nextInt(3)).foreach { _ =>
+      sb.append("<a href=\"#\">").append(pick(rng, linkFarmPool)).append("</a> ")
+    }
+    sb.append("© 재게시 플랫폼</footer>\n</body>\n</html>\n")
+    WebPage(id, sb.toString, src.truth)
+  }
+
+  private def genFresh(i: Long, spec: CorpusGen.Spec): WebPage = {
     val id = docId(i)
     val rng = new Random(id.hashCode.toLong)
     val sb = new StringBuilder

@@ -154,6 +154,16 @@ class MainContentSpec extends AnyFunSuite {
     assert(MainContent.extract(mega.html) == mega.truth)
   }
 
+  test("content-duplicate plant: invisible to raw-HTML hashing, exact after extraction") {
+    val spec = CorpusGen.specFor("sf0.001")
+    val src = WebGen.genPage(0L, spec)
+    val dup = WebGen.genPage(WebGen.DupStride - 1L, spec)
+    assert(dup.html != src.html, "chrome must differ — raw hashing must miss the pair")
+    assert(dup.truth == src.truth, "main content must be identical")
+    assert(MainContent.extract(dup.html) == dup.truth,
+      "the re-posted skin must extract to the same spans")
+  }
+
   test("generator coverage: every heuristic family appears across seeds") {
     val spec = CorpusGen.specFor("sf0.001")
     val htmls = (0L until 100L).map(WebGen.genPage(_, spec).html)
