@@ -241,6 +241,45 @@ object SparkEntry {
         }
         .toDF("doc_id", "n_spans", "n_heading", "n_media", "main_chars")
     }),
+    // outlink extraction over the raw crawl — the frontier primitive: every
+    // <a href> with its anchor text, content/chrome attribution (the block-
+    // keep decision of the SAME classifier x_web_main_content pins) and
+    // page-global encounter order. Oracle = the generator's PLANTED link
+    // truth (decided at layout time). Zero-shuffle per-page map.
+    "x_web_outlinks" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      s.read.parquet(Corpus.ensureWebLinks(s, sf)).as[(String, String)]
+        .flatMap { case (id, html) =>
+          graft.parse.MainContent.outlinks(html)
+            .map(l => (id, l.href, l.text, l.from_content, l.order))
+        }
+        .toDF("doc_id", "href", "text", "from_content", "ord")
+    }),
+    // crawl-frontier rollup over the extracted outlinks: per target href,
+    // total references, CONTENT references (the editorial-signal count a
+    // scheduler ranks by — chrome links repeat sitewide and carry none) and
+    // distinct referring pages. Two-level aggregation: partial-combined
+    // (href, doc_id) pre-aggregate first, so the second shuffle moves one
+    // row per (href, page) — never one per anchor — and the distinct-count
+    // needs no expand at corpus scale.
+    "q_web_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val perPage = s.read.parquet(Corpus.ensureWebLinks(s, sf)).as[(String, String)]
+        .flatMap { case (id, html) =>
+          graft.parse.MainContent.outlinks(html)
+            .map(l => (id, l.href, if (l.from_content) 1L else 0L))
+        }
+        .toDF("doc_id", "href", "is_content")
+        .groupBy("href", "doc_id")
+        .agg(count(lit(1)).as("refs"), sum("is_content").as("content_refs"))
+      perPage.groupBy("href")
+        .agg(
+          sum("refs").as("n_refs"),
+          sum("content_refs").as("n_content_refs"),
+          count(lit(1)).as("n_pages"))
+    }),
 
     // the raw-HTML front end through the SAME committed-snapshot/resume
     // machinery as the PDF path (TableIO.commitWeb): snapshot 1 extracts the
@@ -1397,6 +1436,18 @@ object SparkEntry {
         "FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') GROUP BY doc_id) " +
         "SELECT md5(s) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id " +
         "FROM sig GROUP BY md5(s)"),
+    // the golden_web_links parquet is the generator's PLANTED outlink truth
+    // (each <a href> recorded at layout time with its chrome/content
+    // attribution) — the extractor must reconstruct it from raw markup
+    "x_web_outlinks" ->
+      "SELECT doc_id, href, text, from_content, ord FROM read_parquet('/root/repo/data/golden_web_links/sf0.01/*.parquet')",
+    // frontier rollup over the same planted truth: per-anchor counts reduce
+    // to count(*) because every planted anchor is one reference
+    "q_web_frontier" ->
+      ("SELECT href, CAST(count(*) AS BIGINT) AS n_refs, " +
+        "CAST(count(*) FILTER (WHERE from_content) AS BIGINT) AS n_content_refs, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages " +
+        "FROM read_parquet('/root/repo/data/golden_web_links/sf0.01/*.parquet') GROUP BY href"),
     "x_web_content_stats" ->
       ("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(count(*) FILTER (WHERE kind = 'heading') AS BIGINT) AS n_heading, " +

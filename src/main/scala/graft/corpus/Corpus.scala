@@ -26,6 +26,7 @@ object Corpus {
   def goldenVerifyPath(sf: String): String = s"$Root/golden_verify/$sf"
   def webPath(sf: String): String = s"$Root/web/$sf"
   def goldenWebPath(sf: String): String = s"$Root/golden_web/$sf"
+  def goldenWebLinksPath(sf: String): String = s"$Root/golden_web_links/$sf"
 
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
@@ -165,6 +166,36 @@ object Corpus {
           (p.doc_id, s.kind, s.text, s.media_ref, s.order)))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
         .write.mode(SaveMode.Overwrite).parquet(goldenWebPath(sf))
+      Files.write(marker, Array.empty[Byte])
+    }
+    path
+  }
+
+  /** Bump when the generator's planted OUTLINK truth changes. Versioned
+    * separately from [[WebFormatVersion]]: link truth is an additive record
+    * of anchors the generator already emits, so adding or re-versioning it
+    * must not force a regeneration of the (unchanged) pages + span truth.
+    */
+  val WebLinksFormatVersion = 1
+
+  /** Ensure the planted outlink truth (doc_id, href, text, from_content,
+    * ord) for the wild-web table exists; returns the pages path. Same
+    * no-cache two-pass contract as [[ensureWeb]]: per-doc seeding makes the
+    * extra generation pass exact and embarrassingly parallel.
+    */
+  def ensureWebLinks(spark: SparkSession, sf: String): String = synchronized {
+    val path = ensureWeb(spark, sf)
+    val linksPath = goldenWebLinksPath(sf)
+    val marker = Paths.get(linksPath, s"_FORMAT_v$WebLinksFormatVersion")
+    if (!exists(linksPath) || !Files.exists(marker)) {
+      import spark.implicits._
+      val spec = WebGen.specFor(sf)
+      spark.range(0, spec.docs.toLong, 1,
+          math.min(spec.docs, spark.sparkContext.defaultParallelism * 4))
+        .flatMap(i => WebGen.genPage(i, spec).links.map(l =>
+          (WebGen.docId(i), l.href, l.text, l.from_content, l.order)))
+        .toDF("doc_id", "href", "text", "from_content", "ord")
+        .write.mode(SaveMode.Overwrite).parquet(linksPath)
       Files.write(marker, Array.empty[Byte])
     }
     path

@@ -78,8 +78,21 @@ object WebGen {
 
   private def pick[A](rng: Random, xs: Vector[A]): A = xs(rng.nextInt(xs.length))
 
-  /** One generated page: raw markup + the planted main-content truth. */
-  final case class WebPage(doc_id: String, html: String, truth: Vector[OutSpan])
+  /** One generated page: raw markup + the planted main-content truth + the
+    * planted outlink truth (every `<a href>` the generator lays down, with
+    * its anchor text, whether it sits in article content or chrome, and its
+    * page-global emission order — decided at layout time, independent of
+    * [[MainContent.outlinks]]).
+    */
+  final case class WebPage(
+      doc_id: String, html: String, truth: Vector[OutSpan],
+      links: Vector[MainContent.Outlink])
+
+  /** Planted link text is recorded in the span contract's normal form
+    * (whitespace-collapsed), e.g. a pool excerpt cut at a space boundary.
+    */
+  private def collapse(s: String): String =
+    s.split("\\s+").filter(_.nonEmpty).mkString(" ")
 
   /** Every `DupStride`-th page is a CONTENT DUPLICATE of the page
     * `DupStride-1` earlier: same main content, completely different chrome
@@ -99,16 +112,23 @@ object WebGen {
     val src = genPage(i - (DupStride - 1), spec)
     val rng = new Random(id.hashCode.toLong ^ 0x5ca1ab1eL)
     def esc(s: String): String = s.replace("&", "&amp;")
+    val links = ArrayBuffer.empty[MainContent.Outlink]
+    def plantLink(href: String, text: String, fromContent: Boolean): Unit =
+      links += MainContent.Outlink(href, collapse(text), fromContent, links.size)
     val sb = new StringBuilder
     sb.append("<!DOCTYPE html>\n<html>\n<head><title>판례 모음 - 재게시</title></head>\n<body>\n")
       // chrome families DISJOINT from the fresh skin: a link-only banner
       // (dropped on link density), a breadcrumb nav, a link-farm footer
       .append("<div id=\"promo-banner\"><a href=\"/join\">")
-      .append(pick(rng, promoPool).take(40)).append("</a></div>\n")
+    val bannerText = pick(rng, promoPool).take(40)
+    sb.append(bannerText).append("</a></div>\n")
       .append("<header><nav class=\"breadcrumb\">")
+    plantLink("/join", bannerText, fromContent = false)
     (0 until 3 + rng.nextInt(5)).foreach { k =>
+      val crumb = pick(rng, navPool)
       sb.append("<a href=\"/c").append(k).append("\">")
-        .append(pick(rng, navPool)).append("</a> &gt; ")
+        .append(crumb).append("</a> &gt; ")
+      plantLink(s"/c$k", crumb, fromContent = false)
     }
     sb.append("</nav></header>\n<main class=\"post-body\">\n")
     val t = src.truth
@@ -132,10 +152,15 @@ object WebGen {
     }
     sb.append("</main>\n<footer class=\"footer\">")
     (0 until 2 + rng.nextInt(3)).foreach { _ =>
-      sb.append("<a href=\"#\">").append(pick(rng, linkFarmPool)).append("</a> ")
+      val t = pick(rng, linkFarmPool)
+      sb.append("<a href=\"#\">").append(t).append("</a> ")
+      plantLink("#", t, fromContent = false)
     }
     sb.append("© 재게시 플랫폼</footer>\n</body>\n</html>\n")
-    WebPage(id, sb.toString, src.truth)
+    // the re-render emits the source page's truth as PLAIN text (inline
+    // citation anchors do not survive re-posting), so a dup page plants
+    // zero content links — every link is chrome
+    WebPage(id, sb.toString, src.truth, links.toVector)
   }
 
   private def genFresh(i: Long, spec: CorpusGen.Spec): WebPage = {
@@ -147,6 +172,9 @@ object WebGen {
     def plant(kind: String, text: String, ref: String = ""): Unit = {
       truth += OutSpan(kind, text, ref, order); order += 1
     }
+    val links = ArrayBuffer.empty[MainContent.Outlink]
+    def plantLink(href: String, text: String, fromContent: Boolean): Unit =
+      links += MainContent.Outlink(href, collapse(text), fromContent, links.size)
 
     // a GOOD paragraph: 3–5 sentences (always ≥ GoodLen non-ws chars),
     // sometimes carrying an entity and/or a short inline citation link
@@ -169,6 +197,9 @@ object WebGen {
           .append(esc(plain.substring(cut)))
         plant(MainContent.KindText,
           plain.substring(0, cut) + " " + anchor + plain.substring(cut))
+        // the ONLY content link the generator plants: an inline citation
+        // inside a kept paragraph
+        plantLink("/law/390", anchor, fromContent = true)
       } else {
         sb.append(esc(plain))
         plant(MainContent.KindText, plain)
@@ -197,7 +228,9 @@ object WebGen {
     def relatedBox(): Unit = {
       sb.append("<div class=\"related\">")
       (0 until 3).foreach { _ =>
-        sb.append("<a href=\"#\">").append(pick(rng, linkFarmPool)).append("</a> ")
+        val t = pick(rng, linkFarmPool)
+        sb.append("<a href=\"#\">").append(t).append("</a> ")
+        plantLink("#", t, fromContent = false)
       }
       sb.append("</div>\n")
     }
@@ -206,7 +239,9 @@ object WebGen {
       // no bad class, plenty of text — only link density can drop it
       sb.append("<p>추천: ")
       (0 until 4).foreach { _ =>
-        sb.append("<a href=\"#\">").append(pick(rng, linkFarmPool)).append("</a> · ")
+        val t = pick(rng, linkFarmPool)
+        sb.append("<a href=\"#\">").append(t).append("</a> · ")
+        plantLink("#", t, fromContent = false)
       }
       sb.append("</p>\n")
     }
@@ -230,8 +265,10 @@ object WebGen {
       .append("<header class=\"site-header\"><img src=\"media/logo.png\"/>")
       .append("<h1>법률 정보 포털</h1>\n<nav>")
     (0 until 4 + rng.nextInt(4)).foreach { k =>
+      val t = pick(rng, navPool)
       sb.append("<a href=\"/m").append(k).append("\">")
-        .append(pick(rng, navPool)).append("</a> ")
+        .append(t).append("</a> ")
+      plantLink(s"/m$k", t, fromContent = false)
     }
     sb.append("</nav></header>\n<div class=\"content-wrap\">\n")
     // 0–2 extra wrapper divs shift the whole article's depth band together
@@ -268,13 +305,17 @@ object WebGen {
       .append(pick(rng, promoPool))
       .append("</p><ul>")
     (0 until 3).foreach { _ =>
-      sb.append("<li><a href=\"#\">").append(pick(rng, linkFarmPool)).append("</a></li>")
+      val t = pick(rng, linkFarmPool)
+      sb.append("<li><a href=\"#\">").append(t).append("</a></li>")
+      plantLink("#", t, fromContent = false)
     }
     sb.append("</ul></aside>\n</div>\n")
       .append("<footer><div class=\"copyright\">© 2026 법률 정보 포털 · ")
       .append("<a href=\"/terms\">이용약관</a> <a href=\"/privacy\">개인정보처리방침</a>")
       .append("</div></footer>\n</body>\n</html>\n")
+    plantLink("/terms", "이용약관", fromContent = false)
+    plantLink("/privacy", "개인정보처리방침", fromContent = false)
 
-    WebPage(id, sb.toString, truth.toVector)
+    WebPage(id, sb.toString, truth.toVector, links.toVector)
   }
 }

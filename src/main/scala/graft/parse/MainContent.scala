@@ -138,6 +138,8 @@ object MainContent {
     "(?i)\\bid\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
   private val SrcPat = java.util.regex.Pattern.compile(
     "(?i)\\bsrc\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+  private val HrefPat = java.util.regex.Pattern.compile(
+    "(?i)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
 
   private def attrVal(p: java.util.regex.Pattern, attrs: String): Option[String] = {
     val m = p.matcher(attrs)
@@ -231,7 +233,8 @@ object MainContent {
     */
   final case class Block(
       tag: String, depth: Int, bad: Boolean, heading: Boolean,
-      text: String, nonWs: Int, anchorNonWs: Int, media: Vector[String]) {
+      text: String, nonWs: Int, anchorNonWs: Int, media: Vector[String],
+      links: Vector[(String, String)] = Vector.empty) {
     /** Link density in per-mille of non-whitespace mass (1000 for an
       * anchor-only block with no measurable text).
       */
@@ -253,6 +256,15 @@ object MainContent {
     val mediaBuf = ArrayBuffer.empty[String]
     var anchorDepth = 0
     var anchorNonWs = 0
+    // outlink capture: href taken at the OUTERMOST <a> open, text
+    // accumulated to its close (nested anchors — invalid but seen in the
+    // wild — fold into the outer link). The pending pair survives block
+    // flushes so an anchor spanning a block boundary lands, whole, in the
+    // block where it CLOSES; an anchor left open at end-of-document is not
+    // a link.
+    val linksBuf = ArrayBuffer.empty[(String, String)]
+    var pendingHref: Option[String] = None
+    val anchorTextBuf = new StringBuilder
     // context captured at first content
     var ctxDepth = -1; var ctxBad = false; var ctxTag = "body"
     def captureCtx(): Unit = if (ctxDepth < 0) {
@@ -261,12 +273,17 @@ object MainContent {
     def flush(): Unit = {
       val norm = decodeEntities(textBuf.toString)
         .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      // the emit condition is EXACTLY the pre-outlink one: a block that has
+      // links but no text and no image is not emitted (its anchors are
+      // scaffolding, not links) — so link capture cannot perturb block
+      // structure, labels or smoothing for the main-content contract
       if (norm.nonEmpty || mediaBuf.nonEmpty) {
         val nonWs = norm.count(!_.isWhitespace)
         out += Block(ctxTag, math.max(ctxDepth, 0), ctxBad,
-          HeadingTags(ctxTag), norm, nonWs, anchorNonWs, mediaBuf.toVector)
+          HeadingTags(ctxTag), norm, nonWs, anchorNonWs, mediaBuf.toVector,
+          linksBuf.toVector)
       }
-      textBuf.clear(); mediaBuf.clear(); anchorNonWs = 0
+      textBuf.clear(); mediaBuf.clear(); anchorNonWs = 0; linksBuf.clear()
       ctxDepth = -1; ctxBad = false; ctxTag = "body"
     }
 
@@ -277,7 +294,10 @@ object MainContent {
             captureCtx(); mediaBuf += src
           }
         } else if (name == "br") {
-          if (!skipped) textBuf.append(' ')
+          if (!skipped) {
+            textBuf.append(' ')
+            if (anchorDepth > 0) anchorTextBuf.append(' ')
+          }
         } else if (BlockTags(name)) {
           flush()
           // implicit closes: wild HTML leaves p/li/td/tr open
@@ -288,7 +308,13 @@ object MainContent {
           if (!selfClose)
             stack = Frame(name, BadTags(name) || isBadAttr(attrs), BlockTags(name)) :: stack
         } else if (!selfClose) {
-          if (name == "a" && !skipped) anchorDepth += 1
+          if (name == "a" && !skipped) {
+            anchorDepth += 1
+            if (anchorDepth == 1) {
+              pendingHref = attrVal(HrefPat, attrs)
+              anchorTextBuf.clear()
+            }
+          }
           stack = Frame(name, isBadAttr(attrs), block = false) :: stack
         }
       case Close(name) =>
@@ -296,6 +322,19 @@ object MainContent {
           anchorDepth -= 1
           // the anchor run ends here even if intermediate frames were
           // dropped by recovery below
+          if (anchorDepth == 0) {
+            // an <a> without href is a named anchor, not a link. No
+            // captureCtx here: link capture is write-only w.r.t. the
+            // main-content pipeline (ctx is still captured at first
+            // text/image exactly as before)
+            pendingHref.foreach { h =>
+              val t = decodeEntities(anchorTextBuf.toString)
+                .split("\\s+").filter(_.nonEmpty).mkString(" ")
+              linksBuf += ((h, t))
+            }
+            pendingHref = None
+            anchorTextBuf.clear()
+          }
         }
         if (BlockTags(name)) flush()
         // pop to the nearest matching open, dropping unclosed intermediates
@@ -305,9 +344,14 @@ object MainContent {
         if (!skipped && s.exists(!_.isWhitespace)) {
           captureCtx()
           textBuf.append(s)
-          if (anchorDepth > 0)
+          if (anchorDepth > 0) {
             anchorNonWs += decodeEntities(s).count(!_.isWhitespace)
-        } else if (!skipped) textBuf.append(' ')
+            anchorTextBuf.append(s)
+          }
+        } else if (!skipped) {
+          textBuf.append(' ')
+          if (anchorDepth > 0) anchorTextBuf.append(' ')
+        }
     }
     flush()
     out.result()
@@ -371,6 +415,39 @@ object MainContent {
         case Near => prevRaw(i) == Good || nextRaw(i) == Good
       }
     }
+  }
+
+  /** One extracted hyperlink: raw `href` as written, whitespace-collapsed
+    * entity-decoded anchor text, whether the enclosing block survives
+    * boilerplate removal ([[finalKeep]]), and the page-global anchor
+    * encounter order.
+    */
+  final case class Outlink(
+      href: String, text: String, from_content: Boolean, order: Int)
+
+  /** Outlink extraction for one page — the crawl-frontier primitive: a
+    * crawler weighs links found in ARTICLE content above chrome links
+    * (nav/footer/related boxes repeat on every page of a site and carry no
+    * editorial signal — the same observation that makes intra-site "nepotism"
+    * links worthless for ranking, Davison SIGIR 2000). `from_content` is the
+    * block-keep decision of the SAME classifier the main-content gate pins,
+    * so link attribution inherits the planted-truth guarantee. An anchor
+    * whose enclosing block carries no content at all (no text, no image —
+    * e.g. an empty `<a href>` alone in a div) is scaffolding, not a link.
+    * Pure function of the page string — the corpus-scale run is the same
+    * zero-shuffle map shape as [[extract]].
+    */
+  def outlinks(html: String): Vector[Outlink] = {
+    val bs = blocks(html)
+    val keep = finalKeep(bs)
+    val out = Vector.newBuilder[Outlink]
+    var order = 0
+    bs.indices.foreach { i =>
+      bs(i).links.foreach { case (href, text) =>
+        out += Outlink(href, text, keep(i), order); order += 1
+      }
+    }
+    out.result()
   }
 
   /** Main-content span sequence for one page (step 5). */

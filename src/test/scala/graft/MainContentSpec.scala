@@ -136,6 +136,61 @@ class MainContentSpec extends AnyFunSuite {
     assert(bs(1).linkPm == 1000)
   }
 
+  test("outlinks: content vs chrome attribution, encounter order, anchor text normal form") {
+    val html =
+      s"""<body><nav><a href="/home">홈</a> <a href="/cases">판례  검색</a></nav>
+         |<main><p>${longA.take(60)} <a href="/law/390">민법 &amp;
+         |제390조</a> ${longA.drop(60)}</p></main>
+         |<footer><a href="/terms">약관</a></footer></body>""".stripMargin
+    val ls = MainContent.outlinks(html)
+    assert(ls.map(_.href) == Seq("/home", "/cases", "/law/390", "/terms"))
+    assert(ls.map(_.order) == Seq(0, 1, 2, 3))
+    assert(ls.map(_.from_content) == Seq(false, false, true, false))
+    // anchor text is entity-decoded and whitespace-collapsed (the newline
+    // inside the citation anchor collapses to one space)
+    assert(ls(2).text == "민법 & 제390조")
+    assert(ls(1).text == "판례 검색")
+  }
+
+  test("outlinks: script/style anchors, named anchors, unclosed and empty-block anchors are not links") {
+    val html =
+      s"""<head><script>x='<a href="/ghost">g</a>'</script></head>
+         |<body><p>$longA <a name="top">표시</a></p>
+         |<div><a href="/bare"></a></div>
+         |<p>$longB <a href="/open">열림""".stripMargin
+    // /ghost is inside a raw-text script body; the named anchor has no
+    // href; /bare's block has no content; /open never closes
+    assert(MainContent.outlinks(html).isEmpty)
+    // href quoting forms all parse
+    val q = """<body><p>%s <a href=/u1>하나</a> <a href='/u2'>둘</a></p></body>"""
+      .format(longA)
+    assert(MainContent.outlinks(q).map(_.href) == Seq("/u1", "/u2"))
+  }
+
+  test("outlinks: nested anchors fold into the outer link; capture does not perturb extraction") {
+    val html =
+      s"""<body><p>$longA <a href="/outer">바깥 <a href="/inner">안쪽</a> 글</a></p></body>"""
+    val ls = MainContent.outlinks(html)
+    assert(ls.map(_.href) == Seq("/outer"))
+    assert(ls.head.text == "바깥 안쪽 글")
+    // the same page extracts identically to its anchor-free rendering rules
+    assert(MainContent.extract(html).nonEmpty)
+  }
+
+  test("planted outlink truth round-trip: 300 pages incl. dup and mega reconstruct exactly") {
+    val spec = CorpusGen.specFor("sf0.001")
+    for (i <- (0L until 300L) ++ Seq(WebGen.DupStride - 1L, 511L)) {
+      val p = WebGen.genPage(i, spec)
+      val got = MainContent.outlinks(p.html)
+      assert(got == p.links, s"doc $i: got ${got.size} links vs ${p.links.size}")
+    }
+    // the plant exercises both attributions
+    val all = (0L until 300L).flatMap(i => WebGen.genPage(i, spec).links)
+    assert(all.exists(_.from_content) && all.exists(!_.from_content))
+    // dup pages plant chrome-only links
+    assert(WebGen.genPage(WebGen.DupStride - 1L, spec).links.forall(!_.from_content))
+  }
+
   test("planted-truth round-trip: 300 generated pages extract exactly") {
     val spec = CorpusGen.specFor("sf0.001")
     for (i <- 0L until 300L) {
