@@ -65,6 +65,15 @@ object ScaleCheck {
           graft.pipeline.WebExtraction.parse(pages)))
       bad += diff(webOut,
         spark.read.parquet(Corpus.goldenWebPath(sf)), s"$sf web")
+
+      // outlink surface: extracted links vs the PLANTED link truth
+      Corpus.ensureWebLinks(spark, sf)
+      val linkOut = pages.flatMap { case (id, html) =>
+        graft.parse.MainContent.outlinks(html)
+          .map(l => (id, l.href, l.text, l.from_content, l.order))
+      }.toDF("doc_id", "href", "text", "from_content", "ord")
+      bad += diff(linkOut,
+        spark.read.parquet(Corpus.goldenWebLinksPath(sf)), s"$sf web-links")
     }
     spark.stop()
     if (bad > 0) sys.exit(1)
