@@ -70,10 +70,36 @@ object ScaleCheck {
       Corpus.ensureWebLinks(spark, sf)
       val linkOut = pages.flatMap { case (id, html) =>
         graft.parse.MainContent.outlinks(html)
-          .map(l => (id, l.href, l.text, l.from_content, l.order))
-      }.toDF("doc_id", "href", "text", "from_content", "ord")
+          .map(l => (id, l.href, l.text, l.from_content, l.nofollow, l.order))
+      }.toDF("doc_id", "href", "text", "from_content", "nofollow", "ord")
       bad += diff(linkOut,
         spark.read.parquet(Corpus.goldenWebLinksPath(sf)), s"$sf web-links")
+
+      // page-metadata surface: title / robots-noindex / canonical vs the
+      // PLANTED metadata truth
+      Corpus.ensureWebMeta(spark, sf)
+      val metaOut = pages.map { case (id, html) =>
+        val m = graft.parse.MainContent.pageMeta(html)
+        (id, m.title, m.noindex, m.canonical)
+      }.toDF("doc_id", "title", "noindex", "canonical")
+      bad += diff(metaOut,
+        spark.read.parquet(Corpus.goldenWebMetaPath(sf))
+          .select("doc_id", "title", "noindex", "canonical"), s"$sf web-meta")
+
+      // extract-then-near-dup surface: the recovered pair set vs the
+      // PLANTED duplicate truth (exact + near re-posts) at the same scale
+      val sigs = pages.map { case (id, html) =>
+        val toks = graft.parse.MainContent.extract(html).map(sp =>
+          java.lang.Long.toHexString(SparkEntry.fnv64Span(sp)))
+        (id.stripPrefix("web-").toLong, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(sigs, n = 2, minJaccardPm = 400)
+        .select("a", "b")
+      val plantedPairs = spark.read.parquet(Corpus.goldenWebMetaPath(sf))
+        .where(col("dup_kind") =!= "")
+        .select(expr("CAST(substr(dup_src, 5) AS BIGINT)").as("a"),
+          expr("CAST(substr(doc_id, 5) AS BIGINT)").as("b"))
+      bad += diff(pairs, plantedPairs, s"$sf web-near-dup")
     }
     spark.stop()
     if (bad > 0) sys.exit(1)

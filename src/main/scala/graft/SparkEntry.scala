@@ -67,6 +67,24 @@ object SparkEntry {
   private def opsGolden(s: SparkSession, dir: String): Unit =
     if (Corpus.sfName(dir) != "sf0.1") graft.oracle.OpsGolden.ensure(s, dir)
 
+  /** FNV-1a 64-bit hash of a string — the span-token hash for web near-dup
+    * (64-bit so token collisions stay negligible at corpus scale; any
+    * deterministic hash works because the gate is the planted pair truth,
+    * not a re-derivation of the hashes).
+    */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Span token for web near-dup: one 64-bit hash per whole extracted span
+    * (kind, text, media_ref), shared by the query and ScaleCheck.
+    */
+  def fnv64Span(sp: graft.model.OutSpan): Long =
+    fnv64(sp.kind + "\u001f" + sp.text + "\u001f" + sp.media_ref)
+
   /** Extraction over the synthesized corpus at the scale matching sfDir,
     * via the fastest oracle-equal physical mode (custom plan node). The
     * fan-out mode keeps its own DuckDB-gated query (`x_extract_spans`).
@@ -218,7 +236,8 @@ object SparkEntry {
     "x_web_main_content" -> ((s, dir) => {
       import s.implicits._
       val sf = Corpus.sfName(dir)
-      s.read.parquet(Corpus.ensureWeb(s, sf)).as[(String, String)]
+      s.read.parquet(Corpus.ensureWeb(s, sf))
+        .select("doc_id", "html").as[(String, String)]
         .flatMap { case (id, html) =>
           graft.parse.MainContent.extract(html)
             .map(sp => (id, sp.kind, sp.text, sp.media_ref, sp.order))
@@ -231,7 +250,8 @@ object SparkEntry {
     "x_web_content_stats" -> ((s, dir) => {
       import s.implicits._
       val sf = Corpus.sfName(dir)
-      s.read.parquet(Corpus.ensureWeb(s, sf)).as[(String, String)]
+      s.read.parquet(Corpus.ensureWeb(s, sf))
+        .select("doc_id", "html").as[(String, String)]
         .map { case (id, html) =>
           val spans = graft.parse.MainContent.extract(html)
           (id, spans.size.toLong,
@@ -249,35 +269,42 @@ object SparkEntry {
     "x_web_outlinks" -> ((s, dir) => {
       import s.implicits._
       val sf = Corpus.sfName(dir)
-      s.read.parquet(Corpus.ensureWebLinks(s, sf)).as[(String, String)]
+      s.read.parquet(Corpus.ensureWebLinks(s, sf))
+        .select("doc_id", "html").as[(String, String)]
         .flatMap { case (id, html) =>
           graft.parse.MainContent.outlinks(html)
-            .map(l => (id, l.href, l.text, l.from_content, l.order))
+            .map(l => (id, l.href, l.text, l.from_content, l.nofollow, l.order))
         }
-        .toDF("doc_id", "href", "text", "from_content", "ord")
+        .toDF("doc_id", "href", "text", "from_content", "nofollow", "ord")
     }),
     // crawl-frontier rollup over the extracted outlinks: per target href,
     // total references, CONTENT references (the editorial-signal count a
-    // scheduler ranks by — chrome links repeat sitewide and carry none) and
-    // distinct referring pages. Two-level aggregation: partial-combined
+    // scheduler ranks by — chrome links repeat sitewide and carry none),
+    // FOLLOWED references (rel=nofollow is the publisher explicitly
+    // disclaiming endorsement — schedulers and rankers both exclude them)
+    // and distinct referring pages. Two-level aggregation: partial-combined
     // (href, doc_id) pre-aggregate first, so the second shuffle moves one
     // row per (href, page) — never one per anchor — and the distinct-count
     // needs no expand at corpus scale.
     "q_web_frontier" -> ((s, dir) => {
       import s.implicits._
       val sf = Corpus.sfName(dir)
-      val perPage = s.read.parquet(Corpus.ensureWebLinks(s, sf)).as[(String, String)]
+      val perPage = s.read.parquet(Corpus.ensureWebLinks(s, sf))
+        .select("doc_id", "html").as[(String, String)]
         .flatMap { case (id, html) =>
           graft.parse.MainContent.outlinks(html)
-            .map(l => (id, l.href, if (l.from_content) 1L else 0L))
+            .map(l => (id, l.href, if (l.from_content) 1L else 0L,
+              if (l.nofollow) 0L else 1L))
         }
-        .toDF("doc_id", "href", "is_content")
+        .toDF("doc_id", "href", "is_content", "is_follow")
         .groupBy("href", "doc_id")
-        .agg(count(lit(1)).as("refs"), sum("is_content").as("content_refs"))
+        .agg(count(lit(1)).as("refs"), sum("is_content").as("content_refs"),
+          sum("is_follow").as("follow_refs"))
       perPage.groupBy("href")
         .agg(
           sum("refs").as("n_refs"),
           sum("content_refs").as("n_content_refs"),
+          sum("follow_refs").as("n_follow_refs"),
           count(lit(1)).as("n_pages"))
     }),
 
@@ -305,13 +332,106 @@ object SparkEntry {
     "q_web_content_dedup" -> ((s, dir) => {
       import s.implicits._
       val sf = Corpus.sfName(dir)
-      val sigs = s.read.parquet(Corpus.ensureWeb(s, sf)).as[(String, String)]
+      val sigs = s.read.parquet(Corpus.ensureWeb(s, sf))
+        .select("doc_id", "html").as[(String, String)]
         .map { case (id, html) =>
           val spans = graft.parse.MainContent.extract(html)
           (id, spans.map(sp => sp.kind + "\u001f" + sp.text + "\u001f" + sp.media_ref)
             .mkString("\u001e"))
         }.toDF("doc_id", "text")
       graft.ops.Dedup.exact(sigs)
+    }),
+    // extract-then-NEAR-dup: the generator's NEAR re-posts (editor note
+    // prepended, trailing paragraph dropped) defeat BOTH raw-HTML hashing
+    // and exact content dedup -- only similarity over the extracted span
+    // sequence pairs them. Tokens are 64-bit hashes of whole spans, so
+    // 2-shingles are consecutive-span pairs: document structure, not
+    // vocabulary (pooled sentences shared across fresh pages contribute
+    // nothing unless two WHOLE consecutive spans match). The pair set is
+    // the planted duplicate truth exactly -- exact re-posts at Jaccard
+    // 1000, near re-posts well above the 400 pm floor, fresh pairs ~0.
+    // Plan = one zero-shuffle extract map + Dedup.ngramJaccardPairs'
+    // df-capped posting lists (deterministic, unlike LSH banding -- a
+    // planted pair can never be missed by band luck).
+    "q_web_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val sigs = s.read.parquet(Corpus.ensureWeb(s, sf))
+        .select("doc_id", "html").as[(String, String)]
+        .map { case (id, html) =>
+          val toks = graft.parse.MainContent.extract(html).map(sp =>
+            java.lang.Long.toHexString(fnv64Span(sp)))
+          (id.stripPrefix("web-").toLong, toks.mkString(" "))
+        }.toDF("doc_id", "text")
+      graft.ops.Dedup.ngramJaccardPairs(sigs, n = 2, minJaccardPm = 400)
+        .select("a", "b")
+    }),
+    // page-metadata extraction from raw markup (head title, robots-noindex,
+    // rel=canonical) -- the pre-extraction signals an index/corpus pipeline
+    // reads before any content work. Oracle = the generator's planted
+    // metadata truth. Same zero-shuffle per-page map shape as extraction.
+    "x_web_meta" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      s.read.parquet(Corpus.ensureWebMeta(s, sf))
+        .select("doc_id", "html").as[(String, String)]
+        .map { case (id, html) =>
+          val m = graft.parse.MainContent.pageMeta(html)
+          (id, m.title, m.noindex, m.canonical)
+        }
+        .toDF("doc_id", "title", "noindex", "canonical")
+    }),
+    // noindex gate rollup: corpus admission accounting BEFORE extraction --
+    // pages honored out of the corpus vs pages kept, and the span mass the
+    // kept set yields. One map computes meta + extraction together (a
+    // noindex page's content is never parsed: the robots directive is the
+    // publisher's opt-out, honored before any content work).
+    "q_web_indexable" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      s.read.parquet(Corpus.ensureWebMeta(s, sf))
+        .select("doc_id", "html").as[(String, String)]
+        .map { case (_, html) =>
+          val noindex = graft.parse.MainContent.pageMeta(html).noindex
+          val nSpans = if (noindex) 0L
+            else graft.parse.MainContent.extract(html).size.toLong
+          (1L, if (noindex) 1L else 0L, nSpans)
+        }
+        .toDF("pages", "noindex", "spans")
+        .agg(
+          sum("pages").as("total_pages"),
+          sum("noindex").as("n_noindex"),
+          (sum("pages") - sum("noindex")).as("n_indexable"),
+          sum("spans").as("indexable_spans"))
+    }),
+    // canonical-edge resolution: pages declaring a cross-page canonical are
+    // resolved to their target doc by joining the crawl's OWN url column
+    // (no global URL registry at 10^12 docs -- the crawl table IS the
+    // registry; plain shuffle join on url, AQE free to broadcast the small
+    // canonical side at gate scale). Each resolved edge is then
+    // cross-checked against extracted-content equality: exact re-posts
+    // must hash-match their canonical target, near re-posts must not --
+    // the canonical signal and the content signal AGREE on kind.
+    "q_web_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val withMeta = s.read.parquet(Corpus.ensureWebMeta(s, sf))
+        .select("doc_id", "url", "html").as[(String, String, String)]
+        .map { case (id, u, html) =>
+          val m = graft.parse.MainContent.pageMeta(html)
+          val sig = graft.parse.MainContent.extract(html).map(sp =>
+            sp.kind + "\u001f" + sp.text + "\u001f" + sp.media_ref).mkString("\u001e")
+          (id, u, m.canonical, sig)
+        }.toDF("doc_id", "url", "canonical", "sig")
+      val targets = withMeta.select(col("url").as("target_url"),
+        col("doc_id").as("canonical_id"), md5(col("sig")).as("target_md5"))
+      withMeta
+        .where(col("canonical") =!= "" && col("canonical") =!= col("url"))
+        .select(col("doc_id"), md5(col("sig")).as("own_md5"),
+          col("canonical").as("target_url"))
+        .join(targets, Seq("target_url"))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("own_md5") === col("target_md5")).as("same_content"))
     }),
 
     // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
@@ -1440,14 +1560,40 @@ object SparkEntry {
     // (each <a href> recorded at layout time with its chrome/content
     // attribution) — the extractor must reconstruct it from raw markup
     "x_web_outlinks" ->
-      "SELECT doc_id, href, text, from_content, ord FROM read_parquet('/root/repo/data/golden_web_links/sf0.01/*.parquet')",
+      "SELECT doc_id, href, text, from_content, nofollow, ord FROM read_parquet('/root/repo/data/golden_web_links/sf0.01/*.parquet')",
     // frontier rollup over the same planted truth: per-anchor counts reduce
     // to count(*) because every planted anchor is one reference
     "q_web_frontier" ->
       ("SELECT href, CAST(count(*) AS BIGINT) AS n_refs, " +
         "CAST(count(*) FILTER (WHERE from_content) AS BIGINT) AS n_content_refs, " +
+        "CAST(count(*) FILTER (WHERE NOT nofollow) AS BIGINT) AS n_follow_refs, " +
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages " +
         "FROM read_parquet('/root/repo/data/golden_web_links/sf0.01/*.parquet') GROUP BY href"),
+    // planted duplicate-pair truth: every re-post page (exact AND near)
+    // paired with its source -- the engine's extract-then-near-dup must
+    // recover exactly this set (no band luck: the posting-list path is
+    // deterministic)
+    "q_web_near_dup" ->
+      ("SELECT CAST(substr(dup_src, 5) AS BIGINT) AS a, CAST(substr(doc_id, 5) AS BIGINT) AS b " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') WHERE dup_kind <> ''"),
+    // planted page-metadata truth (head title / robots-noindex / canonical)
+    "x_web_meta" ->
+      "SELECT doc_id, title, noindex, canonical FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet')",
+    // noindex admission rollup: planted flags x planted span counts
+    "q_web_indexable" ->
+      ("WITH s AS (SELECT doc_id, count(*) AS n FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') GROUP BY doc_id) " +
+        "SELECT CAST(count(*) AS BIGINT) AS total_pages, " +
+        "CAST(count(*) FILTER (WHERE noindex) AS BIGINT) AS n_noindex, " +
+        "CAST(count(*) FILTER (WHERE NOT noindex) AS BIGINT) AS n_indexable, " +
+        "CAST(coalesce(sum(n) FILTER (WHERE NOT noindex), 0) AS BIGINT) AS indexable_spans " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') m JOIN s USING (doc_id)"),
+    // canonical-edge truth: only cross-page canonicals survive (self-
+    // canonicals are hygiene, not edges); the resolved target is the
+    // planted source, and content equality holds iff the re-post is exact
+    "q_web_canonical" ->
+      ("SELECT doc_id, dup_src AS canonical_id, dup_kind = 'exact' AS same_content " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
+        "WHERE canonical <> '' AND canonical <> url"),
     "x_web_content_stats" ->
       ("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(count(*) FILTER (WHERE kind = 'heading') AS BIGINT) AS n_heading, " +

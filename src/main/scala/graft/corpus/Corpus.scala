@@ -27,6 +27,7 @@ object Corpus {
   def webPath(sf: String): String = s"$Root/web/$sf"
   def goldenWebPath(sf: String): String = s"$Root/golden_web/$sf"
   def goldenWebLinksPath(sf: String): String = s"$Root/golden_web_links/$sf"
+  def goldenWebMetaPath(sf: String): String = s"$Root/golden_web_meta/$sf"
 
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
@@ -139,8 +140,11 @@ object Corpus {
   /** Bump when the web-page generator's layout or planted truth changes. */
   // v2: mega-page skew plant (every 512th page); v3: content-duplicate
   // plant (every 101st page re-renders another page's content in different
-  // chrome — dup beats mega when indices collide)
-  val WebFormatVersion = 3
+  // chrome — dup beats mega when indices collide); v4: url column on the
+  // pages table, head metadata plants (title / self- and cross-canonical /
+  // robots-noindex), rel=nofollow on farm anchors, and the NEAR-duplicate
+  // re-post variant (editor note prepended, trailing paragraph dropped)
+  val WebFormatVersion = 4
 
   /** Ensure the wild-web pages table (doc_id, html) AND its PLANTED
     * main-content truth (doc_id, kind, text, media_ref, ord) exist; returns
@@ -160,7 +164,7 @@ object Corpus {
       def gen() = spark.range(0, spec.docs.toLong, 1,
           math.min(spec.docs, spark.sparkContext.defaultParallelism * 4))
         .map(i => WebGen.genPage(i, spec))
-      gen().map(p => (p.doc_id, p.html)).toDF("doc_id", "html")
+      gen().map(p => (p.doc_id, p.meta.url, p.html)).toDF("doc_id", "url", "html")
         .write.mode(SaveMode.Overwrite).parquet(path)
       gen().flatMap(p => p.truth.map(s =>
           (p.doc_id, s.kind, s.text, s.media_ref, s.order)))
@@ -176,7 +180,8 @@ object Corpus {
     * of anchors the generator already emits, so adding or re-versioning it
     * must not force a regeneration of the (unchanged) pages + span truth.
     */
-  val WebLinksFormatVersion = 1
+  // v2: rel=nofollow mark recorded per planted anchor
+  val WebLinksFormatVersion = 2
 
   /** Ensure the planted outlink truth (doc_id, href, text, from_content,
     * ord) for the wild-web table exists; returns the pages path. Same
@@ -193,9 +198,38 @@ object Corpus {
       spark.range(0, spec.docs.toLong, 1,
           math.min(spec.docs, spark.sparkContext.defaultParallelism * 4))
         .flatMap(i => WebGen.genPage(i, spec).links.map(l =>
-          (WebGen.docId(i), l.href, l.text, l.from_content, l.order)))
-        .toDF("doc_id", "href", "text", "from_content", "ord")
+          (WebGen.docId(i), l.href, l.text, l.from_content, l.nofollow, l.order)))
+        .toDF("doc_id", "href", "text", "from_content", "nofollow", "ord")
         .write.mode(SaveMode.Overwrite).parquet(linksPath)
+      Files.write(marker, Array.empty[Byte])
+    }
+    path
+  }
+
+  /** Bump when the generator's planted page-metadata truth changes.
+    * Separate version for the same reason as [[WebLinksFormatVersion]].
+    */
+  val WebMetaFormatVersion = 1
+
+  /** Ensure the planted page-metadata truth (doc_id, url, title, noindex,
+    * canonical, dup_src, dup_kind) for the wild-web table exists; returns
+    * the pages path. Same no-cache generation contract as [[ensureWeb]].
+    */
+  def ensureWebMeta(spark: SparkSession, sf: String): String = synchronized {
+    val path = ensureWeb(spark, sf)
+    val metaPath = goldenWebMetaPath(sf)
+    val marker = Paths.get(metaPath, s"_FORMAT_v$WebMetaFormatVersion")
+    if (!exists(metaPath) || !Files.exists(marker)) {
+      import spark.implicits._
+      val spec = WebGen.specFor(sf)
+      spark.range(0, spec.docs.toLong, 1,
+          math.min(spec.docs, spark.sparkContext.defaultParallelism * 4))
+        .map { i =>
+          val m = WebGen.genPage(i, spec).meta
+          (m.doc_id, m.url, m.title, m.noindex, m.canonical, m.dup_src, m.dup_kind)
+        }
+        .toDF("doc_id", "url", "title", "noindex", "canonical", "dup_src", "dup_kind")
+        .write.mode(SaveMode.Overwrite).parquet(metaPath)
       Files.write(marker, Array.empty[Byte])
     }
     path

@@ -37,6 +37,16 @@ object WebGen {
 
   def docId(i: Long): String = f"web-$i%09d"
 
+  /** Deterministic crawl URL per page: fresh pages spread over seven portal
+    * hosts, re-posts live on the repost host. The url column is part of the
+    * pages table — canonical hrefs resolve to target pages by joining this
+    * column, exactly as a production crawl resolves them against its own
+    * URL index.
+    */
+  def url(i: Long): String =
+    if (i % DupStride == DupStride - 1) s"https://repost-archive.example/p/$i"
+    else s"https://portal-${i % 7 + 1}.law.example/case/$i"
+
   /** Pages share the corpus Spec's doc count (FIXTURES.md §1). */
   def specFor(sfName: String): CorpusGen.Spec = CorpusGen.specFor(sfName)
 
@@ -76,17 +86,38 @@ object WebGen {
     "지금 가입하시면 판례 전문 열람 서비스를 한 달간 무료로 이용하실 수 있으며 전문 변호사의 해설 영상 강의와 주요 판결 속보 알림까지 모두 제공됩니다",
     "프리미엄 구독 회원에게는 대법원 주요 판결의 심층 분석 리포트와 쟁점별 판례 비교 자료를 매주 정리하여 이메일로 보내드리고 있습니다")
 
+  /** Editor notes a re-posting site prepends to NEAR-duplicate re-posts —
+    * long enough (≥ GoodLen non-ws chars) to stand as content on their own
+    * evidence, so the near-dup plant's extracted truth diverges from the
+    * source by exactly one leading span plus one trailing drop.
+    */
+  private val editorNotePool = Vector(
+    "편집자 주석으로 이 글은 원문 게시판에서 옮겨 온 것이며 일부 문단은 분량 문제로 생략되었고 원저자의 동의를 받아 재게시되었음을 밝혀 둡니다",
+    "본 게시물은 외부 기고문을 재편집한 것으로 마지막 단락은 편집 과정에서 제외되었으며 인용 시 원문 출처를 함께 표기하여 주시기 바랍니다")
+
   private def pick[A](rng: Random, xs: Vector[A]): A = xs(rng.nextInt(xs.length))
+
+  /** Planted page-level metadata truth, decided at layout time: the crawl
+    * URL, the head title, whether a robots-noindex meta was planted, the
+    * planted canonical href ("" if none), and — for re-post pages — the
+    * source page id plus the duplication kind (`exact` re-render or `near`:
+    * editor note prepended, last paragraph dropped). `dup_src`/`dup_kind`
+    * are "" for fresh pages.
+    */
+  final case class WebMeta(
+      doc_id: String, url: String, title: String, noindex: Boolean,
+      canonical: String, dup_src: String, dup_kind: String)
 
   /** One generated page: raw markup + the planted main-content truth + the
     * planted outlink truth (every `<a href>` the generator lays down, with
-    * its anchor text, whether it sits in article content or chrome, and its
-    * page-global emission order — decided at layout time, independent of
-    * [[MainContent.outlinks]]).
+    * its anchor text, whether it sits in article content or chrome, its
+    * rel-nofollow mark, and its page-global emission order — decided at
+    * layout time, independent of [[MainContent.outlinks]]) + the planted
+    * page metadata.
     */
   final case class WebPage(
       doc_id: String, html: String, truth: Vector[OutSpan],
-      links: Vector[MainContent.Outlink])
+      links: Vector[MainContent.Outlink], meta: WebMeta)
 
   /** Planted link text is recorded in the span contract's normal form
     * (whitespace-collapsed), e.g. a pool excerpt cut at a space boundary.
@@ -109,14 +140,49 @@ object WebGen {
   private def genDup(i: Long, spec: CorpusGen.Spec): WebPage = {
     val id = docId(i)
     // the source index is ≡ 0 (mod DupStride), so it is always a fresh page
-    val src = genPage(i - (DupStride - 1), spec)
+    val srcIdx = i - (DupStride - 1)
+    val src = genPage(srcIdx, spec)
     val rng = new Random(id.hashCode.toLong ^ 0x5ca1ab1eL)
+    // variant decisions, drawn in a fixed order so the plant is a pure
+    // function of the doc id: NEAR re-posts prepend an editor note and drop
+    // the trailing paragraph (raw-hash AND exact-content dedup both miss
+    // them — only near-dup over extracted content pairs them); about half
+    // the re-posts declare their source via rel=canonical; some are marked
+    // noindex by the re-posting platform
+    val near = rng.nextDouble() < 0.4
+    val canon = rng.nextDouble() < 0.5
+    val noindex = rng.nextDouble() < 0.25
+    val note = pick(rng, editorNotePool)
+    val truth: Vector[OutSpan] =
+      if (!near) src.truth
+      else {
+        // drop the trailing paragraph, then keep trimming until the new
+        // last span is a span the extractor keeps WITHOUT help from a
+        // following neighbor — a GOOD-length text block. A terminal
+        // caption, connector or figure would be dropped by context
+        // smoothing (chrome follows it), putting the plant at odds with
+        // the extractor's own contract.
+        var keep = src.truth.dropRight(1)
+        while (keep.nonEmpty && !(keep.last.kind == MainContent.KindText &&
+            keep.last.text.count(!_.isWhitespace) >= MainContent.GoodLen))
+          keep = keep.dropRight(1)
+        require(keep.length >= 2, s"near trim emptied ${src.doc_id}")
+        (OutSpan(MainContent.KindText, note, "", 0) +: keep)
+          .zipWithIndex.map { case (s, k) => s.copy(order = k) }
+      }
     def esc(s: String): String = s.replace("&", "&amp;")
     val links = ArrayBuffer.empty[MainContent.Outlink]
-    def plantLink(href: String, text: String, fromContent: Boolean): Unit =
-      links += MainContent.Outlink(href, collapse(text), fromContent, links.size)
+    def plantLink(href: String, text: String, fromContent: Boolean,
+                  nofollow: Boolean = false): Unit =
+      links += MainContent.Outlink(href, collapse(text), fromContent,
+        nofollow, links.size)
     val sb = new StringBuilder
-    sb.append("<!DOCTYPE html>\n<html>\n<head><title>판례 모음 - 재게시</title></head>\n<body>\n")
+    sb.append("<!DOCTYPE html>\n<html>\n<head><title>판례 모음 - 재게시</title>\n")
+    if (canon)
+      sb.append("<link rel=\"canonical\" href=\"").append(url(srcIdx)).append("\"/>\n")
+    if (noindex)
+      sb.append("<meta name=\"robots\" content=\"noindex, follow\"/>\n")
+    sb.append("</head>\n<body>\n")
       // chrome families DISJOINT from the fresh skin: a link-only banner
       // (dropped on link density), a breadcrumb nav, a link-farm footer
       .append("<div id=\"promo-banner\"><a href=\"/join\">")
@@ -131,7 +197,7 @@ object WebGen {
       plantLink(s"/c$k", crumb, fromContent = false)
     }
     sb.append("</nav></header>\n<main class=\"post-body\">\n")
-    val t = src.truth
+    val t = truth
     var k = 0
     while (k < t.length) {
       val s = t(k)
@@ -153,14 +219,19 @@ object WebGen {
     sb.append("</main>\n<footer class=\"footer\">")
     (0 until 2 + rng.nextInt(3)).foreach { _ =>
       val t = pick(rng, linkFarmPool)
-      sb.append("<a href=\"#\">").append(t).append("</a> ")
-      plantLink("#", t, fromContent = false)
+      val nf = rng.nextDouble() < 0.5 // re-post platforms nofollow their farms
+      sb.append("<a href=\"#\"").append(if (nf) " rel=\"nofollow\"" else "")
+        .append(">").append(t).append("</a> ")
+      plantLink("#", t, fromContent = false, nofollow = nf)
     }
     sb.append("© 재게시 플랫폼</footer>\n</body>\n</html>\n")
-    // the re-render emits the source page's truth as PLAIN text (inline
-    // citation anchors do not survive re-posting), so a dup page plants
-    // zero content links — every link is chrome
-    WebPage(id, sb.toString, src.truth, links.toVector)
+    // the re-render emits the (possibly near-modified) truth as PLAIN text
+    // (inline citation anchors do not survive re-posting), so a dup page
+    // plants zero content links — every link is chrome
+    WebPage(id, sb.toString, truth, links.toVector,
+      WebMeta(id, url(i), "판례 모음 - 재게시", noindex,
+        if (canon) url(srcIdx) else "", src.doc_id,
+        if (near) "near" else "exact"))
   }
 
   private def genFresh(i: Long, spec: CorpusGen.Spec): WebPage = {
@@ -173,8 +244,10 @@ object WebGen {
       truth += OutSpan(kind, text, ref, order); order += 1
     }
     val links = ArrayBuffer.empty[MainContent.Outlink]
-    def plantLink(href: String, text: String, fromContent: Boolean): Unit =
-      links += MainContent.Outlink(href, collapse(text), fromContent, links.size)
+    def plantLink(href: String, text: String, fromContent: Boolean,
+                  nofollow: Boolean = false): Unit =
+      links += MainContent.Outlink(href, collapse(text), fromContent,
+        nofollow, links.size)
 
     // a GOOD paragraph: 3–5 sentences (always ≥ GoodLen non-ws chars),
     // sometimes carrying an entity and/or a short inline citation link
@@ -236,12 +309,18 @@ object WebGen {
     }
 
     def linkFarm(): Unit = {
-      // no bad class, plenty of text — only link density can drop it
+      // no bad class, plenty of text — only link density can drop it; about
+      // half the farm anchors carry rel=nofollow (the SEO-era habit), mixed
+      // with other rel tokens so the extractor must token-match, not
+      // string-match
       sb.append("<p>추천: ")
       (0 until 4).foreach { _ =>
         val t = pick(rng, linkFarmPool)
-        sb.append("<a href=\"#\">").append(t).append("</a> · ")
-        plantLink("#", t, fromContent = false)
+        val nf = rng.nextDouble() < 0.5
+        sb.append("<a href=\"#\"")
+          .append(if (nf) " rel=\"nofollow noopener\"" else "")
+          .append(">").append(t).append("</a> · ")
+        plantLink("#", t, fromContent = false, nofollow = nf)
       }
       sb.append("</p>\n")
     }
@@ -256,9 +335,20 @@ object WebGen {
     }
 
     // ---- page layout ------------------------------------------------------
+    // head metadata plants: a page title, a self-canonical on some pages
+    // (common CMS hygiene — must NOT create a canonical edge), and a
+    // robots-noindex on a few (search-excluded pages a corpus builder drops
+    // before extraction)
+    val headTitle = "판례 포털 - " + pick(rng, titlePool)
+    val selfCanon = rng.nextDouble() < 0.4
+    val noindex = rng.nextDouble() < 0.05
     sb.append("<!DOCTYPE html>\n<html>\n<head>\n")
-      .append("<title>판례 포털 - ").append(pick(rng, titlePool)).append("</title>\n")
-      .append("<style>body{margin:0} .x>a{color:#06c}</style>\n")
+      .append("<title>").append(headTitle).append("</title>\n")
+    if (selfCanon)
+      sb.append("<link rel=\"canonical\" href=\"").append(url(i)).append("\"/>\n")
+    if (noindex)
+      sb.append("<meta name=\"robots\" content=\"noindex, follow\"/>\n")
+    sb.append("<style>body{margin:0} .x>a{color:#06c}</style>\n")
       .append("<script>if(1<2){document.x='<div>not markup</div>';}</script>\n")
       .append("</head>\n<body>\n")
       .append("<!-- page chrome: <p>commented markup is not content</p> -->\n")
@@ -306,8 +396,10 @@ object WebGen {
       .append("</p><ul>")
     (0 until 3).foreach { _ =>
       val t = pick(rng, linkFarmPool)
-      sb.append("<li><a href=\"#\">").append(t).append("</a></li>")
-      plantLink("#", t, fromContent = false)
+      val nf = rng.nextDouble() < 0.5
+      sb.append("<li><a href=\"#\"").append(if (nf) " rel=\"nofollow\"" else "")
+        .append(">").append(t).append("</a></li>")
+      plantLink("#", t, fromContent = false, nofollow = nf)
     }
     sb.append("</ul></aside>\n</div>\n")
       .append("<footer><div class=\"copyright\">© 2026 법률 정보 포털 · ")
@@ -316,6 +408,8 @@ object WebGen {
     plantLink("/terms", "이용약관", fromContent = false)
     plantLink("/privacy", "개인정보처리방침", fromContent = false)
 
-    WebPage(id, sb.toString, truth.toVector, links.toVector)
+    WebPage(id, sb.toString, truth.toVector, links.toVector,
+      WebMeta(id, url(i), headTitle, noindex,
+        if (selfCanon) url(i) else "", "", ""))
   }
 }

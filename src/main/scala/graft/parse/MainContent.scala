@@ -140,6 +140,20 @@ object MainContent {
     "(?i)\\bsrc\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
   private val HrefPat = java.util.regex.Pattern.compile(
     "(?i)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+  private val RelPat = java.util.regex.Pattern.compile(
+    "(?i)\\brel\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+  private val NamePat = java.util.regex.Pattern.compile(
+    "(?i)\\bname\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+  private val ContentPat = java.util.regex.Pattern.compile(
+    "(?i)\\bcontent\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+
+  /** Space/comma-separated token list of an attribute value, lowercased —
+    * the HTML token-list microsyntax shared by `rel` and robots `content`
+    * (`rel="nofollow noopener"`, `content="noindex, follow"`).
+    */
+  private def attrTokens(p: java.util.regex.Pattern, attrs: String): Set[String] =
+    attrVal(p, attrs).iterator
+      .flatMap(_.toLowerCase.split("[,\\s]+")).filter(_.nonEmpty).toSet
 
   private def attrVal(p: java.util.regex.Pattern, attrs: String): Option[String] = {
     val m = p.matcher(attrs)
@@ -234,7 +248,7 @@ object MainContent {
   final case class Block(
       tag: String, depth: Int, bad: Boolean, heading: Boolean,
       text: String, nonWs: Int, anchorNonWs: Int, media: Vector[String],
-      links: Vector[(String, String)] = Vector.empty) {
+      links: Vector[(String, String, Boolean)] = Vector.empty) {
     /** Link density in per-mille of non-whitespace mass (1000 for an
       * anchor-only block with no measurable text).
       */
@@ -262,8 +276,9 @@ object MainContent {
     // flushes so an anchor spanning a block boundary lands, whole, in the
     // block where it CLOSES; an anchor left open at end-of-document is not
     // a link.
-    val linksBuf = ArrayBuffer.empty[(String, String)]
+    val linksBuf = ArrayBuffer.empty[(String, String, Boolean)]
     var pendingHref: Option[String] = None
+    var pendingNofollow = false
     val anchorTextBuf = new StringBuilder
     // context captured at first content
     var ctxDepth = -1; var ctxBad = false; var ctxTag = "body"
@@ -312,6 +327,7 @@ object MainContent {
             anchorDepth += 1
             if (anchorDepth == 1) {
               pendingHref = attrVal(HrefPat, attrs)
+              pendingNofollow = attrTokens(RelPat, attrs)("nofollow")
               anchorTextBuf.clear()
             }
           }
@@ -330,9 +346,10 @@ object MainContent {
             pendingHref.foreach { h =>
               val t = decodeEntities(anchorTextBuf.toString)
                 .split("\\s+").filter(_.nonEmpty).mkString(" ")
-              linksBuf += ((h, t))
+              linksBuf += ((h, t, pendingNofollow))
             }
             pendingHref = None
+            pendingNofollow = false
             anchorTextBuf.clear()
           }
         }
@@ -419,11 +436,14 @@ object MainContent {
 
   /** One extracted hyperlink: raw `href` as written, whitespace-collapsed
     * entity-decoded anchor text, whether the enclosing block survives
-    * boilerplate removal ([[finalKeep]]), and the page-global anchor
-    * encounter order.
+    * boilerplate removal ([[finalKeep]]), whether the anchor's `rel`
+    * token list carries `nofollow` (the publisher's no-endorsement mark a
+    * frontier scheduler and a link-graph ranker both honor), and the
+    * page-global anchor encounter order.
     */
   final case class Outlink(
-      href: String, text: String, from_content: Boolean, order: Int)
+      href: String, text: String, from_content: Boolean, nofollow: Boolean,
+      order: Int)
 
   /** Outlink extraction for one page — the crawl-frontier primitive: a
     * crawler weighs links found in ARTICLE content above chrome links
@@ -443,11 +463,55 @@ object MainContent {
     val out = Vector.newBuilder[Outlink]
     var order = 0
     bs.indices.foreach { i =>
-      bs(i).links.foreach { case (href, text) =>
-        out += Outlink(href, text, keep(i), order); order += 1
+      bs(i).links.foreach { case (href, text, nofollow) =>
+        out += Outlink(href, text, keep(i), nofollow, order); order += 1
       }
     }
     out.result()
+  }
+
+  /** Page-level metadata a crawl/index pipeline reads from the head:
+    * the first `<title>` (whitespace-collapsed, entity-decoded), whether a
+    * robots meta carries the `noindex` directive, and the first
+    * `rel="canonical"` href ("" if none). All three are the standard
+    * pre-extraction signals: noindex pages leave the corpus before any
+    * content work, and canonical edges resolve syndicated re-posts without
+    * content comparison.
+    */
+  final case class PageMeta(title: String, noindex: Boolean, canonical: String)
+
+  /** Parse [[PageMeta]] from raw markup — same lexer as [[blocks]], so
+    * comments, raw-text scripts and broken nesting cannot fabricate metadata.
+    * First title / first canonical win (browser behavior); robots directives
+    * accumulate across every robots meta on the page (a page is noindex if
+    * ANY robots meta says so).
+    */
+  def pageMeta(html: String): PageMeta = {
+    var title: Option[String] = None
+    var inTitle = false
+    val titleBuf = new StringBuilder
+    var noindex = false
+    var canonical: Option[String] = None
+    lex(html).foreach {
+      case Open(name, attrs, selfClose) =>
+        if (name == "title" && !selfClose && title.isEmpty) inTitle = true
+        else if (name == "meta") {
+          if (attrTokens(NamePat, attrs)("robots") &&
+              attrTokens(ContentPat, attrs)("noindex")) noindex = true
+        } else if (name == "link") {
+          if (attrTokens(RelPat, attrs)("canonical") && canonical.isEmpty)
+            canonical = attrVal(HrefPat, attrs).filter(_.nonEmpty)
+        }
+      case Close("title") =>
+        if (inTitle) {
+          inTitle = false
+          title = Some(decodeEntities(titleBuf.toString)
+            .split("\\s+").filter(_.nonEmpty).mkString(" "))
+        }
+      case Text(s) => if (inTitle) titleBuf.append(s)
+      case _ => ()
+    }
+    PageMeta(title.getOrElse(""), noindex, canonical.getOrElse(""))
   }
 
   /** Main-content span sequence for one page (step 5). */

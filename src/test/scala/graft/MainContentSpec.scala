@@ -211,12 +211,84 @@ class MainContentSpec extends AnyFunSuite {
 
   test("content-duplicate plant: invisible to raw-HTML hashing, exact after extraction") {
     val spec = CorpusGen.specFor("sf0.001")
-    val src = WebGen.genPage(0L, spec)
-    val dup = WebGen.genPage(WebGen.DupStride - 1L, spec)
-    assert(dup.html != src.html, "chrome must differ — raw hashing must miss the pair")
-    assert(dup.truth == src.truth, "main content must be identical")
-    assert(MainContent.extract(dup.html) == dup.truth,
-      "the re-posted skin must extract to the same spans")
+    // scan re-post indices for one of each planted kind
+    val dups = (0L until 40L).map(k => WebGen.genPage(k * WebGen.DupStride + WebGen.DupStride - 1, spec))
+    assert(dups.exists(_.meta.dup_kind == "exact") && dups.exists(_.meta.dup_kind == "near"),
+      "both duplicate kinds must appear across seeds")
+    dups.foreach { dup =>
+      val src = WebGen.genPage(dup.meta.dup_src.stripPrefix("web-").toLong, spec)
+      assert(dup.html != src.html, "chrome must differ — raw hashing must miss the pair")
+      assert(MainContent.extract(dup.html) == dup.truth,
+        "the re-posted skin must extract to its planted spans")
+      if (dup.meta.dup_kind == "exact")
+        assert(dup.truth == src.truth, "exact re-post: main content identical")
+      else {
+        // near re-post: editor note prepended, trailing paragraph dropped —
+        // exact content dedup must miss the pair, structure dedup must not
+        assert(dup.truth != src.truth)
+        assert(dup.truth.head.kind == MainContent.KindText &&
+          !src.truth.exists(_.text == dup.truth.head.text),
+          "near re-post leads with a note absent from the source")
+        assert(dup.truth.tail.map(s => (s.kind, s.text, s.media_ref)) ==
+          src.truth.take(dup.truth.length - 1).map(s => (s.kind, s.text, s.media_ref)),
+          "near re-post body = a strict prefix of the source")
+        assert(dup.truth.length - 1 < src.truth.length,
+          "near re-post must actually drop trailing source content")
+      }
+    }
+  }
+
+  test("page metadata: title, robots-noindex, canonical parse from wild markup") {
+    // token-list microsyntax: rel/content match whole tokens, any case,
+    // comma- or space-separated; first title and first canonical win
+    val html =
+      """<head><title> 판례  &amp; 해설 </title><title>second</title>
+        |<META NAME='ROBOTS' CONTENT='NOINDEX, follow'/>
+        |<link rel="stylesheet" href="/css"/>
+        |<link rel="canonical" href="https://a.example/1"/>
+        |<link rel="canonical" href="https://a.example/2"/>
+        |</head><body><p>x</p></body>""".stripMargin
+    val m = MainContent.pageMeta(html)
+    assert(m.title == "판례 & 해설")
+    assert(m.noindex)
+    assert(m.canonical == "https://a.example/1")
+    // defaults; a robots meta whose content merely CONTAINS the letters is
+    // not a directive; commented-out metadata is not markup
+    val clean = MainContent.pageMeta(
+      """<head><meta name="robots" content="noindexing-is-off"/>
+        |<!-- <meta name="robots" content="noindex"/> -->
+        |<!-- <link rel="canonical" href="/ghost"/> --></head>""".stripMargin)
+    assert(clean == MainContent.PageMeta("", noindex = false, ""))
+    // a non-robots meta mentioning "noindex" in its content is not a directive
+    assert(!MainContent.pageMeta(
+      """<meta name="description" content="noindex appears in prose"/>""").noindex)
+  }
+
+  test("outlinks: rel=nofollow is token-matched per anchor") {
+    val html =
+      s"""<body><p>$longA <a href="/f" rel="nofollow noopener">하나</a>
+         | <a href="/g" rel="noopener">둘</a> <a href="/h" rel="xnofollow">셋</a></p></body>""".stripMargin
+    val ls = MainContent.outlinks(html)
+    assert(ls.map(l => (l.href, l.nofollow)) ==
+      Seq(("/f", true), ("/g", false), ("/h", false)))
+  }
+
+  test("planted metadata truth round-trip: 300 pages incl. dup and mega reconstruct exactly") {
+    val spec = CorpusGen.specFor("sf0.001")
+    val pages = ((0L until 300L) ++ Seq(WebGen.DupStride - 1L, 511L)).map(WebGen.genPage(_, spec))
+    pages.foreach { p =>
+      val m = MainContent.pageMeta(p.html)
+      assert((m.title, m.noindex, m.canonical) ==
+        (p.meta.title, p.meta.noindex, p.meta.canonical), s"meta mismatch for ${p.doc_id}")
+    }
+    // the plant exercises every metadata family across seeds
+    assert(pages.exists(_.meta.noindex) && pages.exists(!_.meta.noindex))
+    assert(pages.exists(p => p.meta.canonical.nonEmpty && p.meta.canonical == p.meta.url),
+      "self-canonical fresh pages appear")
+    assert(pages.exists(p => p.meta.canonical.nonEmpty && p.meta.canonical != p.meta.url),
+      "cross-page canonical re-posts appear")
+    assert(pages.flatMap(_.links).exists(_.nofollow) &&
+      pages.flatMap(_.links).exists(!_.nofollow))
   }
 
   test("generator coverage: every heuristic family appears across seeds") {
