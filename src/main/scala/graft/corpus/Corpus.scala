@@ -143,8 +143,14 @@ object Corpus {
   // chrome — dup beats mega when indices collide); v4: url column on the
   // pages table, head metadata plants (title / self- and cross-canonical /
   // robots-noindex), rel=nofollow on farm anchors, and the NEAR-duplicate
-  // re-post variant (editor note prepended, trailing paragraph dropped)
-  val WebFormatVersion = 4
+  // re-post variant (editor note prepended, trailing paragraph dropped);
+  // v5: near notes carry the re-post's unique document number and the
+  // near trim is bounded (≤ 2 dropped, ≥ 4 kept, else note-only) so the
+  // planted pair Jaccard is floored at 500‰ at any page size; v6: the
+  // lead paragraph opens with the page's own case number, so organic
+  // cross-page span-shingle collisions need 4+ identical consecutive
+  // interior paragraphs — the planted pair set is exact at any corpus size
+  val WebFormatVersion = 6
 
   /** Ensure the wild-web pages table (doc_id, html) AND its PLANTED
     * main-content truth (doc_id, kind, text, media_ref, ord) exist; returns
@@ -191,7 +197,11 @@ object Corpus {
   def ensureWebLinks(spark: SparkSession, sf: String): String = synchronized {
     val path = ensureWeb(spark, sf)
     val linksPath = goldenWebLinksPath(sf)
-    val marker = Paths.get(linksPath, s"_FORMAT_v$WebLinksFormatVersion")
+    // marker couples BOTH versions: any page-format bump changes the
+    // generator's rng draw sequence, so dependent truths must regenerate
+    // even when their own schema is unchanged
+    val marker = Paths.get(linksPath,
+      s"_FORMAT_v${WebFormatVersion}_$WebLinksFormatVersion")
     if (!exists(linksPath) || !Files.exists(marker)) {
       import spark.implicits._
       val spec = WebGen.specFor(sf)
@@ -218,7 +228,9 @@ object Corpus {
   def ensureWebMeta(spark: SparkSession, sf: String): String = synchronized {
     val path = ensureWeb(spark, sf)
     val metaPath = goldenWebMetaPath(sf)
-    val marker = Paths.get(metaPath, s"_FORMAT_v$WebMetaFormatVersion")
+    // coupled to the page format for the same reason as ensureWebLinks
+    val marker = Paths.get(metaPath,
+      s"_FORMAT_v${WebFormatVersion}_$WebMetaFormatVersion")
     if (!exists(metaPath) || !Files.exists(marker)) {
       import spark.implicits._
       val spec = WebGen.specFor(sf)

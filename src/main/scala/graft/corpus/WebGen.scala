@@ -152,7 +152,11 @@ object WebGen {
     val near = rng.nextDouble() < 0.4
     val canon = rng.nextDouble() < 0.5
     val noindex = rng.nextDouble() < 0.25
-    val note = pick(rng, editorNotePool)
+    // the note carries the re-post's own document number, so every near
+    // re-post's leading span is UNIQUE — two near re-posts of different
+    // sources can never share a (note, heading) 2-shingle, which keeps the
+    // planted pair set free of cross-pair collisions at any corpus size
+    val note = pick(rng, editorNotePool) + s" 문서번호 제${i}호."
     val truth: Vector[OutSpan] =
       if (!near) src.truth
       else {
@@ -161,13 +165,20 @@ object WebGen {
         // following neighbor — a GOOD-length text block. A terminal
         // caption, connector or figure would be dropped by context
         // smoothing (chrome follows it), putting the plant at odds with
-        // the extractor's own contract.
+        // the extractor's own contract. The trim is BOUNDED: at most 2
+        // spans dropped and at least 4 kept, else the variant degrades to
+        // note-only — this floors the planted pair's span-shingle Jaccard
+        // at 500‰ (trimmed: (k-1)/m with k ≥ 4, m ≤ k+2; note-only:
+        // (m-1)/m ≥ 750‰), so every plant clears the 400‰ gate threshold
+        // with margin at ANY page size, mega included.
         var keep = src.truth.dropRight(1)
         while (keep.nonEmpty && !(keep.last.kind == MainContent.KindText &&
             keep.last.text.count(!_.isWhitespace) >= MainContent.GoodLen))
           keep = keep.dropRight(1)
-        require(keep.length >= 2, s"near trim emptied ${src.doc_id}")
-        (OutSpan(MainContent.KindText, note, "", 0) +: keep)
+        val body =
+          if (keep.length >= 4 && keep.length >= src.truth.length - 2) keep
+          else src.truth
+        (OutSpan(MainContent.KindText, note, "", 0) +: body)
           .zipWithIndex.map { case (s, k) => s.copy(order = k) }
       }
     def esc(s: String): String = s.replace("&", "&amp;")
@@ -369,7 +380,21 @@ object WebGen {
     sb.append("<h2>").append(title).append("</h2>\n")
     plant(MainContent.KindHeading, title)
 
-    paragraph()
+    // the LEAD paragraph opens with the page's own case number (as real
+    // judgments do) — a page-unique first sentence, so no two fresh pages
+    // can share a (heading, lead) or (lead, second-paragraph) span
+    // 2-shingle. Without this, pooled sentences make organic cross-page
+    // near-dups a certainty at corpus scale (observed at sf1: two small
+    // pages sharing heading + first two paragraphs reached 400‰), and the
+    // planted-pair-equality gate stops being exact. With it, a chance pair
+    // needs 4+ identical consecutive INTERIOR paragraphs — vanishing at
+    // any corpus size.
+    {
+      val lead = s"사건번호 2026가합${i}호 사건의 판결 요지는 다음과 같다. " +
+        pick(rng, sentencePool) + ". " + pick(rng, sentencePool) + "."
+      sb.append("<p>").append(esc(lead)).append("</p>\n")
+      plant(MainContent.KindText, lead)
+    }
     // SKEW PLANT: every 512th page is a mega-page (~100× the typical block
     // count) — the crawl's long-tail outlier (a forum dump, an archive
     // index). Row-wise parse cost is linear, so the extractor needs no

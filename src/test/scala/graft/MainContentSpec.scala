@@ -231,11 +231,23 @@ class MainContentSpec extends AnyFunSuite {
           "near re-post leads with a note absent from the source")
         assert(dup.truth.tail.map(s => (s.kind, s.text, s.media_ref)) ==
           src.truth.take(dup.truth.length - 1).map(s => (s.kind, s.text, s.media_ref)),
-          "near re-post body = a strict prefix of the source")
-        assert(dup.truth.length - 1 < src.truth.length,
-          "near re-post must actually drop trailing source content")
+          "near re-post body = a prefix of the source")
+        // the bounded trim: at most 2 spans dropped, at least 4 kept —
+        // or note-only (nothing dropped) — floors the pair Jaccard at 500‰
+        val dropped = src.truth.length - (dup.truth.length - 1)
+        assert(dropped >= 0 && dropped <= 2, s"trim out of bounds: $dropped")
+        if (dropped > 0) assert(dup.truth.length - 1 >= 4)
       }
     }
+    // both near variants appear, and every near note is page-unique
+    val nears = dups.filter(_.meta.dup_kind == "near")
+    val srcLen = (d: WebGen.WebPage) =>
+      WebGen.genPage(d.meta.dup_src.stripPrefix("web-").toLong,
+        CorpusGen.specFor("sf0.001")).truth.length
+    assert(nears.exists(d => d.truth.length - 1 < srcLen(d)), "a trimmed near re-post appears")
+    assert(nears.exists(d => d.truth.length - 1 == srcLen(d)), "a note-only near re-post appears")
+    assert(nears.map(_.truth.head.text).distinct.size == nears.size,
+      "near notes must be unique per re-post")
   }
 
   test("page metadata: title, robots-noindex, canonical parse from wild markup") {
