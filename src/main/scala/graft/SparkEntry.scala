@@ -308,6 +308,45 @@ object SparkEntry {
           count(lit(1)).as("n_pages"))
     }),
 
+    // per-HOST source datasheet — the per-domain review table a corpus
+    // builder reads before admitting a source (page/noindex counts, span
+    // and content mass, media density, editorial-link yield). ONE typed map
+    // computes meta + extraction + outlinks together per page (the page is
+    // parsed once, not three times), reduces each page to 8 integers, and
+    // the only exchange is a map-side-combined groupBy over hosts —
+    // cardinality ~domains, never ~pages, so the rollup costs one scan and
+    // a trivial shuffle at any corpus size. Oracle = planted span + link +
+    // metadata truths joined per page and rolled up per host in DuckDB.
+    "q_web_host_stats" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      Corpus.ensureWebLinks(s, sf)
+      s.read.parquet(Corpus.ensureWebMeta(s, sf))
+        .select("doc_id", "url", "html").as[(String, String, String)]
+        .map { case (_, u, html) =>
+          val host = u.stripPrefix("https://").takeWhile(_ != '/')
+          val m = graft.parse.MainContent.pageMeta(html)
+          val spans = graft.parse.MainContent.extract(html)
+          val links = graft.parse.MainContent.outlinks(html)
+          (host, 1L, if (m.noindex) 1L else 0L, spans.size.toLong,
+            spans.count(_.kind == graft.parse.MainContent.KindMedia).toLong,
+            spans.map(_.text.length.toLong).sum,
+            links.count(_.from_content).toLong,
+            links.count(!_.nofollow).toLong)
+        }
+        .toDF("host", "pages", "noindex", "spans", "media", "chars",
+          "content_links", "follow_links")
+        .groupBy("host")
+        .agg(
+          sum("pages").as("n_pages"),
+          sum("noindex").as("n_noindex"),
+          sum("spans").as("n_spans"),
+          sum("media").as("n_media"),
+          sum("chars").as("main_chars"),
+          sum("content_links").as("n_content_links"),
+          sum("follow_links").as("n_follow_links"))
+    }),
+
     // the raw-HTML front end through the SAME committed-snapshot/resume
     // machinery as the PDF path (TableIO.commitWeb): snapshot 1 extracts the
     // even-index half of the crawl, snapshot 2 resumes over the full crawl
@@ -1594,6 +1633,27 @@ object SparkEntry {
       ("SELECT doc_id, dup_src AS canonical_id, dup_kind = 'exact' AS same_content " +
         "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
         "WHERE canonical <> '' AND canonical <> url"),
+    // per-host rollup of the three planted truths (spans ⋈ links ⋈ meta per
+    // page, then host aggregate) — every generated page plants at least one
+    // span and one chrome link, so the inner joins lose nothing
+    "q_web_host_stats" ->
+      ("WITH m AS (SELECT doc_id, split_part(replace(url, 'https://', ''), '/', 1) AS host, noindex " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet')), " +
+        "s AS (SELECT doc_id, count(*) AS n_spans, " +
+        "count(*) FILTER (WHERE kind = 'media') AS n_media, " +
+        "coalesce(sum(length(text)), 0) AS chars " +
+        "FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') GROUP BY doc_id), " +
+        "l AS (SELECT doc_id, count(*) FILTER (WHERE from_content) AS n_content, " +
+        "count(*) FILTER (WHERE NOT nofollow) AS n_follow " +
+        "FROM read_parquet('/root/repo/data/golden_web_links/sf0.01/*.parquet') GROUP BY doc_id) " +
+        "SELECT m.host, CAST(count(*) AS BIGINT) AS n_pages, " +
+        "CAST(count(*) FILTER (WHERE m.noindex) AS BIGINT) AS n_noindex, " +
+        "CAST(sum(s.n_spans) AS BIGINT) AS n_spans, " +
+        "CAST(sum(s.n_media) AS BIGINT) AS n_media, " +
+        "CAST(sum(s.chars) AS BIGINT) AS main_chars, " +
+        "CAST(sum(l.n_content) AS BIGINT) AS n_content_links, " +
+        "CAST(sum(l.n_follow) AS BIGINT) AS n_follow_links " +
+        "FROM m JOIN s USING (doc_id) JOIN l USING (doc_id) GROUP BY m.host"),
     "x_web_content_stats" ->
       ("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(count(*) FILTER (WHERE kind = 'heading') AS BIGINT) AS n_heading, " +
