@@ -308,6 +308,62 @@ object SparkEntry {
           count(lit(1)).as("n_pages"))
     }),
 
+    // BLOCK-segmentation gate: every block the segmenter produces, with its
+    // innermost block tag, keep decision, image count and normalized text —
+    // against the generator's planted block truth (recorded at layout time,
+    // independent of the extractor). The span gate cannot see a bug that
+    // merges or splits CHROME blocks (chrome is dropped either way); this
+    // one pins the lexer/boundary/normal-form layer for every block on the
+    // page. Same zero-shuffle per-page map shape as extraction.
+    "x_web_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      s.read.parquet(Corpus.ensureWebBlocks(s, sf))
+        .select("doc_id", "html").as[(String, String)]
+        .flatMap { case (id, html) =>
+          val bs = graft.parse.MainContent.blocks(html)
+          val keep = graft.parse.MainContent.finalKeep(bs)
+          bs.indices.map { i =>
+            (id, i, bs(i).tag, keep(i), bs(i).media.size, bs(i).text)
+          }
+        }
+        .toDF("doc_id", "ord", "tag", "is_content", "n_media", "text")
+    }),
+    // site-TEMPLATE mining — the cross-page boilerplate discovery that
+    // per-page DOM heuristics cannot do: a text block whose exact normal
+    // form recurs on ≥ 5 pages of the same host is sitewide furniture
+    // (footers, nav bars, promo boxes) or formulaic copy. Two-phase
+    // aggregate: per-(host, text, doc_id) partial counts map-side-combine
+    // first, so the page-count distinct needs no expand; only distinct
+    // block texts cross the shuffle, never one row per occurrence. At
+    // corpus scale the first exchange would key on md5(text) and re-join
+    // the few surviving templates for their text — noted, not needed at
+    // gate scale. n_content_blocks exposes the miner's classic failure
+    // mode (formulaic CONTENT — captions, connectors — recurs too), which
+    // the planted truth pins exactly.
+    "q_web_templates" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val blocks = s.read.parquet(Corpus.ensureWebBlocks(s, sf))
+        .select("doc_id", "url", "html").as[(String, String, String)]
+        .flatMap { case (id, u, html) =>
+          val host = u.stripPrefix("https://").takeWhile(_ != '/')
+          val bs = graft.parse.MainContent.blocks(html)
+          val keep = graft.parse.MainContent.finalKeep(bs)
+          bs.indices.iterator.filter(bs(_).text.nonEmpty).map { i =>
+            (host, bs(i).text, id, if (keep(i)) 1L else 0L)
+          }
+        }
+        .toDF("host", "text", "doc_id", "is_content")
+      blocks
+        .groupBy("host", "text", "doc_id")
+        .agg(count(lit(1)).as("b"), sum("is_content").as("c"))
+        .groupBy("host", "text")
+        .agg(count(lit(1)).as("n_pages"), sum("b").as("n_blocks"),
+          sum("c").as("n_content_blocks"))
+        .where(col("n_pages") >= 5)
+    }),
+
     // per-HOST source datasheet — the per-domain review table a corpus
     // builder reads before admitting a source (page/noindex counts, span
     // and content mass, media density, editorial-link yield). ONE typed map
@@ -1633,6 +1689,26 @@ object SparkEntry {
       ("SELECT doc_id, dup_src AS canonical_id, dup_kind = 'exact' AS same_content " +
         "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
         "WHERE canonical <> '' AND canonical <> url"),
+    // the golden_web_blocks parquet is the generator's PLANTED segmentation
+    // truth (every block recorded at layout time with tag / keep / image
+    // count / normalized text) — the extractor must reconstruct it from raw
+    // markup, block for block
+    "x_web_blocks" ->
+      "SELECT doc_id, ord, tag, is_content, n_media, text FROM read_parquet('/root/repo/data/golden_web_blocks/sf0.01/*.parquet')",
+    // template rollup over the same planted truth: per-(host, block text)
+    // page counts over ≥ 5 pages, with the content-block tally the plant
+    // decided at layout time
+    "q_web_templates" ->
+      ("WITH b AS (SELECT doc_id, text, is_content FROM read_parquet('/root/repo/data/golden_web_blocks/sf0.01/*.parquet') WHERE text <> ''), " +
+        "m AS (SELECT doc_id, split_part(replace(url, 'https://', ''), '/', 1) AS host " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet')), " +
+        "p AS (SELECT m.host, b.text, b.doc_id, count(*) AS nb, " +
+        "count(*) FILTER (WHERE b.is_content) AS nc " +
+        "FROM b JOIN m USING (doc_id) GROUP BY 1, 2, 3) " +
+        "SELECT host, text, CAST(count(*) AS BIGINT) AS n_pages, " +
+        "CAST(sum(nb) AS BIGINT) AS n_blocks, " +
+        "CAST(sum(nc) AS BIGINT) AS n_content_blocks " +
+        "FROM p GROUP BY host, text HAVING count(*) >= 5"),
     // per-host rollup of the three planted truths (spans ⋈ links ⋈ meta per
     // page, then host aggregate) — every generated page plants at least one
     // span and one chrome link, so the inner joins lose nothing

@@ -28,6 +28,7 @@ object Corpus {
   def goldenWebPath(sf: String): String = s"$Root/golden_web/$sf"
   def goldenWebLinksPath(sf: String): String = s"$Root/golden_web_links/$sf"
   def goldenWebMetaPath(sf: String): String = s"$Root/golden_web_meta/$sf"
+  def goldenWebBlocksPath(sf: String): String = s"$Root/golden_web_blocks/$sf"
 
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
@@ -242,6 +243,35 @@ object Corpus {
         }
         .toDF("doc_id", "url", "title", "noindex", "canonical", "dup_src", "dup_kind")
         .write.mode(SaveMode.Overwrite).parquet(metaPath)
+      Files.write(marker, Array.empty[Byte])
+    }
+    path
+  }
+
+  /** Bump when the generator's planted block-segmentation truth changes.
+    * Separate version for the same reason as [[WebLinksFormatVersion]].
+    */
+  val WebBlocksFormatVersion = 1
+
+  /** Ensure the planted block-segmentation truth (doc_id, ord, tag,
+    * is_content, n_media, text) for the wild-web table exists; returns the
+    * pages path. Same no-cache generation contract as [[ensureWeb]].
+    */
+  def ensureWebBlocks(spark: SparkSession, sf: String): String = synchronized {
+    val path = ensureWeb(spark, sf)
+    val blocksPath = goldenWebBlocksPath(sf)
+    // coupled to the page format for the same reason as ensureWebLinks
+    val marker = Paths.get(blocksPath,
+      s"_FORMAT_v${WebFormatVersion}_$WebBlocksFormatVersion")
+    if (!exists(blocksPath) || !Files.exists(marker)) {
+      import spark.implicits._
+      val spec = WebGen.specFor(sf)
+      spark.range(0, spec.docs.toLong, 1,
+          math.min(spec.docs, spark.sparkContext.defaultParallelism * 4))
+        .flatMap(i => WebGen.genPage(i, spec).blocks.map(b =>
+          (WebGen.docId(i), b.ord, b.tag, b.is_content, b.n_media, b.text)))
+        .toDF("doc_id", "ord", "tag", "is_content", "n_media", "text")
+        .write.mode(SaveMode.Overwrite).parquet(blocksPath)
       Files.write(marker, Array.empty[Byte])
     }
     path

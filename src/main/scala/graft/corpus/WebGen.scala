@@ -108,16 +108,31 @@ object WebGen {
       doc_id: String, url: String, title: String, noindex: Boolean,
       canonical: String, dup_src: String, dup_kind: String)
 
+  /** Planted BLOCK-level truth, decided at layout time: every block the
+    * segmenter must produce for the page — its innermost block tag, its
+    * whitespace-collapsed entity-decoded text ("" for image-only blocks),
+    * its image count, whether it is article content (the layout decision,
+    * which [[MainContent.finalKeep]] must reproduce), and its page-global
+    * encounter order. This pins the SEGMENTATION layer (lexer + block
+    * boundaries + text normal form) independently of the keep heuristics
+    * the span truth already gates: a segmentation bug that merged or split
+    * chrome blocks would be invisible to the span gate (chrome is dropped
+    * either way) but breaks this one.
+    */
+  final case class WebBlock(
+      tag: String, text: String, is_content: Boolean, n_media: Int, ord: Int)
+
   /** One generated page: raw markup + the planted main-content truth + the
     * planted outlink truth (every `<a href>` the generator lays down, with
     * its anchor text, whether it sits in article content or chrome, its
     * rel-nofollow mark, and its page-global emission order — decided at
     * layout time, independent of [[MainContent.outlinks]]) + the planted
-    * page metadata.
+    * page metadata + the planted block segmentation.
     */
   final case class WebPage(
       doc_id: String, html: String, truth: Vector[OutSpan],
-      links: Vector[MainContent.Outlink], meta: WebMeta)
+      links: Vector[MainContent.Outlink], meta: WebMeta,
+      blocks: Vector[WebBlock])
 
   /** Planted link text is recorded in the span contract's normal form
     * (whitespace-collapsed), e.g. a pool excerpt cut at a space boundary.
@@ -187,6 +202,12 @@ object WebGen {
                   nofollow: Boolean = false): Unit =
       links += MainContent.Outlink(href, collapse(text), fromContent,
         nofollow, links.size)
+    // block recording is ADDITIVE: it draws nothing from rng, so the page
+    // markup and every other planted truth are byte-identical with or
+    // without it (same contract as link/meta recording)
+    val blks = ArrayBuffer.empty[WebBlock]
+    def blk(tag: String, text: String, content: Boolean, nMedia: Int = 0): Unit =
+      blks += WebBlock(tag, text, content, nMedia, blks.size)
     val sb = new StringBuilder
     sb.append("<!DOCTYPE html>\n<html>\n<head><title>판례 모음 - 재게시</title>\n")
     if (canon)
@@ -201,12 +222,16 @@ object WebGen {
     sb.append(bannerText).append("</a></div>\n")
       .append("<header><nav class=\"breadcrumb\">")
     plantLink("/join", bannerText, fromContent = false)
-    (0 until 3 + rng.nextInt(5)).foreach { k =>
-      val crumb = pick(rng, navPool)
+    blk("div", collapse(bannerText), content = false)
+    val crumbs = Vector.fill(3 + rng.nextInt(5))(pick(rng, navPool))
+    crumbs.zipWithIndex.foreach { case (crumb, k) =>
       sb.append("<a href=\"/c").append(k).append("\">")
         .append(crumb).append("</a> &gt; ")
       plantLink(s"/c$k", crumb, fromContent = false)
     }
+    // every crumb is followed by an escaped '>' separator, the last one
+    // included, so the block's normal form ends with a bare '>'
+    blk("nav", crumbs.map(_ + " >").mkString(" "), content = false)
     sb.append("</nav></header>\n<main class=\"post-body\">\n")
     val t = truth
     var k = 0
@@ -220,29 +245,37 @@ object WebGen {
         sb.append("<figure><img src=\"").append(s.media_ref).append("\"/>")
           .append("<figcaption>").append(esc(t(k + 1).text))
           .append("</figcaption></figure>\n")
+        blk("figure", "", content = true, nMedia = 1)
+        blk("figcaption", t(k + 1).text, content = true)
         k += 2
       } else if (s.kind == MainContent.KindHeading) {
-        sb.append("<h2>").append(esc(s.text)).append("</h2>\n"); k += 1
+        sb.append("<h2>").append(esc(s.text)).append("</h2>\n")
+        blk("h2", s.text, content = true); k += 1
       } else {
-        sb.append("<p>").append(esc(s.text)).append("</p>\n"); k += 1
+        sb.append("<p>").append(esc(s.text)).append("</p>\n")
+        blk("p", s.text, content = true); k += 1
       }
     }
     sb.append("</main>\n<footer class=\"footer\">")
-    (0 until 2 + rng.nextInt(3)).foreach { _ =>
+    val farmTexts = Vector.fill(2 + rng.nextInt(3)) {
       val t = pick(rng, linkFarmPool)
       val nf = rng.nextDouble() < 0.5 // re-post platforms nofollow their farms
       sb.append("<a href=\"#\"").append(if (nf) " rel=\"nofollow\"" else "")
         .append(">").append(t).append("</a> ")
       plantLink("#", t, fromContent = false, nofollow = nf)
+      t
     }
     sb.append("© 재게시 플랫폼</footer>\n</body>\n</html>\n")
+    // farm anchors and the copyright run share the one footer block
+    blk("footer", farmTexts.mkString(" ") + " © 재게시 플랫폼", content = false)
     // the re-render emits the (possibly near-modified) truth as PLAIN text
     // (inline citation anchors do not survive re-posting), so a dup page
     // plants zero content links — every link is chrome
     WebPage(id, sb.toString, truth, links.toVector,
       WebMeta(id, url(i), "판례 모음 - 재게시", noindex,
         if (canon) url(srcIdx) else "", src.doc_id,
-        if (near) "near" else "exact"))
+        if (near) "near" else "exact"),
+      blks.toVector)
   }
 
   private def genFresh(i: Long, spec: CorpusGen.Spec): WebPage = {
@@ -259,6 +292,11 @@ object WebGen {
                   nofollow: Boolean = false): Unit =
       links += MainContent.Outlink(href, collapse(text), fromContent,
         nofollow, links.size)
+    // block recording is ADDITIVE: no rng draws, so the markup and every
+    // other planted truth are unchanged by it (see genDup)
+    val blks = ArrayBuffer.empty[WebBlock]
+    def blk(tag: String, text: String, content: Boolean, nMedia: Int = 0): Unit =
+      blks += WebBlock(tag, text, content, nMedia, blks.size)
 
     // a GOOD paragraph: 3–5 sentences (always ≥ GoodLen non-ws chars),
     // sometimes carrying an entity and/or a short inline citation link
@@ -279,14 +317,16 @@ object WebGen {
         sb.append(esc(plain.substring(0, cut)))
           .append(" <a href=\"/law/390\">").append(anchor).append("</a>")
           .append(esc(plain.substring(cut)))
-        plant(MainContent.KindText,
-          plain.substring(0, cut) + " " + anchor + plain.substring(cut))
+        val full = plain.substring(0, cut) + " " + anchor + plain.substring(cut)
+        plant(MainContent.KindText, full)
+        blk("p", full, content = true)
         // the ONLY content link the generator plants: an inline citation
         // inside a kept paragraph
         plantLink("/law/390", anchor, fromContent = true)
       } else {
         sb.append(esc(plain))
         plant(MainContent.KindText, plain)
+        blk("p", plain, content = true)
       }
       sb.append("</p>\n")
     }
@@ -301,22 +341,29 @@ object WebGen {
         .append("<figcaption>").append(cap).append("</figcaption></figure>\n")
       plant(MainContent.KindMedia, "", ref)
       plant(MainContent.KindText, cap)
+      // the <figcaption> boundary splits the figure into an image-only
+      // block and a caption block
+      blk("figure", "", content = true, nMedia = 1)
+      blk("figcaption", cap, content = true)
     }
 
     def connector(): Unit = {
       val c = pick(rng, connectorPool)
       sb.append("<p>").append(c).append("</p>\n")
       plant(MainContent.KindText, c)
+      blk("p", c, content = true)
     }
 
     def relatedBox(): Unit = {
       sb.append("<div class=\"related\">")
-      (0 until 3).foreach { _ =>
+      val texts = Vector.fill(3) {
         val t = pick(rng, linkFarmPool)
         sb.append("<a href=\"#\">").append(t).append("</a> ")
         plantLink("#", t, fromContent = false)
+        t
       }
       sb.append("</div>\n")
+      blk("div", texts.mkString(" "), content = false)
     }
 
     def linkFarm(): Unit = {
@@ -325,24 +372,30 @@ object WebGen {
       // with other rel tokens so the extractor must token-match, not
       // string-match
       sb.append("<p>추천: ")
-      (0 until 4).foreach { _ =>
+      val texts = Vector.fill(4) {
         val t = pick(rng, linkFarmPool)
         val nf = rng.nextDouble() < 0.5
         sb.append("<a href=\"#\"")
           .append(if (nf) " rel=\"nofollow noopener\"" else "")
           .append(">").append(t).append("</a> · ")
         plantLink("#", t, fromContent = false, nofollow = nf)
+        t
       }
       sb.append("</p>\n")
+      // every anchor is followed by an interpunct separator, the last
+      // included
+      blk("p", "추천: " + texts.map(_ + " ·").mkString(" "), content = false)
     }
 
     def deepPromo(): Unit = {
       // clean classes, low link density, long text — nested DepthSlack+2
       // levels below the article so only the depth band drops it
       val nest = MainContent.DepthSlack + 2
+      val promo = pick(rng, promoPool)
       sb.append("<div>" * nest)
-        .append(pick(rng, promoPool))
+        .append(promo)
         .append("</div>" * nest).append('\n')
+      blk("div", promo, content = false)
     }
 
     // ---- page layout ------------------------------------------------------
@@ -365,12 +418,18 @@ object WebGen {
       .append("<!-- page chrome: <p>commented markup is not content</p> -->\n")
       .append("<header class=\"site-header\"><img src=\"media/logo.png\"/>")
       .append("<h1>법률 정보 포털</h1>\n<nav>")
-    (0 until 4 + rng.nextInt(4)).foreach { k =>
+    // the logo precedes the <h1> boundary, so it flushes as an image-only
+    // header block before the h1 text block
+    blk("header", "", content = false, nMedia = 1)
+    blk("h1", "법률 정보 포털", content = false)
+    val navTexts = Vector.tabulate(4 + rng.nextInt(4)) { k =>
       val t = pick(rng, navPool)
       sb.append("<a href=\"/m").append(k).append("\">")
         .append(t).append("</a> ")
       plantLink(s"/m$k", t, fromContent = false)
+      t
     }
+    blk("nav", navTexts.mkString(" "), content = false)
     sb.append("</nav></header>\n<div class=\"content-wrap\">\n")
     // 0–2 extra wrapper divs shift the whole article's depth band together
     val wrap = rng.nextInt(3)
@@ -379,6 +438,7 @@ object WebGen {
     val title = pick(rng, titlePool)
     sb.append("<h2>").append(title).append("</h2>\n")
     plant(MainContent.KindHeading, title)
+    blk("h2", title, content = true)
 
     // the LEAD paragraph opens with the page's own case number (as real
     // judgments do) — a page-unique first sentence, so no two fresh pages
@@ -394,6 +454,7 @@ object WebGen {
         pick(rng, sentencePool) + ". " + pick(rng, sentencePool) + "."
       sb.append("<p>").append(esc(lead)).append("</p>\n")
       plant(MainContent.KindText, lead)
+      blk("p", lead, content = true)
     }
     // SKEW PLANT: every 512th page is a mega-page (~100× the typical block
     // count) — the crawl's long-tail outlier (a forum dump, an archive
@@ -417,14 +478,17 @@ object WebGen {
 
     sb.append("</div>" * wrap).append("</main>\n")
       .append("<aside class=\"sidebar\"><h3>추천 서비스</h3><p>")
-      .append(pick(rng, promoPool))
-      .append("</p><ul>")
+    val asidePromo = pick(rng, promoPool)
+    sb.append(asidePromo).append("</p><ul>")
+    blk("h3", "추천 서비스", content = false)
+    blk("p", asidePromo, content = false)
     (0 until 3).foreach { _ =>
       val t = pick(rng, linkFarmPool)
       val nf = rng.nextDouble() < 0.5
       sb.append("<li><a href=\"#\"").append(if (nf) " rel=\"nofollow\"" else "")
         .append(">").append(t).append("</a></li>")
       plantLink("#", t, fromContent = false, nofollow = nf)
+      blk("li", t, content = false)
     }
     sb.append("</ul></aside>\n</div>\n")
       .append("<footer><div class=\"copyright\">© 2026 법률 정보 포털 · ")
@@ -432,9 +496,11 @@ object WebGen {
       .append("</div></footer>\n</body>\n</html>\n")
     plantLink("/terms", "이용약관", fromContent = false)
     plantLink("/privacy", "개인정보처리방침", fromContent = false)
+    blk("div", "© 2026 법률 정보 포털 · 이용약관 개인정보처리방침", content = false)
 
     WebPage(id, sb.toString, truth.toVector, links.toVector,
       WebMeta(id, url(i), headTitle, noindex,
-        if (selfCanon) url(i) else "", "", ""))
+        if (selfCanon) url(i) else "", "", ""),
+      blks.toVector)
   }
 }

@@ -191,6 +191,30 @@ class MainContentSpec extends AnyFunSuite {
     assert(WebGen.genPage(WebGen.DupStride - 1L, spec).links.forall(!_.from_content))
   }
 
+  test("planted block truth round-trip: 300 pages incl. dup, near and mega segment exactly") {
+    val spec = CorpusGen.specFor("sf0.001")
+    // DupStride-1 is the first re-post; scanning 3 strides guarantees at
+    // least one NEAR variant among the re-posts hit below
+    for (i <- (0L until 300L) ++ Seq(WebGen.DupStride - 1L,
+        2L * WebGen.DupStride - 1L, 3L * WebGen.DupStride - 1L, 511L)) {
+      val p = WebGen.genPage(i, spec)
+      val bs = MainContent.blocks(p.html)
+      val keep = MainContent.finalKeep(bs)
+      val got = bs.indices.map(k =>
+        WebGen.WebBlock(bs(k).tag, bs(k).text, keep(k), bs(k).media.size, k)).toVector
+      assert(got == p.blocks, s"doc $i: got ${got.size} blocks vs ${p.blocks.size}\n" +
+        got.zipAll(p.blocks, null, null).filter { case (a, b) => a != b }
+          .take(3).mkString("\n"))
+    }
+    // the plant exercises chrome and content blocks, image-only blocks, and
+    // every tag family the skins emit
+    val all = (0L until 300L).flatMap(i => WebGen.genPage(i, spec).blocks)
+    assert(all.exists(_.is_content) && all.exists(!_.is_content))
+    assert(all.exists(b => b.text.isEmpty && b.n_media == 1))
+    assert(Set("h1", "h2", "h3", "nav", "p", "div", "li", "figure",
+      "figcaption", "footer").subsetOf(all.map(_.tag).toSet))
+  }
+
   test("planted-truth round-trip: 300 generated pages extract exactly") {
     val spec = CorpusGen.specFor("sf0.001")
     for (i <- 0L until 300L) {
