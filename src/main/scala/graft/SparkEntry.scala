@@ -308,6 +308,25 @@ object SparkEntry {
           count(lit(1)).as("n_pages"))
     }),
 
+    // soft-404 detection — error pages served as HTTP 200 under full normal
+    // chrome, which no status-code filter can drop: the signal only exists
+    // AFTER boilerplate removal (≤ 4 extracted spans, one of them the
+    // canonical not-found heading). The gate pins the decision for EVERY
+    // page (false positives and false negatives both hash-break it),
+    // including re-posts of error pages whose chrome differs entirely.
+    // Zero-shuffle per-page map; oracle = the generator's planted flag.
+    "q_web_soft404" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      s.read.parquet(Corpus.ensureWebMeta(s, sf))
+        .select("doc_id", "html").as[(String, String)]
+        .map { case (id, html) =>
+          (id, graft.parse.MainContent.isSoftError(
+            graft.parse.MainContent.extract(html)))
+        }
+        .toDF("doc_id", "soft404")
+    }),
+
     // BLOCK-segmentation gate: every block the segmenter produces, with its
     // innermost block tag, keep decision, image count and normalized text —
     // against the generator's planted block truth (recorded at layout time,
@@ -1689,6 +1708,9 @@ object SparkEntry {
       ("SELECT doc_id, dup_src AS canonical_id, dup_kind = 'exact' AS same_content " +
         "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
         "WHERE canonical <> '' AND canonical <> url"),
+    // planted soft-404 flag per page (error pages and their re-posts)
+    "q_web_soft404" ->
+      "SELECT doc_id, soft404 FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet')",
     // the golden_web_blocks parquet is the generator's PLANTED segmentation
     // truth (every block recorded at layout time with tag / keep / image
     // count / normalized text) — the extractor must reconstruct it from raw

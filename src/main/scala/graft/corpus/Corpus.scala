@@ -150,8 +150,10 @@ object Corpus {
   // planted pair Jaccard is floored at 500‰ at any page size; v6: the
   // lead paragraph opens with the page's own case number, so organic
   // cross-page span-shingle collisions need 4+ identical consecutive
-  // interior paragraphs — the planted pair set is exact at any corpus size
-  val WebFormatVersion = 6
+  // interior paragraphs — the planted pair set is exact at any corpus size;
+  // v7: soft-404 plant (every 257th page serves a not-found notice under
+  // full normal chrome; re-posts of error pages inherit the flag)
+  val WebFormatVersion = 7
 
   /** Ensure the wild-web pages table (doc_id, html) AND its PLANTED
     * main-content truth (doc_id, kind, text, media_ref, ord) exist; returns
@@ -220,11 +222,13 @@ object Corpus {
   /** Bump when the generator's planted page-metadata truth changes.
     * Separate version for the same reason as [[WebLinksFormatVersion]].
     */
-  val WebMetaFormatVersion = 1
+  // v2: planted soft-404 flag per page
+  val WebMetaFormatVersion = 2
 
   /** Ensure the planted page-metadata truth (doc_id, url, title, noindex,
-    * canonical, dup_src, dup_kind) for the wild-web table exists; returns
-    * the pages path. Same no-cache generation contract as [[ensureWeb]].
+    * canonical, dup_src, dup_kind, soft404) for the wild-web table exists;
+    * returns the pages path. Same no-cache generation contract as
+    * [[ensureWeb]].
     */
   def ensureWebMeta(spark: SparkSession, sf: String): String = synchronized {
     val path = ensureWeb(spark, sf)
@@ -239,9 +243,11 @@ object Corpus {
           math.min(spec.docs, spark.sparkContext.defaultParallelism * 4))
         .map { i =>
           val m = WebGen.genPage(i, spec).meta
-          (m.doc_id, m.url, m.title, m.noindex, m.canonical, m.dup_src, m.dup_kind)
+          (m.doc_id, m.url, m.title, m.noindex, m.canonical, m.dup_src,
+            m.dup_kind, m.soft404)
         }
-        .toDF("doc_id", "url", "title", "noindex", "canonical", "dup_src", "dup_kind")
+        .toDF("doc_id", "url", "title", "noindex", "canonical", "dup_src",
+          "dup_kind", "soft404")
         .write.mode(SaveMode.Overwrite).parquet(metaPath)
       Files.write(marker, Array.empty[Byte])
     }

@@ -106,7 +106,8 @@ object WebGen {
     */
   final case class WebMeta(
       doc_id: String, url: String, title: String, noindex: Boolean,
-      canonical: String, dup_src: String, dup_kind: String)
+      canonical: String, dup_src: String, dup_kind: String,
+      soft404: Boolean)
 
   /** Planted BLOCK-level truth, decided at layout time: every block the
     * segmenter must produce for the page — its innermost block tag, its
@@ -274,7 +275,11 @@ object WebGen {
     WebPage(id, sb.toString, truth, links.toVector,
       WebMeta(id, url(i), "판례 모음 - 재게시", noindex,
         if (canon) url(srcIdx) else "", src.doc_id,
-        if (near) "near" else "exact"),
+        if (near) "near" else "exact",
+        // a re-post of an error page carries the error content — the
+        // content-shaped detector must flag it too (near variants
+        // included: note + heading + notice is still ≤ the span ceiling)
+        soft404 = src.meta.soft404),
       blks.toVector)
   }
 
@@ -435,6 +440,27 @@ object WebGen {
     val wrap = rng.nextInt(3)
     sb.append("<main class=\"article-body\">\n").append("<div>" * wrap)
 
+    // SOFT-404 PLANT: every 257th page is an error page served as a normal
+    // page — full chrome (the draws above are shared), but the article is a
+    // not-found notice instead of a judgment. Status-code filtering cannot
+    // drop these; only content-shaped detection after boilerplate removal
+    // can ([[MainContent.isSoftError]]). The notice paragraph carries the
+    // page's own case number so two error pages never share a span
+    // 2-shingle (same argument as the lead-paragraph uniqueness below).
+    val soft404 = i % 257 == 13
+    if (soft404) {
+      sb.append("<h2>").append(MainContent.SoftErrorHeading).append("</h2>\n")
+      plant(MainContent.KindHeading, MainContent.SoftErrorHeading)
+      blk("h2", MainContent.SoftErrorHeading, content = true)
+      val notice = s"요청하신 사건번호 2026가합${i}호 문서는 삭제되었거나 주소가 " +
+        "변경되어 더 이상 제공되지 않습니다. 입력하신 주소가 정확한지 다시 한 번 " +
+        "확인해 주시고, 포털의 판례 검색 기능을 이용하시거나 고객센터로 문의해 " +
+        "주시기 바랍니다."
+      sb.append("<p>").append(notice).append("</p>\n")
+      plant(MainContent.KindText, notice)
+      blk("p", notice, content = true)
+    } else {
+
     val title = pick(rng, titlePool)
     sb.append("<h2>").append(title).append("</h2>\n")
     plant(MainContent.KindHeading, title)
@@ -475,6 +501,7 @@ object WebGen {
       }
       paragraph() // every special is followed by a long paragraph
     }
+    } // end of the non-soft-404 article body
 
     sb.append("</div>" * wrap).append("</main>\n")
       .append("<aside class=\"sidebar\"><h3>추천 서비스</h3><p>")
@@ -500,7 +527,7 @@ object WebGen {
 
     WebPage(id, sb.toString, truth.toVector, links.toVector,
       WebMeta(id, url(i), headTitle, noindex,
-        if (selfCanon) url(i) else "", "", ""),
+        if (selfCanon) url(i) else "", "", "", soft404),
       blks.toVector)
   }
 }

@@ -514,6 +514,23 @@ object MainContent {
     PageMeta(title.getOrElse(""), noindex, canonical.getOrElse(""))
   }
 
+  /** Soft-404 detection: an error page served with HTTP 200 — the crawl's
+    * status code says "content" but the page body is a not-found notice.
+    * A status-code filter can never drop these; the signal only exists
+    * AFTER boilerplate removal (the chrome is a normal page's chrome —
+    * that is what makes them 'soft'). The detector is content-shaped:
+    * extraction yields at most [[SoftErrorMaxSpans]] spans and one of them
+    * is a heading equal to the canonical error notice. Corpus builders
+    * drop these before dedup — left in, every error page of a host is a
+    * near-duplicate of every other and pollutes the dup graph.
+    */
+  val SoftErrorHeading = "요청하신 페이지를 찾을 수 없습니다"
+  val SoftErrorMaxSpans = 4
+
+  def isSoftError(spans: Seq[OutSpan]): Boolean =
+    spans.size <= SoftErrorMaxSpans &&
+      spans.exists(s => s.kind == KindHeading && s.text == SoftErrorHeading)
+
   /** Main-content span sequence for one page (step 5). */
   def extract(html: String): Vector[OutSpan] = {
     val bs = blocks(html)

@@ -215,6 +215,34 @@ class MainContentSpec extends AnyFunSuite {
       "figcaption", "footer").subsetOf(all.map(_.tag).toSet))
   }
 
+  test("soft-404 plant: error pages flag, normal pages and re-posts classify exactly") {
+    val spec = CorpusGen.specFor("sf0.001")
+    // fresh error pages (i % 257 == 13) extract to exactly heading + notice
+    // and flag; their immediate neighbors do not
+    for (i <- Seq(13L, 270L, 527L)) {
+      val p = WebGen.genPage(i, spec)
+      assert(p.meta.soft404)
+      assert(p.truth.size == 2 && MainContent.extract(p.html) == p.truth)
+      assert(MainContent.isSoftError(MainContent.extract(p.html)), s"page $i")
+      assert(!MainContent.isSoftError(MainContent.extract(
+        WebGen.genPage(i + 1, spec).html)), s"page ${i + 1}")
+    }
+    // a re-post whose SOURCE is an error page inherits the flag and is
+    // detected from its completely different chrome; k ≡ 107 (mod 257)
+    // makes src = k*DupStride an error page
+    val dup = WebGen.genPage(107L * WebGen.DupStride + WebGen.DupStride - 1, spec)
+    assert(dup.meta.soft404 && dup.meta.dup_kind.nonEmpty)
+    assert(MainContent.isSoftError(MainContent.extract(dup.html)))
+    // flag counts line up with the arithmetic plant over a window
+    val n = (0L until 1000L).count(WebGen.genPage(_, spec).meta.soft404)
+    val expected = (0L until 1000L).count { i =>
+      if (i % WebGen.DupStride == WebGen.DupStride - 1)
+        (i - (WebGen.DupStride - 1)) % 257 == 13
+      else i % 257 == 13
+    }
+    assert(n == expected && n > 0)
+  }
+
   test("planted-truth round-trip: 300 generated pages extract exactly") {
     val spec = CorpusGen.specFor("sf0.001")
     for (i <- 0L until 300L) {
