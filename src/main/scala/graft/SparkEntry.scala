@@ -308,6 +308,40 @@ object SparkEntry {
           count(lit(1)).as("n_pages"))
     }),
 
+    // incremental RECRAWL delta — the primitive that lets a 10^12-page
+    // corpus update without reprocessing: crawl A and crawl B each reduce
+    // to (doc_id, md5 of the EXTRACTED span signature) in their own
+    // zero-shuffle map (raw markup never crosses a shuffle; chrome churn
+    // between crawls is invisible because the signature is post-
+    // boilerplate), then ONE full-outer join keyed on doc_id classifies
+    // added / removed / changed. At corpus scale both sides sort-merge on
+    // doc_id — 48-byte rows — and downstream stages reprocess ONLY the
+    // delta. Oracle = the generator's planted revision truth (updated
+    // leads, dropped pages, newly published ids, re-posts inheriting their
+    // source's change).
+    "q_web_recrawl_delta" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val rev2Path = Corpus.ensureWebRev2(s, sf)
+      def sigs(path: String) =
+        s.read.parquet(path)
+          .select("doc_id", "html").as[(String, String)]
+          .map { case (id, html) =>
+            val spans = graft.parse.MainContent.extract(html)
+            (id, spans.map(sp => sp.kind + "" + sp.text + "" +
+              sp.media_ref).mkString(""))
+          }.toDF("doc_id", "sig").select(col("doc_id"), md5(col("sig")).as("sig"))
+      val a = sigs(Corpus.webPath(sf)).withColumnRenamed("sig", "sig_a")
+      val b = sigs(rev2Path).withColumnRenamed("sig", "sig_b")
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("sig_a").isNull, "added")
+            .when(col("sig_b").isNull, "removed")
+            .when(col("sig_a") =!= col("sig_b"), "changed")
+            .otherwise("").as("status"))
+        .where(col("status") =!= "")
+    }),
+
     // soft-404 detection — error pages served as HTTP 200 under full normal
     // chrome, which no status-code filter can drop: the signal only exists
     // AFTER boilerplate removal (≤ 4 extracted spans, one of them the
@@ -1708,6 +1742,10 @@ object SparkEntry {
       ("SELECT doc_id, dup_src AS canonical_id, dup_kind = 'exact' AS same_content " +
         "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
         "WHERE canonical <> '' AND canonical <> url"),
+    // planted recrawl-delta truth (the generator's revision rules: updated
+    // leads, dropped pages, new ids, re-posts inheriting source change)
+    "q_web_recrawl_delta" ->
+      "SELECT doc_id, status FROM read_parquet('/root/repo/data/golden_web_delta/sf0.01/*.parquet')",
     // planted soft-404 flag per page (error pages and their re-posts)
     "q_web_soft404" ->
       "SELECT doc_id, soft404 FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet')",

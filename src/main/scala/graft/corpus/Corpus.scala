@@ -29,6 +29,8 @@ object Corpus {
   def goldenWebLinksPath(sf: String): String = s"$Root/golden_web_links/$sf"
   def goldenWebMetaPath(sf: String): String = s"$Root/golden_web_meta/$sf"
   def goldenWebBlocksPath(sf: String): String = s"$Root/golden_web_blocks/$sf"
+  def webRev2Path(sf: String): String = s"$Root/web_rev2/$sf"
+  def goldenWebDeltaPath(sf: String): String = s"$Root/golden_web_delta/$sf"
 
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
@@ -278,6 +280,46 @@ object Corpus {
           (WebGen.docId(i), b.ord, b.tag, b.is_content, b.n_media, b.text)))
         .toDF("doc_id", "ord", "tag", "is_content", "n_media", "text")
         .write.mode(SaveMode.Overwrite).parquet(blocksPath)
+      Files.write(marker, Array.empty[Byte])
+    }
+    path
+  }
+
+  /** Bump when the generator's rev-2 recrawl plant changes. */
+  val WebRev2FormatVersion = 1
+
+  /** Ensure the REV-2 recrawl table (doc_id, url, html — the same sites
+    * crawled again: ~1/37 of articles updated, 1/53 of pages gone, ~2% new
+    * pages) AND the planted delta truth (doc_id, status ∈ added / removed /
+    * changed) exist; returns the rev-2 pages path. Also ensures the rev-1
+    * table (the delta op's other side). Same no-cache generation contract
+    * as [[ensureWeb]].
+    */
+  def ensureWebRev2(spark: SparkSession, sf: String): String = synchronized {
+    ensureWeb(spark, sf)
+    val path = webRev2Path(sf)
+    val marker = Paths.get(path,
+      s"_FORMAT_v${WebFormatVersion}_$WebRev2FormatVersion")
+    if (!exists(path) || !exists(goldenWebDeltaPath(sf)) ||
+        !Files.exists(marker)) {
+      import spark.implicits._
+      val spec = WebGen.specFor(sf)
+      val docs = spec.docs.toLong
+      val rev2Ids = spark.range(0, WebGen.rev2Docs(docs), 1,
+        math.min(spec.docs, spark.sparkContext.defaultParallelism * 4))
+      rev2Ids
+        .filter(i => WebGen.rev2Status(i, docs) != "removed")
+        .map { i =>
+          val p = WebGen.genPage(i, spec, rev = 2)
+          (p.doc_id, p.meta.url, p.html)
+        }
+        .toDF("doc_id", "url", "html")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      rev2Ids
+        .map(i => (WebGen.docId(i), WebGen.rev2Status(i, docs)))
+        .filter(_._2 != "")
+        .toDF("doc_id", "status")
+        .write.mode(SaveMode.Overwrite).parquet(goldenWebDeltaPath(sf))
       Files.write(marker, Array.empty[Byte])
     }
     path

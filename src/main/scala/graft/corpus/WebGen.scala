@@ -150,14 +150,54 @@ object WebGen {
     */
   val DupStride = 101
 
-  def genPage(i: Long, spec: CorpusGen.Spec): WebPage =
-    if (i % DupStride == DupStride - 1) genDup(i, spec) else genFresh(i, spec)
+  // ---- recrawl (revision 2) plant ----------------------------------------
+  // A second crawl of the same sites, some time later: every 37th fresh
+  // page's article was UPDATED (one sentence appended to the lead — a
+  // deterministic constant, so no rng draw moves and every other page is
+  // byte-identical across revisions), every 53rd page is GONE (hard 404 at
+  // recrawl time — it simply isn't in the rev-2 table), and ~2% new pages
+  // were published past the rev-1 id range. Re-posts inherit change from
+  // their SOURCE (they re-render its content), never from their own index.
+  val Rev2ChangeStride = 37
+  val Rev2RemoveStride = 53
+  val Rev2UpdateNote = " 항소심 판단이 반영되어 본 문서의 요지가 일부 갱신되었다."
 
-  private def genDup(i: Long, spec: CorpusGen.Spec): WebPage = {
+  /** Whether page `i`'s EXTRACTED CONTENT differs between rev 1 and rev 2.
+    * Soft-404 pages have no lead paragraph, so the update never lands on
+    * them; re-posts change iff their source changed (the editor note and
+    * trim rules are revision-independent).
+    */
+  def changedInRev2(i: Long): Boolean =
+    if (i % DupStride == DupStride - 1) changedInRev2(i - (DupStride - 1))
+    else i % Rev2ChangeStride == 5 && i % 257 != 13
+
+  /** Planted recrawl-delta truth for page id `i` given the rev-1 corpus
+    * size: "added" / "removed" / "changed", or "" for unchanged pages
+    * (removal wins over change — a page that is gone has no content to
+    * differ).
+    */
+  def rev2Status(i: Long, docs: Long): String =
+    if (i >= docs) "added"
+    else if (i % Rev2RemoveStride == 7) "removed"
+    else if (changedInRev2(i)) "changed"
+    else ""
+
+  /** Rev-2 id range: the recrawl discovers ~2% new pages past the rev-1
+    * range (at least 8, so every gate scale plants some).
+    */
+  def rev2Docs(docs: Long): Long = docs + math.max(docs / 50, 8L)
+
+  def genPage(i: Long, spec: CorpusGen.Spec): WebPage = genPage(i, spec, rev = 1)
+
+  def genPage(i: Long, spec: CorpusGen.Spec, rev: Int): WebPage =
+    if (i % DupStride == DupStride - 1) genDup(i, spec, rev)
+    else genFresh(i, spec, rev)
+
+  private def genDup(i: Long, spec: CorpusGen.Spec, rev: Int): WebPage = {
     val id = docId(i)
     // the source index is ≡ 0 (mod DupStride), so it is always a fresh page
     val srcIdx = i - (DupStride - 1)
-    val src = genPage(srcIdx, spec)
+    val src = genPage(srcIdx, spec, rev)
     val rng = new Random(id.hashCode.toLong ^ 0x5ca1ab1eL)
     // variant decisions, drawn in a fixed order so the plant is a pure
     // function of the doc id: NEAR re-posts prepend an editor note and drop
@@ -283,7 +323,7 @@ object WebGen {
       blks.toVector)
   }
 
-  private def genFresh(i: Long, spec: CorpusGen.Spec): WebPage = {
+  private def genFresh(i: Long, spec: CorpusGen.Spec, rev: Int = 1): WebPage = {
     val id = docId(i)
     val rng = new Random(id.hashCode.toLong)
     val sb = new StringBuilder
@@ -476,8 +516,11 @@ object WebGen {
     // needs 4+ identical consecutive INTERIOR paragraphs — vanishing at
     // any corpus size.
     {
+      // the rev-2 update is a constant suffix: no rng draw, so every page
+      // that is NOT updated is byte-identical across crawl revisions
       val lead = s"사건번호 2026가합${i}호 사건의 판결 요지는 다음과 같다. " +
-        pick(rng, sentencePool) + ". " + pick(rng, sentencePool) + "."
+        pick(rng, sentencePool) + ". " + pick(rng, sentencePool) + "." +
+        (if (rev >= 2 && i % Rev2ChangeStride == 5) Rev2UpdateNote else "")
       sb.append("<p>").append(esc(lead)).append("</p>\n")
       plant(MainContent.KindText, lead)
       blk("p", lead, content = true)

@@ -243,6 +243,41 @@ class MainContentSpec extends AnyFunSuite {
     assert(n == expected && n > 0)
   }
 
+  test("recrawl plant: rev-2 pages change exactly where planted, byte-identical elsewhere") {
+    val spec = CorpusGen.specFor("sf0.001")
+    for (i <- 0L until 300L) {
+      val r1 = WebGen.genPage(i, spec, rev = 1)
+      val r2 = WebGen.genPage(i, spec, rev = 2)
+      if (WebGen.changedInRev2(i)) {
+        assert(r1.html != r2.html && r1.truth != r2.truth, s"page $i should change")
+        // the change survives extraction on both sides
+        assert(MainContent.extract(r2.html) == r2.truth, s"page $i rev-2 extract")
+      } else {
+        assert(r1.html == r2.html, s"page $i must be byte-identical across revs")
+      }
+    }
+    // a re-post changes iff its source changed: source 5 is 5 % 37 — find a
+    // dup whose src index is ≡ 5 (mod 37): src = k*101 with k*101 % 37 == 5
+    val k = (0L until 37L).find(k => (k * 101) % 37 == 5).get
+    val dupIdx = k * WebGen.DupStride + WebGen.DupStride - 1
+    assert(WebGen.changedInRev2(dupIdx))
+    assert(WebGen.genPage(dupIdx, spec, rev = 1).truth !=
+      WebGen.genPage(dupIdx, spec, rev = 2).truth)
+    // soft-404 pages never change (they have no lead): 13 % 37 == 13, find
+    // an error page index ≡ 5 (mod 37): i ≡ 13 (mod 257), i ≡ 5 (mod 37)
+    val err = (0L until 257L * 37L)
+      .find(i => i % 257 == 13 && i % 37 == 5).get
+    assert(!WebGen.changedInRev2(err))
+    assert(WebGen.genPage(err, spec, rev = 1).html ==
+      WebGen.genPage(err, spec, rev = 2).html)
+    // status arithmetic: removal wins over change; new ids are added
+    val docs = 4000L // > 37*53, so a changed+removed collision exists below
+    val both = (0L until docs).find(i =>
+      i % WebGen.Rev2RemoveStride == 7 && WebGen.changedInRev2(i)).get
+    assert(WebGen.rev2Status(both, docs) == "removed")
+    assert(WebGen.rev2Status(docs + 1, docs) == "added")
+  }
+
   test("planted-truth round-trip: 300 generated pages extract exactly") {
     val spec = CorpusGen.specFor("sf0.001")
     for (i <- 0L until 300L) {
