@@ -37,6 +37,13 @@ object Bench {
     val sf = Corpus.sfName(sfDir)
     val corpusPath = Corpus.ensure(spark, sf) // excluded from timing
     Corpus.ensureWeb(spark, sf) // input table for the x_web_* queries
+    // planted-truth goldens + the rev-2 crawl are input-table stand-ins the
+    // web queries would otherwise lazily ensure on first run — materialize
+    // untimed like the corpus itself
+    Corpus.ensureWebMeta(spark, sf)
+    Corpus.ensureWebLinks(spark, sf)
+    Corpus.ensureWebBlocks(spark, sf)
+    Corpus.ensureWebRev2(spark, sf)
     // pre-materialize exactly what the queries would lazily ensure, so
     // first-run golden/oracle generation never lands in the timed region
     // (ADVICE round 1); at the bench sf0.1 the queries skip these anyway
