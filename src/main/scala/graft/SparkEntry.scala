@@ -552,6 +552,19 @@ object SparkEntry {
           (sum("pages") - sum("noindex")).as("n_indexable"),
           sum("spans").as("indexable_spans"))
     }),
+    // RFC 9309 robots admission over the crawl: per-host robots.txt parsed
+    // ONCE into a compiled rule group (longest-match, $-anchors, *
+    // wildcards, agent-specific groups), the rule table broadcast (one row
+    // per host — always the small side at any crawl size), and the verdict
+    // evaluated per page URL in a typed map. The oracle restates the
+    // PLANTED policies' closed form in pure SQL, fully independent of the
+    // parser (ops/Robots.scala, corpus/WebGen.robotsTxt).
+    "q_web_robots" -> ((s, dir) => {
+      val sf = Corpus.sfName(dir)
+      val pages = s.read.parquet(Corpus.ensureWeb(s, sf)).select("doc_id", "url")
+      val robots = s.read.parquet(Corpus.ensureWebRobots(s, sf))
+      graft.ops.Robots.gate(pages, robots, "graftbot/1.2")
+    }),
     // canonical-edge resolution: pages declaring a cross-page canonical are
     // resolved to their target doc by joining the crawl's OWN url column
     // (no global URL registry at 10^12 docs -- the crawl table IS the
@@ -1735,6 +1748,21 @@ object SparkEntry {
         "CAST(count(*) FILTER (WHERE NOT noindex) AS BIGINT) AS n_indexable, " +
         "CAST(coalesce(sum(n) FILTER (WHERE NOT noindex), 0) AS BIGINT) AS indexable_spans " +
         "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') m JOIN s USING (doc_id)"),
+    // robots-admission truth in CLOSED FORM: the planted per-host policies
+    // (WebGen.robotsTxt) were designed so the graftbot verdict is a pure
+    // function of the URL — portal-3's agent-specific group disallows
+    // paths ending in 3; other portals disallow ending-7 except the longer
+    // Allow rescues ending-77; the repost host is closed except /p/1*.
+    // This restates the OUTCOME without parsing a single robots line.
+    "q_web_robots" ->
+      ("WITH p AS (SELECT doc_id, url, " +
+        "regexp_extract(url, '^https://([^/]+)', 1) AS host, " +
+        "regexp_extract(url, '^https://[^/]+(/.*)$', 1) AS path " +
+        "FROM read_parquet('/root/repo/data/web/sf0.01/*.parquet')) " +
+        "SELECT doc_id, url, " +
+        "CASE WHEN host = 'repost-archive.example' THEN path LIKE '/p/1%' " +
+        "WHEN host = 'portal-3.law.example' THEN path NOT LIKE '%3' " +
+        "ELSE path NOT LIKE '%7' OR path LIKE '%77' END AS allowed FROM p"),
     // canonical-edge truth: only cross-page canonicals survive (self-
     // canonicals are hygiene, not edges); the resolved target is the
     // planted source, and content equality holds iff the re-post is exact

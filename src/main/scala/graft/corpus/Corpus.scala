@@ -31,6 +31,8 @@ object Corpus {
   def goldenWebBlocksPath(sf: String): String = s"$Root/golden_web_blocks/$sf"
   def webRev2Path(sf: String): String = s"$Root/web_rev2/$sf"
   def goldenWebDeltaPath(sf: String): String = s"$Root/golden_web_delta/$sf"
+  def webRobotsPath(sf: String): String = s"$Root/web_robots/$sf"
+  def webWarcPath(sf: String): String = s"$Root/web_warc/$sf"
 
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
@@ -320,6 +322,31 @@ object Corpus {
         .filter(_._2 != "")
         .toDF("doc_id", "status")
         .write.mode(SaveMode.Overwrite).parquet(goldenWebDeltaPath(sf))
+      Files.write(marker, Array.empty[Byte])
+    }
+    path
+  }
+
+  /** Bump when the planted robots.txt bodies change. Independent of the
+    * page format: the robots plant is a pure function of the HOST list,
+    * which the url scheme fixes.
+    */
+  val WebRobotsFormatVersion = 1
+
+  /** Ensure the per-host robots.txt INPUT table (host, robots_txt) for the
+    * wild-web crawl exists; returns its path. One row per host — the shape
+    * a production crawler's robots cache has at any corpus size (hosts are
+    * orders of magnitude fewer than pages).
+    */
+  def ensureWebRobots(spark: SparkSession, sf: String): String = synchronized {
+    val path = webRobotsPath(sf)
+    val marker = Paths.get(path, s"_FORMAT_v$WebRobotsFormatVersion")
+    if (!exists(path) || !Files.exists(marker)) {
+      import spark.implicits._
+      WebGen.hosts.map(h => (h, WebGen.robotsTxt(h)))
+        .toDF("host", "robots_txt")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(path)
       Files.write(marker, Array.empty[Byte])
     }
     path

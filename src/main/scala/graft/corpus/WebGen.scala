@@ -50,6 +50,51 @@ object WebGen {
   /** Pages share the corpus Spec's doc count (FIXTURES.md §1). */
   def specFor(sfName: String): CorpusGen.Spec = CorpusGen.specFor(sfName)
 
+  /** Every host the crawl URLs span (the per-host robots table's key set). */
+  def hosts: Vector[String] =
+    (1 to 7).map(k => s"portal-$k.law.example").toVector :+ "repost-archive.example"
+
+  /** Deterministic per-host robots.txt plant for the RFC 9309 admission
+    * gate. The bodies exercise every REP feature the evaluator implements —
+    * comments, mixed-case directives, agent-specific groups overriding `*`,
+    * the empty-Disallow allow-all idiom, `*` wildcards, `$` anchors,
+    * longest-match precedence with Allow winning the specificity race —
+    * and the resulting verdict for agent "graftbot" is a CLOSED FORM of the
+    * URL alone (the oracle restates it in pure SQL, independent of the
+    * parser):
+    *  - portal-3: the graftbot group alone applies → disallowed iff the
+    *    path ends in `3`;
+    *  - other portals: the `*` group → disallowed iff the path ends in `7`,
+    *    UNLESS it ends in `77` (the longer Allow wins);
+    *  - repost-archive: `Disallow: /` with `Allow: /p/1` → allowed iff the
+    *    page number starts with `1`.
+    */
+  def robotsTxt(host: String): String =
+    if (host == "repost-archive.example")
+      """# re-posting platform: closed by default, one open shard
+        |User-Agent: *
+        |Disallow: /
+        |Allow: /p/1
+        |""".stripMargin
+    else if (host == "portal-3.law.example")
+      """# portal-3 carves a crawler-specific policy
+        |User-agent: graftbot
+        |Disallow: /case/*3$
+        |
+        |User-agent: *
+        |Disallow: /case/
+        |""".stripMargin
+    else
+      """# default portal policy  # (trailing comment exercised)
+        |User-agent: otherbot
+        |Disallow:
+        |
+        |user-AGENT: *
+        |DisAllow: /case/*7$
+        |Allow: /case/*77$
+        |Crawl-delay: 2
+        |""".stripMargin
+
   // ---- text pools (Korean legal register, same voice as CorpusGen) --------
 
   private val sentencePool = Vector(
