@@ -565,6 +565,21 @@ object SparkEntry {
       val robots = s.read.parquet(Corpus.ensureWebRobots(s, sf))
       graft.ops.Robots.gate(pages, robots, "graftbot/1.2")
     }),
+    // WARC archive source (sources/Warc.scala): the crawl read back from
+    // the interchange format real corpora ship in, through the RANGE-SPLIT
+    // reader — every task syncs to a record boundary inside its byte range
+    // and owns exactly the records that START there. The 256 KB split size
+    // forces dozens of mid-record boundaries even at gate scale; the oracle
+    // is the parquet pages table, so the gate pins byte-exact round-trip
+    // (doc id, URL, full HTML) AND exactly-once ownership across splits
+    // (a lost or doubled boundary record breaks rows/hash immediately).
+    "q_warc_source" -> ((s, dir) => {
+      val sf = Corpus.sfName(dir)
+      val warcDir = Corpus.ensureWarc(s, sf)
+      graft.sources.Warc.readPages(s, warcDir, maxSplitBytes = 256L << 10)
+        .select(col("doc_id"), col("url"),
+          md5(encode(col("html"), "UTF-8")).as("html_md5"))
+    }),
     // canonical-edge resolution: pages declaring a cross-page canonical are
     // resolved to their target doc by joining the crawl's OWN url column
     // (no global URL registry at 10^12 docs -- the crawl table IS the
@@ -1763,6 +1778,12 @@ object SparkEntry {
         "CASE WHEN host = 'repost-archive.example' THEN path LIKE '/p/1%' " +
         "WHEN host = 'portal-3.law.example' THEN path NOT LIKE '%3' " +
         "ELSE path NOT LIKE '%7' OR path LIKE '%77' END AS allowed FROM p"),
+    // WARC round-trip truth: the parquet pages table itself — the archive
+    // files are rendered from the same per-doc generator, so the range-
+    // split reader must reproduce every row byte for byte, exactly once
+    "q_warc_source" ->
+      ("SELECT doc_id, url, md5(html) AS html_md5 " +
+        "FROM read_parquet('/root/repo/data/web/sf0.01/*.parquet')"),
     // canonical-edge truth: only cross-page canonicals survive (self-
     // canonicals are hygiene, not edges); the resolved target is the
     // planted source, and content equality holds iff the re-post is exact

@@ -352,6 +352,57 @@ object Corpus {
     path
   }
 
+  /** Bump when the WARC archive layout changes (record rendering or the
+    * pages-per-file packing). Coupled to the page format: the archived HTML
+    * must stay byte-equal to the pages table the oracle reads.
+    */
+  val WebWarcFormatVersion = 1
+  val WarcPagesPerFile = 512
+
+  /** Ensure the crawl is ALSO materialized as WARC archive files (the
+    * interchange format real crawls ship in): `WarcPagesPerFile` records
+    * per `.warc` file, rendered by [[graft.sources.Warc.renderRecord]] from
+    * the SAME per-doc generator the parquet pages table uses — so the
+    * range-split reader's output must reproduce that table byte for byte.
+    * The write is distributed: one task per archive file, each regenerating
+    * its own page range (no-cache contract as every web ensure) and
+    * streaming records through the task-local Hadoop FS.
+    */
+  def ensureWarc(spark: SparkSession, sf: String): String = synchronized {
+    ensureWeb(spark, sf)
+    val path = webWarcPath(sf)
+    val marker = Paths.get(path,
+      s"_FORMAT_v${WebFormatVersion}_$WebWarcFormatVersion")
+    if (!exists(path) || !Files.exists(marker)) {
+      import spark.implicits._
+      val spec = WebGen.specFor(sf)
+      val docs = spec.docs.toLong
+      val perFile = WarcPagesPerFile.toLong
+      val nFiles = (docs + perFile - 1) / perFile
+      spark.range(0, nFiles, 1,
+          math.min(nFiles, spark.sparkContext.defaultParallelism * 2L).toInt)
+        .map { f =>
+          val p = new org.apache.hadoop.fs.Path(path, f"crawl-$f%05d.warc")
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(p, true)
+          try {
+            var i = f * perFile
+            val hi = math.min((f + 1) * perFile, docs)
+            while (i < hi) {
+              val page = WebGen.genPage(i, spec)
+              out.write(graft.sources.Warc.renderRecord(
+                page.doc_id, page.meta.url, page.html))
+              i += 1
+            }
+          } finally out.close()
+          f
+        }.count()
+      Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+      Files.write(marker, Array.empty[Byte])
+    }
+    path
+  }
+
   /** Scale-factor name from a test-data dir like `/root/testdata/sf0.01`. */
   def sfName(sfDir: String): String = {
     val base = Paths.get(sfDir).getFileName.toString
