@@ -608,10 +608,37 @@ object WebGen {
     sb.append("</ul></aside>\n</div>\n")
       .append("<footer><div class=\"copyright\">© 2026 법률 정보 포털 · ")
       .append("<a href=\"/terms\">이용약관</a> <a href=\"/privacy\">개인정보처리방침</a>")
-      .append("</div></footer>\n</body>\n</html>\n")
+      .append("</div></footer>\n")
     plantLink("/terms", "이용약관", fromContent = false)
     plantLink("/privacy", "개인정보처리방침", fromContent = false)
     blk("div", "© 2026 법률 정보 포털 · 이용약관 개인정보처리방침", content = false)
+    // LONG-CHROME PLANT: on a third of fresh pages, a trailing SEO archive
+    // farm — a body-level paragraph of pooled anchor texts whose non-space
+    // mass is pushed past GoodLen. A pure length threshold (the naive-strip
+    // baseline q_web_extract_eval measures) KEEPS it; the extractor drops
+    // it on link density alone (>900‰ ≫ LinkPmMax — no bad class, no bad
+    // ancestor, body depth inside the band), so the eval's false-positive
+    // axis is non-degenerate by construction. Everything here draws rng
+    // strictly AFTER every other draw on the page and appends after the
+    // footer, so all previously planted bytes, spans, links and blocks are
+    // untouched (the rev-2 byte-identity argument is preserved too: the
+    // draws are rev-independent).
+    if (i % 3 == 1) {
+      sb.append("<div class=\"x\"><p>아카이브: ")
+      val texts = ArrayBuffer.empty[String]
+      while (texts.map(_.count(!_.isWhitespace)).sum < MainContent.GoodLen) {
+        val t = pick(rng, linkFarmPool)
+        val nf = rng.nextDouble() < 0.5
+        sb.append("<a href=\"#\"")
+          .append(if (nf) " rel=\"nofollow\"" else "")
+          .append(">").append(t).append("</a> · ")
+        plantLink("#", t, fromContent = false, nofollow = nf)
+        texts += t
+      }
+      sb.append("</p></div>\n")
+      blk("p", "아카이브: " + texts.map(_ + " ·").mkString(" "), content = false)
+    }
+    sb.append("</body>\n</html>\n")
 
     WebPage(id, sb.toString, truth.toVector, links.toVector,
       WebMeta(id, url(i), headTitle, noindex,
