@@ -382,6 +382,92 @@ object SparkEntry {
         }
         .toDF("doc_id", "ord", "tag", "is_content", "n_media", "text")
     }),
+    // extraction-quality EVAL: a pure length-threshold baseline (keep any
+    // block with >= GoodLen non-space chars — the naive strip every DOM-
+    // heuristic extractor is measured against) scored per host against the
+    // PLANTED block labels as precision / recall / F1 in integer per-mille.
+    // The numbers are non-trivial by construction on BOTH error axes: the
+    // baseline keeps the trailing archive link farms (planted long chrome
+    // past GoodLen on a third of fresh pages -> FP; the extractor drops
+    // them on link density alone) and drops short connectors, captions and
+    // media figures (planted short/empty content -> FN) — exactly the
+    // cases the full extractor's link-density, depth and smoothing rules
+    // exist for (its own keep decision equals the labels, pinned by
+    // x_web_blocks). Plan: zero-shuffle segmentation map,
+    // predictions ⋈ labels sort-merge on (doc_id, ord) — the honest eval
+    // shape; labels are external — then an 8-row host rollup with map-side
+    // combine. Integer `div` keeps the scores bit-stable at any scale.
+    "q_web_extract_eval" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val seg = s.read.parquet(Corpus.ensureWebBlocks(s, sf))
+        .select("doc_id", "url", "html").as[(String, String, String)]
+        .flatMap { case (id, url, html) =>
+          val host = graft.ops.Robots.hostPath(url)._1
+          graft.parse.MainContent.blocks(html).zipWithIndex.map { case (b, i) =>
+            (id, i, host,
+              b.text.count(!_.isWhitespace) >= graft.parse.MainContent.GoodLen)
+          }
+        }
+        .toDF("doc_id", "ord", "host", "base_keep")
+      val labels = s.read.parquet(Corpus.goldenWebBlocksPath(sf))
+        .select("doc_id", "ord", "is_content")
+      seg.join(labels, Seq("doc_id", "ord"))
+        .groupBy("host")
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("base_keep") && col("is_content"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("base_keep") && !col("is_content"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("base_keep") && col("is_content"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("base_keep") && !col("is_content"), 1L).otherwise(0L)).as("tn"))
+        .withColumn("precision_pm", expr(
+          "CASE WHEN tp + fp = 0 THEN 0L ELSE (1000 * tp) div (tp + fp) END"))
+        .withColumn("recall_pm", expr(
+          "CASE WHEN tp + fn = 0 THEN 0L ELSE (1000 * tp) div (tp + fn) END"))
+        .withColumn("f1_pm", expr(
+          "CASE WHEN 2 * tp + fp + fn = 0 THEN 0L ELSE (2000 * tp) div (2 * tp + fp + fn) END"))
+    }),
+    // eval-curve variant: the SAME length-threshold baseline swept over
+    // four thresholds (40 / 80 / 120 / 160 non-space chars) corpus-wide in
+    // ONE pass — segment once, join labels once, then explode the
+    // threshold list per joined row so all four operating points aggregate
+    // in a single map-side-combined rollup. At 100 TB this is the shape
+    // that matters: a tuning sweep costs one corpus scan, not one job per
+    // candidate threshold (the explode multiplies only the 3-int join
+    // output, never the HTML). The curve is monotone by construction
+    // (raising the threshold can only drop blocks: fp falls, fn rises),
+    // which the oracle pins exactly.
+    "q_web_eval_curve" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val seg = s.read.parquet(Corpus.ensureWebBlocks(s, sf))
+        .select("doc_id", "html").as[(String, String)]
+        .flatMap { case (id, html) =>
+          graft.parse.MainContent.blocks(html).zipWithIndex.map { case (b, i) =>
+            (id, i, b.text.count(!_.isWhitespace))
+          }
+        }
+        .toDF("doc_id", "ord", "nws")
+      val labels = s.read.parquet(Corpus.goldenWebBlocksPath(sf))
+        .select("doc_id", "ord", "is_content")
+      seg.join(labels, Seq("doc_id", "ord"))
+        .withColumn("threshold",
+          explode(array(lit(40), lit(80), lit(120), lit(160))))
+        .withColumn("base_keep", col("nws") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("base_keep") && col("is_content"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("base_keep") && !col("is_content"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("base_keep") && col("is_content"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("base_keep") && !col("is_content"), 1L).otherwise(0L)).as("tn"))
+        .withColumn("precision_pm", expr(
+          "CASE WHEN tp + fp = 0 THEN 0L ELSE (1000 * tp) div (tp + fp) END"))
+        .withColumn("recall_pm", expr(
+          "CASE WHEN tp + fn = 0 THEN 0L ELSE (1000 * tp) div (tp + fn) END"))
+        .withColumn("f1_pm", expr(
+          "CASE WHEN 2 * tp + fp + fn = 0 THEN 0L ELSE (2000 * tp) div (2 * tp + fp + fn) END"))
+    }),
     // site-TEMPLATE mining — the cross-page boilerplate discovery that
     // per-page DOM heuristics cannot do: a text block whose exact normal
     // form recurs on ≥ 5 pages of the same host is sitewide furniture
@@ -1804,6 +1890,43 @@ object SparkEntry {
     // markup, block for block
     "x_web_blocks" ->
       "SELECT doc_id, ord, tag, is_content, n_media, text FROM read_parquet('/root/repo/data/golden_web_blocks/sf0.01/*.parquet')",
+    // eval truth in pure SQL: the baseline is length-only, so it is fully
+    // computable from the PLANTED normal-form text (x_web_blocks pins the
+    // engine's segmentation to exactly that text); `//` is DuckDB integer
+    // division, matching the engine's `div`
+    "q_web_extract_eval" ->
+      ("WITH b AS (SELECT m.doc_id, regexp_extract(m.url, '^https://([^/]+)', 1) AS host, " +
+        "t.is_content, length(replace(t.text, ' ', '')) >= 80 AS base_keep " +
+        "FROM read_parquet('/root/repo/data/golden_web_blocks/sf0.01/*.parquet') t " +
+        "JOIN read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') m USING (doc_id)), " +
+        "c AS (SELECT host, CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "CAST(count(*) FILTER (WHERE base_keep AND is_content) AS BIGINT) AS tp, " +
+        "CAST(count(*) FILTER (WHERE base_keep AND NOT is_content) AS BIGINT) AS fp, " +
+        "CAST(count(*) FILTER (WHERE NOT base_keep AND is_content) AS BIGINT) AS fn, " +
+        "CAST(count(*) FILTER (WHERE NOT base_keep AND NOT is_content) AS BIGINT) AS tn " +
+        "FROM b GROUP BY host) " +
+        "SELECT host, n_blocks, tp, fp, fn, tn, " +
+        "CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (1000 * tp) // (tp + fp) END AS BIGINT) AS precision_pm, " +
+        "CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (1000 * tp) // (tp + fn) END AS BIGINT) AS recall_pm, " +
+        "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (2000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_pm " +
+        "FROM c"),
+    // the threshold sweep over the same planted truth: one CTE, a VALUES
+    // cross join for the four operating points, identical integer score
+    // arithmetic
+    "q_web_eval_curve" ->
+      ("WITH b AS (SELECT t.is_content, length(replace(t.text, ' ', '')) AS nws " +
+        "FROM read_parquet('/root/repo/data/golden_web_blocks/sf0.01/*.parquet') t), " +
+        "c AS (SELECT th.threshold, CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "CAST(count(*) FILTER (WHERE nws >= th.threshold AND is_content) AS BIGINT) AS tp, " +
+        "CAST(count(*) FILTER (WHERE nws >= th.threshold AND NOT is_content) AS BIGINT) AS fp, " +
+        "CAST(count(*) FILTER (WHERE nws < th.threshold AND is_content) AS BIGINT) AS fn, " +
+        "CAST(count(*) FILTER (WHERE nws < th.threshold AND NOT is_content) AS BIGINT) AS tn " +
+        "FROM b CROSS JOIN (VALUES (40), (80), (120), (160)) th(threshold) GROUP BY th.threshold) " +
+        "SELECT CAST(threshold AS INTEGER) AS threshold, n_blocks, tp, fp, fn, tn, " +
+        "CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (1000 * tp) // (tp + fp) END AS BIGINT) AS precision_pm, " +
+        "CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (1000 * tp) // (tp + fn) END AS BIGINT) AS recall_pm, " +
+        "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (2000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_pm " +
+        "FROM c"),
     // template rollup over the same planted truth: per-(host, block text)
     // page counts over ≥ 5 pages, with the content-block tally the plant
     // decided at layout time
