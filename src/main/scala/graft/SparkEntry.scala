@@ -651,6 +651,21 @@ object SparkEntry {
       val robots = s.read.parquet(Corpus.ensureWebRobots(s, sf))
       graft.ops.Robots.gate(pages, robots, "graftbot/1.2")
     }),
+    // sitemap discovery reconciliation: fetched per-host sitemap files
+    // (urlset + one-level sitemapindex, reachable-from-root only,
+    // cross-host entries dropped) full-outer joined against the crawl's
+    // own url column -- listed-but-uncrawled = frontier, crawled-but-
+    // unlisted = orphan. The oracle restates the PLANT's closed form (ids
+    // ending in 3 omitted, 9e8-range frontier ids, lastmod = 2025-01-01 +
+    // id % 400) without parsing a byte of XML; the planted traps (stale
+    // unreferenced file, cross-host entries) flip rows if reachability or
+    // host validation leaks (ops/Sitemaps.scala, WebGen.sitemapXml).
+    "q_web_sitemap" -> ((s, dir) => {
+      val sf = Corpus.sfName(dir)
+      val pages = s.read.parquet(Corpus.ensureWeb(s, sf)).select("url")
+      val maps = s.read.parquet(Corpus.ensureWebSitemaps(s, sf))
+      graft.ops.Sitemaps.reconcile(pages, maps)
+    }),
     // WARC archive source (sources/Warc.scala): the crawl read back from
     // the interchange format real corpora ship in, through the RANGE-SPLIT
     // reader — every task syncs to a record boundary inside its byte range
@@ -1864,6 +1879,29 @@ object SparkEntry {
         "CASE WHEN host = 'repost-archive.example' THEN path LIKE '/p/1%' " +
         "WHEN host = 'portal-3.law.example' THEN path NOT LIKE '%3' " +
         "ELSE path NOT LIKE '%7' OR path LIKE '%77' END AS allowed FROM p"),
+    // sitemap-reconcile truth in CLOSED FORM: crawled = the pages table;
+    // listed = crawled ids not ending in 3 (the omission plant) plus the
+    // 9e8-range frontier ids per host; lastmod = 2025-01-01 + id % 400.
+    // The traps (stale.xml, cross-host entries) are correctly ABSENT here
+    // -- if the engine leaked them, rows/hash break.
+    "q_web_sitemap" ->
+      ("WITH crawled AS (SELECT url, CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS id " +
+        "FROM read_parquet('/root/repo/data/web/sf0.01/*.parquet')), " +
+        "frontier AS (" +
+        "SELECT 'https://portal-' || k || '.law.example/case/' || CAST(900000000 + k*10 + j AS VARCHAR) AS url, " +
+        "900000000 + k*10 + j AS id " +
+        "FROM generate_series(1,7) t(k) CROSS JOIN generate_series(0,4) u(j) " +
+        "UNION ALL " +
+        "SELECT 'https://repost-archive.example/p/' || CAST(900000080 + j AS VARCHAR), 900000080 + j " +
+        "FROM generate_series(0,4) v(j)), " +
+        "listed AS (SELECT url, id FROM crawled WHERE id % 10 <> 3 " +
+        "UNION ALL SELECT url, id FROM frontier) " +
+        "SELECT coalesce(c.url, l.url) AS url, " +
+        "regexp_extract(coalesce(c.url, l.url), '^https://([^/]+)', 1) AS host, " +
+        "CASE WHEN c.url IS NOT NULL AND l.url IS NOT NULL THEN 'both' " +
+        "WHEN c.url IS NULL THEN 'frontier' ELSE 'orphan' END AS status, " +
+        "CASE WHEN l.url IS NOT NULL THEN CAST(DATE '2025-01-01' + CAST(l.id % 400 AS INT) AS VARCHAR) ELSE '' END AS lastmod " +
+        "FROM crawled c FULL JOIN listed l ON c.url = l.url"),
     // WARC round-trip truth: the parquet pages table itself — the archive
     // files are rendered from the same per-doc generator, so the range-
     // split reader must reproduce every row byte for byte, exactly once

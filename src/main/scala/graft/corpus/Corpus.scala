@@ -32,6 +32,7 @@ object Corpus {
   def webRev2Path(sf: String): String = s"$Root/web_rev2/$sf"
   def goldenWebDeltaPath(sf: String): String = s"$Root/golden_web_delta/$sf"
   def webRobotsPath(sf: String): String = s"$Root/web_robots/$sf"
+  def webSitemapsPath(sf: String): String = s"$Root/web_sitemaps/$sf"
   def webWarcPath(sf: String): String = s"$Root/web_warc/$sf"
 
   private def exists(path: String): Boolean =
@@ -346,6 +347,35 @@ object Corpus {
       WebGen.hosts.map(h => (h, WebGen.robotsTxt(h)))
         .toDF("host", "robots_txt")
         .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      Files.write(marker, Array.empty[Byte])
+    }
+    path
+  }
+
+  /** Bump when the planted sitemap bodies change. Depends on the LISTING
+    * rules (url scheme, DupStride, omission/frontier plant), not on page
+    * content — page-format bumps don't invalidate it.
+    */
+  val WebSitemapsFormatVersion = 1
+
+  /** Ensure the fetched-sitemaps INPUT table (host, path, xml) for the
+    * wild-web crawl exists; returns its path. One row per sitemap FILE —
+    * ~a handful per host at any corpus size, but each body's entry count
+    * grows with the host's page count, so generation is one task per file
+    * (each regenerating only its own host's id arithmetic — no page HTML
+    * is rendered).
+    */
+  def ensureWebSitemaps(spark: SparkSession, sf: String): String = synchronized {
+    val path = webSitemapsPath(sf)
+    val marker = Paths.get(path, s"_FORMAT_v$WebSitemapsFormatVersion")
+    if (!exists(path) || !Files.exists(marker)) {
+      import spark.implicits._
+      val docs = WebGen.specFor(sf).docs.toLong
+      val files = WebGen.sitemapFiles
+      spark.createDataset(files).repartition(files.size)
+        .map { case (h, p) => (h, p, WebGen.sitemapXml(h, p, docs)) }
+        .toDF("host", "path", "xml")
         .write.mode(SaveMode.Overwrite).parquet(path)
       Files.write(marker, Array.empty[Byte])
     }

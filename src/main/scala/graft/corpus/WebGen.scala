@@ -95,6 +95,114 @@ object WebGen {
         |Crawl-delay: 2
         |""".stripMargin
 
+  // ---- sitemap plant (discovery reconciliation, ops/Sitemaps.scala) -------
+
+  /** Listing rule for crawled pages: every host's sitemap OMITS pages whose
+    * id ends in 3 — those crawled-but-unlisted pages are the reconcile op's
+    * planted "orphan" truth, a pure function of the URL the oracle restates
+    * in SQL.
+    */
+  def sitemapListed(i: Long): Boolean = i % 10 != 3
+
+  /** Planted `<lastmod>` per listed id, the same closed form on both sides:
+    * the generator WRITES it into the XML, the engine PARSES it back out,
+    * and the oracle recomputes it as `DATE '2025-01-01' + id % 400` — so a
+    * lastmod that survives parsing un-mangled is part of the gate.
+    */
+  def sitemapLastmod(i: Long): String =
+    java.time.LocalDate.of(2025, 1, 1).plusDays(i % 400).toString
+
+  /** Frontier plant: listed-but-never-crawled URLs (the discovery signal a
+    * crawler schedules next). Ids start at 9·10⁸ — beyond any crawled id up
+    * to sf9000 — so they can never collide with a page URL. Five per portal
+    * host plus five on the re-post host.
+    */
+  def frontierIds(host: String): Vector[Long] =
+    if (host == "repost-archive.example")
+      (0 to 4).map(j => 900000080L + j).toVector
+    else {
+      val k = host.stripPrefix("portal-").takeWhile(_.isDigit).toLong
+      (0 to 4).map(j => 900000000L + k * 10 + j).toVector
+    }
+
+  /** Every sitemap FILE the crawl fetched, as (host, path) rows. The seven
+    * portals each publish a flat `<urlset>` at the well-known root path;
+    * the re-post host publishes a `<sitemapindex>` there referencing two
+    * children, PLUS a stale orphaned urlset (`/sitemaps/stale.xml`) nothing
+    * references — reachability from the root must exclude it.
+    */
+  def sitemapFiles: Vector[(String, String)] =
+    hosts.filterNot(_ == "repost-archive.example").map((_, "/sitemap.xml")) ++
+      Vector(
+        ("repost-archive.example", "/sitemap.xml"),
+        ("repost-archive.example", "/sitemaps/part-0.xml"),
+        ("repost-archive.example", "/sitemaps/part-1.xml"),
+        ("repost-archive.example", "/sitemaps/stale.xml"))
+
+  /** Render one planted sitemap body. Shapes exercised, all of which the
+    * parser must tolerate and the TRAPS of which the gate would catch:
+    *  - `<urlset>` entries carry optional `<changefreq>`/`<priority>`
+    *    children (ignored) and varied indentation;
+    *  - the re-post root is a `<sitemapindex>` whose children are resolved
+    *    by a (host, path) self-join — one level, per the protocol;
+    *  - portal-5's file plants one CROSS-HOST entry (a portal-6 page whose
+    *    id ends in 3): the protocol restricts a sitemap to its own host, so
+    *    accepting it would flip that page's planted "orphan" status;
+    *  - `/sitemaps/stale.xml` is unreachable from any root and lists both a
+    *    /p/ URL and a cross-host URL that would each surface as a phantom
+    *    row if reachability or host validation leaked.
+    */
+  def sitemapXml(host: String, path: String, docs: Long): String = {
+    val sb = new StringBuilder("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    def entry(loc: String, id: Long): Unit = {
+      sb.append("  <url>\n    <loc>").append(loc).append("</loc>\n")
+        .append("    <lastmod>").append(sitemapLastmod(id)).append("</lastmod>\n")
+      if (id % 3 == 0) sb.append("    <changefreq>weekly</changefreq>\n")
+      if (id % 5 == 0) sb.append("    <priority>0.8</priority>\n")
+      sb.append("  </url>\n")
+    }
+    if (host != "repost-archive.example") {
+      val k = host.stripPrefix("portal-").takeWhile(_.isDigit).toLong
+      sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+      var i = k - 1 // portal k owns ids ≡ k-1 (mod 7)
+      while (i < docs) {
+        if (i % DupStride != DupStride - 1 && sitemapListed(i)) entry(url(i), i)
+        i += 7
+      }
+      frontierIds(host).foreach(f =>
+        entry(s"https://$host/case/$f", f))
+      // cross-host trap: portal-6's page 33 is never listed by its own host
+      // (33 ends in 3) — accepting this entry would flip it orphan→both
+      if (k == 5 && docs > 33)
+        entry("https://portal-6.law.example/case/33", 33)
+      sb.append("</urlset>\n")
+    } else if (path == "/sitemap.xml") {
+      sb.append("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+      for (p <- 0 to 1)
+        sb.append("  <sitemap>\n    <loc>https://repost-archive.example/sitemaps/part-")
+          .append(p).append(".xml</loc>\n  </sitemap>\n")
+      sb.append("</sitemapindex>\n")
+    } else if (path == "/sitemaps/stale.xml") {
+      sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+      entry("https://repost-archive.example/p/403", 403) // omitted id (ends in 3)
+      entry("https://portal-4.law.example/case/3", 3)    // cross-host AND unreachable
+      sb.append("</urlset>\n")
+    } else {
+      val p = path.stripPrefix("/sitemaps/part-").stripSuffix(".xml").toInt
+      sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+      var m = 0L // re-posts are ids 101·m + 100; children split on m parity
+      while (m * DupStride + (DupStride - 1) < docs) {
+        val i = m * DupStride + (DupStride - 1)
+        if (m % 2 == p && sitemapListed(i)) entry(url(i), i)
+        m += 1
+      }
+      if (p == 0) frontierIds(host).foreach(f =>
+        entry(s"https://$host/p/$f", f))
+      sb.append("</urlset>\n")
+    }
+    sb.toString
+  }
+
   // ---- text pools (Korean legal register, same voice as CorpusGen) --------
 
   private val sentencePool = Vector(
