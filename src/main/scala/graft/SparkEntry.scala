@@ -666,6 +666,18 @@ object SparkEntry {
       val maps = s.read.parquet(Corpus.ensureWebSitemaps(s, sf))
       graft.ops.Sitemaps.reconcile(pages, maps)
     }),
+    // content-derived citation edges: docket numbers lifted from EXTRACTED
+    // spans only (a number in chrome is navigation, not citation), deduped
+    // map-side, resolved against the crawl's own /case/ url registry --
+    // the prose sibling of the markup link graph. Re-posts carry their
+    // SOURCE's number, so cross-page edges and self-citations both exist
+    // at any sf; the oracle restates truth from the planted span table
+    // with one regex, zero extractor knowledge (ops/Citations.scala).
+    "q_web_citations" -> ((s, dir) => {
+      val sf = Corpus.sfName(dir)
+      val pages = s.read.parquet(Corpus.ensureWeb(s, sf))
+      graft.ops.Citations.resolve(graft.ops.Citations.extractEdges(pages), pages)
+    }),
     // WARC archive source (sources/Warc.scala): the crawl read back from
     // the interchange format real corpora ship in, through the RANGE-SPLIT
     // reader — every task syncs to a record boundary inside its byte range
@@ -1902,6 +1914,19 @@ object SparkEntry {
         "WHEN c.url IS NULL THEN 'frontier' ELSE 'orphan' END AS status, " +
         "CASE WHEN l.url IS NOT NULL THEN CAST(DATE '2025-01-01' + CAST(l.id % 400 AS INT) AS VARCHAR) ELSE '' END AS lastmod " +
         "FROM crawled c FULL JOIN listed l ON c.url = l.url"),
+    // citation truth from the PLANTED span table: one regex over planted
+    // content text (leads, soft-404 notices, re-posts carrying the
+    // source's number); resolution joins the crawl's own /case/ urls
+    "q_web_citations" ->
+      ("WITH cites AS (SELECT doc_id, CAST(regexp_extract(text, '2026가합([0-9]+)호', 1) AS BIGINT) AS cited, " +
+        "CAST(count(*) AS BIGINT) AS mentions " +
+        "FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') " +
+        "WHERE kind <> 'media' AND regexp_matches(text, '2026가합[0-9]+호') GROUP BY 1, 2), " +
+        "targets AS (SELECT CAST(regexp_extract(url, '/case/([0-9]+)$', 1) AS BIGINT) AS cited, doc_id AS target_id " +
+        "FROM read_parquet('/root/repo/data/web/sf0.01/*.parquet') WHERE regexp_matches(url, '/case/[0-9]+$')) " +
+        "SELECT c.doc_id, c.cited, c.mentions, coalesce(t.target_id, '') AS target_id, " +
+        "coalesce(t.target_id = c.doc_id, FALSE) AS self_cite " +
+        "FROM cites c LEFT JOIN targets t USING (cited)"),
     // WARC round-trip truth: the parquet pages table itself — the archive
     // files are rendered from the same per-doc generator, so the range-
     // split reader must reproduce every row byte for byte, exactly once
