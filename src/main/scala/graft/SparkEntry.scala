@@ -666,6 +666,47 @@ object SparkEntry {
       val maps = s.read.parquet(Corpus.ensureWebSitemaps(s, sf))
       graft.ops.Sitemaps.reconcile(pages, maps)
     }),
+    // per-host admission FUNNEL: the crawl-curation dashboard row every
+    // corpus pipeline publishes, composed from five independently-gated
+    // signals in ONE declarative plan -- robots verdict (broadcast rule
+    // join), noindex + soft-404 + extraction yield (one zero-shuffle
+    // typed map: a noindex page is never parsed, a soft-404 yields
+    // nothing), sitemap orphan status (url-keyed shuffle join), rolled up
+    // to one row per host. Counts are per-signal audits, not sequential
+    // gating. The oracle recomposes the same row from the PLANTED truths
+    // (closed-form robots + sitemap rules, planted meta flags, planted
+    // span counts) with zero engine knowledge.
+    "q_web_host_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val pages = s.read.parquet(Corpus.ensureWeb(s, sf))
+      val robots = graft.ops.Robots.gate(pages.select("doc_id", "url"),
+          s.read.parquet(Corpus.ensureWebRobots(s, sf)), "graftbot/1.2")
+        .select(col("doc_id"), col("allowed"))
+      val recon = graft.ops.Sitemaps.reconcile(pages.select("url"),
+          s.read.parquet(Corpus.ensureWebSitemaps(s, sf)))
+        .where(col("status") =!= "frontier")
+        .select(col("url"), (col("status") === "orphan").as("orphan"))
+      val perPage = pages.select("doc_id", "url", "html")
+        .as[(String, String, String)]
+        .map { case (id, u, html) =>
+          val m = graft.parse.MainContent.pageMeta(html)
+          val (soft, n) = if (m.noindex) (false, 0L) else {
+            val spans = graft.parse.MainContent.extract(html)
+            (graft.parse.MainContent.isSoftError(spans), spans.size.toLong)
+          }
+          (id, u, m.noindex, soft, if (m.noindex || soft) 0L else n)
+        }.toDF("doc_id", "url", "noindex", "soft404", "ys")
+      perPage.join(robots, "doc_id").join(recon, "url")
+        .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)", 1))
+        .groupBy("host").agg(
+          count(lit(1)).as("pages"),
+          sum(when(not(col("allowed")), 1L).otherwise(0L)).as("robots_denied"),
+          sum(when(col("noindex"), 1L).otherwise(0L)).as("n_noindex"),
+          sum(when(col("soft404"), 1L).otherwise(0L)).as("n_soft404"),
+          sum(when(col("orphan"), 1L).otherwise(0L)).as("n_orphans"),
+          sum("ys").as("yield_spans"))
+    }),
     // content-derived citation edges: docket numbers lifted from EXTRACTED
     // spans only (a number in chrome is navigation, not citation), deduped
     // map-side, resolved against the crawl's own /case/ url registry --
@@ -1914,6 +1955,32 @@ object SparkEntry {
         "WHEN c.url IS NULL THEN 'frontier' ELSE 'orphan' END AS status, " +
         "CASE WHEN l.url IS NOT NULL THEN CAST(DATE '2025-01-01' + CAST(l.id % 400 AS INT) AS VARCHAR) ELSE '' END AS lastmod " +
         "FROM crawled c FULL JOIN listed l ON c.url = l.url"),
+    // funnel truth recomposed from the PLANTED truths: closed-form robots
+    // + sitemap-omission rules over the url, planted noindex/soft404
+    // flags, planted span counts -- zero engine knowledge
+    "q_web_host_funnel" ->
+      ("WITH p AS (SELECT doc_id, url, " +
+        "regexp_extract(url, '^https://([^/]+)', 1) AS host, " +
+        "regexp_extract(url, '^https://[^/]+(/.*)$', 1) AS path, " +
+        "CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS id " +
+        "FROM read_parquet('/root/repo/data/web/sf0.01/*.parquet')), " +
+        "m AS (SELECT doc_id, noindex, soft404 FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet')), " +
+        "sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') GROUP BY 1), " +
+        "j AS (SELECT p.host, " +
+        "CASE WHEN p.host = 'repost-archive.example' THEN p.path LIKE '/p/1%' " +
+        "WHEN p.host = 'portal-3.law.example' THEN p.path NOT LIKE '%3' " +
+        "ELSE p.path NOT LIKE '%7' OR p.path LIKE '%77' END AS allowed, " +
+        "m.noindex, (NOT m.noindex AND m.soft404) AS soft404v, " +
+        "CASE WHEN m.noindex OR m.soft404 THEN 0 ELSE coalesce(sp.n, 0) END AS ys, " +
+        "(p.id % 10 = 3) AS orphan " +
+        "FROM p JOIN m USING (doc_id) LEFT JOIN sp USING (doc_id)) " +
+        "SELECT host, CAST(count(*) AS BIGINT) AS pages, " +
+        "CAST(count(*) FILTER (WHERE NOT allowed) AS BIGINT) AS robots_denied, " +
+        "CAST(count(*) FILTER (WHERE noindex) AS BIGINT) AS n_noindex, " +
+        "CAST(count(*) FILTER (WHERE soft404v) AS BIGINT) AS n_soft404, " +
+        "CAST(count(*) FILTER (WHERE orphan) AS BIGINT) AS n_orphans, " +
+        "CAST(coalesce(sum(ys), 0) AS BIGINT) AS yield_spans " +
+        "FROM j GROUP BY host"),
     // citation truth from the PLANTED span table: one regex over planted
     // content text (leads, soft-404 notices, re-posts carrying the
     // source's number); resolution joins the crawl's own /case/ urls
