@@ -601,9 +601,11 @@ object SparkEntry {
         .select("a", "b")
     }),
     // page-metadata extraction from raw markup (head title, robots-noindex,
-    // rel=canonical) -- the pre-extraction signals an index/corpus pipeline
-    // reads before any content work. Oracle = the generator's planted
-    // metadata truth. Same zero-shuffle per-page map shape as extraction.
+    // rel=canonical, rel=prev/next) -- the pre-extraction signals an
+    // index/corpus pipeline reads before any content work. Oracle = the
+    // generator's planted metadata truth, for EVERY page (non-members must
+    // yield empty prev/next -- a false positive hash-breaks the gate). Same
+    // zero-shuffle per-page map shape as extraction.
     "x_web_meta" -> ((s, dir) => {
       import s.implicits._
       val sf = Corpus.sfName(dir)
@@ -611,9 +613,9 @@ object SparkEntry {
         .select("doc_id", "html").as[(String, String)]
         .map { case (id, html) =>
           val m = graft.parse.MainContent.pageMeta(html)
-          (id, m.title, m.noindex, m.canonical)
+          (id, m.title, m.noindex, m.canonical, m.prev, m.next)
         }
-        .toDF("doc_id", "title", "noindex", "canonical")
+        .toDF("doc_id", "title", "noindex", "canonical", "prev_url", "next_url")
     }),
     // noindex gate rollup: corpus admission accounting BEFORE extraction --
     // pages honored out of the corpus vs pages kept, and the span mass the
@@ -762,6 +764,47 @@ object SparkEntry {
         .join(targets, Seq("target_url"))
         .select(col("doc_id"), col("canonical_id"),
           (col("own_md5") === col("target_md5")).as("same_content"))
+    }),
+    // pagination-chain stitching (rel=prev/next): serialized articles
+    // reassembled into (head, position, length) BEFORE dedup/packing sees
+    // the parts as near-dup fragments. URL-keyed pointer doubling -- chains
+    // of length L settle in ceil(log2 L) self-join rounds; the oracle is a
+    // recursive walk over the PLANTED prev/next truth (zero engine
+    // knowledge). Members only; singletons emit nothing.
+    "q_web_pagination" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val meta = graft.ops.HeadMeta.parsed(
+        s.read.parquet(Corpus.ensureWebMeta(s, sf))
+          .select("doc_id", "url", "html").as[(String, String, String)]).toDF()
+      graft.ops.HeadMeta.paginationChains(meta)
+    }),
+    // reciprocity-validated hreflang clusters: language-variant groups a
+    // monolingual training mix must collapse to one member. Declarations
+    // count only when the FULL set is mutual (identical alternate sets,
+    // self-reference included) -- the generator plants one-sided clusters
+    // (the classic deployment bug) that MUST be rejected, so validation is
+    // load-bearing: admitting them hash-breaks the gate.
+    "q_web_hreflang" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val meta = graft.ops.HeadMeta.parsed(
+        s.read.parquet(Corpus.ensureWebMeta(s, sf))
+          .select("doc_id", "url", "html").as[(String, String, String)]).toDF()
+      graft.ops.HeadMeta.hreflangClusters(meta)
+    }),
+    // structured-data extraction (application/ld+json): type, headline and
+    // datePublished from the raw-text script payload the lexer isolated --
+    // the machine-readable publication date freshness mixing keys on. The
+    // planted truth pins BOTH presence (error pages and re-posts carry
+    // none) and the parsed field values (headline == planted head title).
+    "q_web_ldjson" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val meta = graft.ops.HeadMeta.parsed(
+        s.read.parquet(Corpus.ensureWebMeta(s, sf))
+          .select("doc_id", "url", "html").as[(String, String, String)]).toDF()
+      graft.ops.HeadMeta.structuredData(meta)
     }),
 
     // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
@@ -1906,9 +1949,42 @@ object SparkEntry {
     "q_web_near_dup" ->
       ("SELECT CAST(substr(dup_src, 5) AS BIGINT) AS a, CAST(substr(doc_id, 5) AS BIGINT) AS b " +
         "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') WHERE dup_kind <> ''"),
-    // planted page-metadata truth (head title / robots-noindex / canonical)
+    // planted page-metadata truth (head title / robots-noindex / canonical
+    // / pagination links) — non-members carry empty prev/next, so the gate
+    // pins absence as hard as presence
     "x_web_meta" ->
-      "SELECT doc_id, title, noindex, canonical FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet')",
+      ("SELECT doc_id, title, noindex, canonical, prev_url, next_url " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet')"),
+    // pagination-chain truth: a recursive walk over the PLANTED prev/next
+    // pointers (heads = members with no prev), restating head / position /
+    // length with zero knowledge of the engine's pointer doubling
+    "q_web_pagination" ->
+      ("WITH RECURSIVE m AS (SELECT doc_id, url, prev_url, next_url " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
+        "WHERE prev_url <> '' OR next_url <> ''), " +
+        "chain AS (" +
+        "SELECT doc_id, url, next_url, url AS head_url, CAST(0 AS BIGINT) AS pos " +
+        "FROM m WHERE prev_url = '' " +
+        "UNION ALL " +
+        "SELECT m.doc_id, m.url, m.next_url, c.head_url, c.pos + 1 " +
+        "FROM chain c JOIN m ON m.url = c.next_url), " +
+        "lens AS (SELECT head_url, CAST(count(*) AS BIGINT) AS n_parts FROM chain GROUP BY 1) " +
+        "SELECT doc_id, head_url, pos, n_parts FROM chain JOIN lens USING (head_url)"),
+    // hreflang-cluster truth: the generator records a group ONLY for
+    // reciprocal clusters (one-sided plants get none) — admitting a
+    // one-sided declarer or dropping a validated member breaks the hash
+    "q_web_hreflang" ->
+      ("SELECT doc_id, alt_group AS grp, alt_lang AS lang " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
+        "WHERE alt_group <> ''"),
+    // ld+json truth: carriers are exactly the pages with a planted
+    // published date; the parsed headline must equal the planted head
+    // title (the generator emits it JSON-escaped — the gate thereby pins
+    // the engine's unescape round-trip too)
+    "q_web_ldjson" ->
+      ("SELECT doc_id, 'NewsArticle' AS ld_type, title AS headline, published " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
+        "WHERE published <> ''"),
     // noindex admission rollup: planted flags x planted span counts
     "q_web_indexable" ->
       ("WITH s AS (SELECT doc_id, count(*) AS n FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') GROUP BY doc_id) " +

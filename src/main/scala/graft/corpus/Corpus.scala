@@ -157,8 +157,12 @@ object Corpus {
   // cross-page span-shingle collisions need 4+ identical consecutive
   // interior paragraphs — the planted pair set is exact at any corpus size;
   // v7: soft-404 plant (every 257th page serves a not-found notice under
-  // full normal chrome; re-posts of error pages inherit the flag)
-  val WebFormatVersion = 7
+  // full normal chrome; re-posts of error pages inherit the flag);
+  // v8: head-metadata plants with NO rng draws (pagination rel=prev/next
+  // chains every 89th fresh page, hreflang alternate pairs every 73rd page
+  // with every 5th cluster deliberately one-sided, NewsArticle JSON-LD on
+  // fresh non-error pages)
+  val WebFormatVersion = 8
 
   /** Ensure the wild-web pages table (doc_id, html) AND its PLANTED
     * main-content truth (doc_id, kind, text, media_ref, ord) exist; returns
@@ -227,13 +231,15 @@ object Corpus {
   /** Bump when the generator's planted page-metadata truth changes.
     * Separate version for the same reason as [[WebLinksFormatVersion]].
     */
-  // v2: planted soft-404 flag per page
-  val WebMetaFormatVersion = 2
+  // v2: planted soft-404 flag per page; v3: pagination prev/next urls,
+  // reciprocal hreflang group + lang, JSON-LD published date
+  val WebMetaFormatVersion = 3
 
   /** Ensure the planted page-metadata truth (doc_id, url, title, noindex,
-    * canonical, dup_src, dup_kind, soft404) for the wild-web table exists;
-    * returns the pages path. Same no-cache generation contract as
-    * [[ensureWeb]].
+    * canonical, dup_src, dup_kind, soft404, prev_url, next_url, alt_group,
+    * alt_lang, published — the [[WebGen.WebMeta]] fields) for the wild-web
+    * table exists; returns the pages path. Same no-cache generation
+    * contract as [[ensureWeb]].
     */
   def ensureWebMeta(spark: SparkSession, sf: String): String = synchronized {
     val path = ensureWeb(spark, sf)
@@ -246,13 +252,8 @@ object Corpus {
       val spec = WebGen.specFor(sf)
       spark.range(0, spec.docs.toLong, 1,
           math.min(spec.docs, spark.sparkContext.defaultParallelism * 4))
-        .map { i =>
-          val m = WebGen.genPage(i, spec).meta
-          (m.doc_id, m.url, m.title, m.noindex, m.canonical, m.dup_src,
-            m.dup_kind, m.soft404)
-        }
-        .toDF("doc_id", "url", "title", "noindex", "canonical", "dup_src",
-          "dup_kind", "soft404")
+        .map(i => WebGen.genPage(i, spec).meta)
+        .toDF()
         .write.mode(SaveMode.Overwrite).parquet(metaPath)
       Files.write(marker, Array.empty[Byte])
     }

@@ -260,7 +260,8 @@ object WebGen {
   final case class WebMeta(
       doc_id: String, url: String, title: String, noindex: Boolean,
       canonical: String, dup_src: String, dup_kind: String,
-      soft404: Boolean)
+      soft404: Boolean, prev_url: String = "", next_url: String = "",
+      alt_group: String = "", alt_lang: String = "", published: String = "")
 
   /** Planted BLOCK-level truth, decided at layout time: every block the
     * segmenter must produce for the page — its innermost block tag, its
@@ -302,6 +303,85 @@ object WebGen {
     * source page's truth verbatim.
     */
   val DupStride = 101
+
+  // ---- head-metadata plants (pagination / hreflang / JSON-LD) ------------
+  // All three are PURE functions of (i, docs): no rng draws, so every other
+  // planted truth and the rev-2 byte-identity argument are untouched, and
+  // the oracle can restate each rule in closed form.
+
+  /** Pagination-chain plant: every `ChainStride`-th fresh page heads a
+    * `ChainLen`-page serialized article — consecutive ids linked by
+    * `rel="next"` / `rel="prev"` head links, the way real CMSes paginate
+    * long pieces. Chains never include a re-post index (re-posts render a
+    * different head codepath) and never run past the corpus end.
+    * Returns the chain's head id, or -1 if page `i` is not in a chain.
+    */
+  val ChainStride = 89L
+  val ChainLen = 3
+
+  def chainBase(i: Long, docs: Long): Long = {
+    val r = i % ChainStride
+    val base = if (r >= 2 && r < 2 + ChainLen) i - (r - 2) else -1L
+    if (base >= 0 && base + ChainLen <= docs &&
+        (0 until ChainLen).forall(k => (base + k) % DupStride != DupStride - 1))
+      base
+    else -1L
+  }
+
+  /** Hreflang plant: every `AltStride`-th fresh page pairs with its
+    * successor as a two-language alternate cluster (ko = the base page,
+    * en = base+1); BOTH pages declare the full alternate set, self
+    * included, per Google's reciprocity requirement. Every 5th cluster is
+    * deliberately ONE-SIDED — the base declares, the partner doesn't (the
+    * single most common hreflang deployment bug) — so the engine's
+    * reciprocity validation is non-degenerate: those clusters must be
+    * rejected from the output, and the planted truth records no group for
+    * them. Returns the cluster's base id, or -1 if page `i` declares
+    * nothing.
+    */
+  val AltStride = 73L
+
+  def altBase(i: Long, docs: Long): Long = {
+    val r = i % AltStride
+    val base = if (r == 4L || r == 5L) i - (r - 4) else -1L
+    val ok = base >= 0 && base + 1 < docs &&
+      base % DupStride != DupStride - 1 &&
+      (base + 1) % DupStride != DupStride - 1
+    if (!ok) -1L
+    // the one-sided plant: the partner page stays silent
+    else if (altOneSided(base) && i != base) -1L
+    else base
+  }
+
+  /** Whether the cluster at `base` is planted one-sided (reciprocity must
+    * fail). A pure stride rule so the oracle can restate it.
+    */
+  def altOneSided(base: Long): Boolean = base % (AltStride * 5) == 4
+
+  /** JSON-LD plant: every fresh NON-error page carries a NewsArticle
+    * structured-data block (`<script type="application/ld+json">`) whose
+    * headline is the page's head title and whose datePublished is this
+    * closed form of the id. Error pages and re-posts carry none — scraped
+    * skins don't maintain structured data, which is exactly why corpus
+    * metadata enrichment must treat it as optional.
+    */
+  def publishedDate(i: Long): String =
+    f"2026-${i % 12 + 1}%02d-${i % 28 + 1}%02d"
+
+  /** Minimal JSON string escaping for generator-emitted ld+json payloads
+    * (quotes, backslashes, control chars — the titles are plain Korean
+    * prose, but the payload must stay valid JSON for any pool edit).
+    */
+  def jsonEsc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 
   // ---- recrawl (revision 2) plant ----------------------------------------
   // A second crawl of the same sites, some time later: every 37th fresh
@@ -610,6 +690,34 @@ object WebGen {
       sb.append("<link rel=\"canonical\" href=\"").append(url(i)).append("\"/>\n")
     if (noindex)
       sb.append("<meta name=\"robots\" content=\"noindex, follow\"/>\n")
+    // pagination plant: rel=prev/next head links on chain members (no rng)
+    val cBase = chainBase(i, spec.docs.toLong)
+    val cPos = if (cBase >= 0) (i - cBase).toInt else -1
+    if (cBase >= 0) {
+      if (cPos > 0)
+        sb.append("<link rel=\"prev\" href=\"").append(url(i - 1)).append("\"/>\n")
+      if (cPos < ChainLen - 1)
+        sb.append("<link rel=\"next\" href=\"").append(url(i + 1)).append("\"/>\n")
+    }
+    // hreflang plant: the FULL alternate set (self included) on declaring
+    // pages; one-sided clusters plant only on the base page (no rng)
+    val aBase = altBase(i, spec.docs.toLong)
+    if (aBase >= 0) {
+      sb.append("<link rel=\"alternate\" hreflang=\"ko\" href=\"")
+        .append(url(aBase)).append("\"/>\n")
+        .append("<link rel=\"alternate\" hreflang=\"en\" href=\"")
+        .append(url(aBase + 1)).append("\"/>\n")
+    }
+    // JSON-LD plant on fresh non-error pages (no rng; the soft-404 stride
+    // matches the body plant below)
+    val hasLd = i % 257 != 13
+    if (hasLd) {
+      sb.append("<script type=\"application/ld+json\">")
+        .append("{\"@context\":\"https://schema.org\",\"@type\":\"NewsArticle\",")
+        .append("\"headline\":\"").append(jsonEsc(headTitle)).append("\",")
+        .append("\"datePublished\":\"").append(publishedDate(i)).append("\"}")
+        .append("</script>\n")
+    }
     sb.append("<style>body{margin:0} .x>a{color:#06c}</style>\n")
       .append("<script>if(1<2){document.x='<div>not markup</div>';}</script>\n")
       .append("</head>\n<body>\n")
@@ -750,7 +858,22 @@ object WebGen {
 
     WebPage(id, sb.toString, truth.toVector, links.toVector,
       WebMeta(id, url(i), headTitle, noindex,
-        if (selfCanon) url(i) else "", "", "", soft404),
+        if (selfCanon) url(i) else "", "", "", soft404,
+        prev_url = if (cPos > 0) url(i - 1) else "",
+        next_url = if (cBase >= 0 && cPos < ChainLen - 1) url(i + 1) else "",
+        // one-sided clusters plant links but NO group truth: the engine's
+        // reciprocity validation must reject them. The group id is the
+        // lexicographically smallest member URL — the only canonical choice
+        // an engine can compute from the declared set alone (consecutive ids
+        // land on different portal hosts, so url(aBase) is NOT always it)
+        alt_group =
+          if (aBase >= 0 && !altOneSided(aBase))
+            Seq(url(aBase), url(aBase + 1)).min
+          else "",
+        alt_lang =
+          if (aBase >= 0 && !altOneSided(aBase)) (if (i == aBase) "ko" else "en")
+          else "",
+        published = if (hasLd) publishedDate(i) else ""),
       blks.toVector)
   }
 }

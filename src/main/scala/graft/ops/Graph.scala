@@ -367,8 +367,21 @@ object Graph {
   def resolveRedirects(nodes: DataFrame, redirects: DataFrame,
                        reliableCheckpointDir: Option[String] = None): DataFrame = {
     val ids = nodes.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"))
+    resolvePointers(ids, redirects, reliableCheckpointDir)
+  }
+
+  /** Key-type-generic pointer-doubling core behind [[resolveRedirects]]:
+    * `nodes` is a single `doc_id` column of ANY joinable type and `edges`
+    * is (src, dst) of the same type — URL-keyed pointer maps (pagination
+    * rel=prev chains, canonical-link aliases) resolve without first minting
+    * numeric ids. Same physical shape, functionality guard, round cap and
+    * checkpoint discipline as documented on [[resolveRedirects]].
+    */
+  def resolvePointers(nodes: DataFrame, edges: DataFrame,
+                      reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val ids = nodes.select(col("doc_id"))
     var ptr = Dedup.materialize(
-      redirects.select(col("src"), col("dst").as("cur"), lit(1L).as("hops")),
+      edges.select(col("src"), col("dst").as("cur"), lit(1L).as("hops")),
       reliableCheckpointDir)
     // PRECONDITION guard: the map must be a FUNCTION of src — one dst per
     // src. [[redirectEdges]] guarantees this by construction, but a real
@@ -382,7 +395,7 @@ object Graph {
     if (fn.getLong(0) != fn.getLong(1)) {
       Dedup.releaseCheckpoint(ptr)
       throw new IllegalArgumentException(
-        s"resolveRedirects: redirect map is not a function of src — " +
+        s"resolvePointers: pointer map is not a function of src — " +
         s"${fn.getLong(0)} edges over ${fn.getLong(1)} distinct src; " +
         "collapse multi-valued aliases (e.g. min(dst) per src) first")
     }
@@ -395,7 +408,7 @@ object Graph {
         // not outlive the failed call (ADVICE round 4)
         Dedup.releaseCheckpoint(ptr)
         throw new IllegalStateException(
-          "resolveRedirects: no fixpoint after 20 doubling rounds — the redirect map is cyclic")
+          "resolvePointers: no fixpoint after 20 doubling rounds — the pointer map is cyclic")
       }
       val next = Dedup.materialize(
         ptr.join(

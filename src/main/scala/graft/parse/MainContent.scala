@@ -146,6 +146,10 @@ object MainContent {
     "(?i)\\bname\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
   private val ContentPat = java.util.regex.Pattern.compile(
     "(?i)\\bcontent\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+  private val TypePat = java.util.regex.Pattern.compile(
+    "(?i)\\btype\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+  private val HreflangPat = java.util.regex.Pattern.compile(
+    "(?i)\\bhreflang\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
 
   /** Space/comma-separated token list of an attribute value, lowercased —
     * the HTML token-list microsyntax shared by `rel` and robots `content`
@@ -178,8 +182,13 @@ object MainContent {
           out += Open(name, raw, selfClose)
           if (RawTextTags(name) && !selfClose) {
             // raw-text element: consume to the matching close tag; its body
-            // is NOT markup (a '<' inside JS/CSS must not fabricate tags)
+            // is NOT markup (a '<' inside JS/CSS must not fabricate tags).
+            // The body is still emitted as a Text event between Open and
+            // Close — invisible to [[blocks]] (script/style are skip tags)
+            // but available to [[pageMeta]] for ld+json payloads.
             val closeAt = html.toLowerCase.indexOf(s"</$name", m.end)
+            val bodyEnd = if (closeAt < 0) html.length else closeAt
+            if (bodyEnd > m.end) out += Text(html.substring(m.end, bodyEnd))
             if (closeAt < 0) next = html.length
             else {
               val gt = html.indexOf('>', closeAt)
@@ -478,13 +487,20 @@ object MainContent {
     * content work, and canonical edges resolve syndicated re-posts without
     * content comparison.
     */
-  final case class PageMeta(title: String, noindex: Boolean, canonical: String)
+  final case class PageMeta(title: String, noindex: Boolean, canonical: String,
+      prev: String = "", next: String = "",
+      alternates: Vector[(String, String)] = Vector.empty,
+      ldJson: String = "")
 
   /** Parse [[PageMeta]] from raw markup — same lexer as [[blocks]], so
     * comments, raw-text scripts and broken nesting cannot fabricate metadata.
-    * First title / first canonical win (browser behavior); robots directives
-    * accumulate across every robots meta on the page (a page is noindex if
-    * ANY robots meta says so).
+    * First title / first canonical / first prev / first next / first ld+json
+    * win (browser behavior); robots directives accumulate across every
+    * robots meta on the page (a page is noindex if ANY robots meta says so);
+    * hreflang alternates accumulate in document order as (lang, href) pairs
+    * — only `rel="alternate"` links that actually carry an `hreflang`
+    * attribute count (plain alternate links are feeds/styles, not language
+    * variants).
     */
   def pageMeta(html: String): PageMeta = {
     var title: Option[String] = None
@@ -492,6 +508,12 @@ object MainContent {
     val titleBuf = new StringBuilder
     var noindex = false
     var canonical: Option[String] = None
+    var prev: Option[String] = None
+    var next: Option[String] = None
+    val alternates = Vector.newBuilder[(String, String)]
+    var ldJson: Option[String] = None
+    var inLd = false
+    val ldBuf = new StringBuilder
     lex(html).foreach {
       case Open(name, attrs, selfClose) =>
         if (name == "title" && !selfClose && title.isEmpty) inTitle = true
@@ -499,8 +521,23 @@ object MainContent {
           if (attrTokens(NamePat, attrs)("robots") &&
               attrTokens(ContentPat, attrs)("noindex")) noindex = true
         } else if (name == "link") {
-          if (attrTokens(RelPat, attrs)("canonical") && canonical.isEmpty)
-            canonical = attrVal(HrefPat, attrs).filter(_.nonEmpty)
+          val rel = attrTokens(RelPat, attrs)
+          val href = attrVal(HrefPat, attrs).filter(_.nonEmpty)
+          if (rel("canonical") && canonical.isEmpty) canonical = href
+          // HTML living standard rel=prev; rel=previous is the HTML4 alias
+          if ((rel("prev") || rel("previous")) && prev.isEmpty) prev = href
+          if (rel("next") && next.isEmpty) next = href
+          if (rel("alternate")) {
+            val lang = attrVal(HreflangPat, attrs).map(_.toLowerCase)
+              .filter(_.nonEmpty)
+            (lang, href) match {
+              case (Some(l), Some(h)) => alternates += ((l, h))
+              case _ => ()
+            }
+          }
+        } else if (name == "script" && !selfClose && ldJson.isEmpty &&
+            attrTokens(TypePat, attrs)("application/ld+json")) {
+          inLd = true
         }
       case Close("title") =>
         if (inTitle) {
@@ -508,10 +545,16 @@ object MainContent {
           title = Some(decodeEntities(titleBuf.toString)
             .split("\\s+").filter(_.nonEmpty).mkString(" "))
         }
-      case Text(s) => if (inTitle) titleBuf.append(s)
+      case Close("script") =>
+        if (inLd) { inLd = false; ldJson = Some(ldBuf.toString.trim) }
+      case Text(s) =>
+        if (inTitle) titleBuf.append(s)
+        else if (inLd) ldBuf.append(s)
       case _ => ()
     }
-    PageMeta(title.getOrElse(""), noindex, canonical.getOrElse(""))
+    PageMeta(title.getOrElse(""), noindex, canonical.getOrElse(""),
+      prev.getOrElse(""), next.getOrElse(""), alternates.result(),
+      ldJson.getOrElse(""))
   }
 
   /** Soft-404 detection: an error page served with HTTP 200 — the crawl's

@@ -363,6 +363,77 @@ class MainContentSpec extends AnyFunSuite {
       """<meta name="description" content="noindex appears in prose"/>""").noindex)
   }
 
+  test("page metadata: pagination links, hreflang alternates, ld+json from wild markup") {
+    val html =
+      """<head><title>t</title>
+        |<link rel="PREVIOUS" href="/p0"/>
+        |<link rel="prev" href="/ignored-second-prev"/>
+        |<link rel="next" href="/p2"/>
+        |<link rel="alternate" type="application/rss+xml" href="/feed"/>
+        |<link rel="alternate" hreflang="KO" href="/ko"/>
+        |<link rel="alternate" hreflang="en" href="/en"/>
+        |<script>var x = '<div>not markup</div>'; if (1<2) {}</script>
+        |<script type="application/ld+json">
+        |{"@type":"NewsArticle","headline":"a<b","datePublished":"2026-01-02"}
+        |</script>
+        |<script type="application/ld+json">{"second":"ignored"}</script>
+        |</head><body><p>x</p></body>""".stripMargin
+    val m = MainContent.pageMeta(html)
+    // HTML4 `previous` alias counts; first prev/next win
+    assert(m.prev == "/p0" && m.next == "/p2")
+    // only alternates CARRYING hreflang are language variants (the rss
+    // alternate is a feed, not a page); langs lowercase, document order
+    assert(m.alternates == Vector(("ko", "/ko"), ("en", "/en")))
+    // the ld+json body is a RAW-TEXT script: '<' inside must not fabricate
+    // tags, and the payload must surface verbatim (first block wins)
+    assert(m.ldJson ==
+      """{"@type":"NewsArticle","headline":"a<b","datePublished":"2026-01-02"}""")
+    // a commented-out ld block is not markup; a plain script is not ld+json
+    val none = MainContent.pageMeta(
+      """<head><script>{"headline":"x"}</script>
+        |<!-- <script type="application/ld+json">{"a":1}</script> --></head>""".stripMargin)
+    assert(none.ldJson == "" && none.prev == "" && none.alternates.isEmpty)
+    // raw-text bodies stay invisible to the block segmenter
+    assert(!MainContent.blocks(html).exists(_.text.contains("NewsArticle")))
+  }
+
+  test("planted head-metadata truth round-trip: chains, alternates, ld+json") {
+    val spec = CorpusGen.specFor("sf0.001")
+    val pages = (0L until 300L).map(WebGen.genPage(_, spec))
+    pages.foreach { p =>
+      val i = p.doc_id.stripPrefix("web-").toLong
+      val m = MainContent.pageMeta(p.html)
+      assert(m.prev == p.meta.prev_url && m.next == p.meta.next_url,
+        s"pagination mismatch for ${p.doc_id}")
+      // declarations appear iff the plant says so (one-sided bases DO
+      // declare even though their reciprocity-validated group truth is "")
+      val declares = WebGen.altBase(i, spec.docs.toLong) >= 0
+      assert(m.alternates.nonEmpty == declares, s"hreflang mismatch for ${p.doc_id}")
+      if (declares) assert(m.alternates.map(_._1) == Vector("ko", "en"))
+      // ld+json present iff the plant recorded a published date, and the
+      // payload carries exactly that date
+      assert((m.ldJson.nonEmpty, p.meta.published.nonEmpty) match {
+        case (a, b) => a == b
+      }, s"ld+json presence mismatch for ${p.doc_id}")
+      if (p.meta.published.nonEmpty)
+        assert(m.ldJson.contains("\"datePublished\":\"" + p.meta.published + "\""))
+    }
+    // non-degeneracy: every family appears, incl. the one-sided plant
+    assert(pages.exists(_.meta.prev_url.nonEmpty) && pages.exists(_.meta.next_url.nonEmpty))
+    assert(pages.exists(_.meta.alt_group.nonEmpty), "a validated cluster appears")
+    val oneSided = pages.filter(p =>
+      MainContent.pageMeta(p.html).alternates.nonEmpty && p.meta.alt_group.isEmpty)
+    assert(oneSided.nonEmpty, "a one-sided (reciprocity-failing) declarer appears")
+    assert(pages.exists(_.meta.published.isEmpty), "an ld-free page appears (soft-404)")
+    // group id = lexicographic min of the declared hrefs, both members agree
+    val grouped = pages.filter(_.meta.alt_group.nonEmpty)
+      .groupBy(_.meta.alt_group).values
+    grouped.foreach { g =>
+      assert(g.size == 2 && g.map(_.meta.alt_lang).toSet == Set("ko", "en"))
+      assert(g.head.meta.alt_group == g.map(_.meta.url).min)
+    }
+  }
+
   test("outlinks: rel=nofollow is token-matched per anchor") {
     val html =
       s"""<body><p>$longA <a href="/f" rel="nofollow noopener">하나</a>
