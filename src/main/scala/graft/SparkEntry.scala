@@ -806,6 +806,57 @@ object SparkEntry {
           .select("doc_id", "url", "html").as[(String, String, String)]).toDF()
       graft.ops.HeadMeta.structuredData(meta)
     }),
+    // chain-document assembly: the stitched pagination output CONSUMED --
+    // every member's extracted spans concatenated in (position, span-order)
+    // and re-numbered densely under the chain head, so dedup/packing sees
+    // one logical article instead of three near-dup fragments. The oracle
+    // recomposes the same view from the planted prev/next pointers and the
+    // planted span truth -- a mis-stitched chain or off-by-one renumbering
+    // breaks the hash.
+    "q_web_chain_docs" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val pages = s.read.parquet(Corpus.ensureWebMeta(s, sf))
+      val meta = graft.ops.HeadMeta.parsed(
+        pages.select("doc_id", "url", "html").as[(String, String, String)]).toDF()
+      val chains = graft.ops.HeadMeta.paginationChains(meta)
+      val spans = pages.select("doc_id", "html").as[(String, String)]
+        .flatMap { case (id, html) =>
+          graft.parse.MainContent.extract(html)
+            .map(sp => (id, sp.kind, sp.text, sp.media_ref, sp.order))
+        }.toDF("doc_id", "kind", "text", "media_ref", "ord")
+      graft.ops.HeadMeta.assembleChains(spans, chains)
+    }),
+    // language-representative pick: ONE member per validated hreflang
+    // cluster admitted to the (Korean) training mix -- preferred language
+    // first, lexicographic (lang, doc_id) fallback, a total order so the
+    // pick is partitioning-independent
+    "q_web_lang_pick" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val meta = graft.ops.HeadMeta.parsed(
+        s.read.parquet(Corpus.ensureWebMeta(s, sf))
+          .select("doc_id", "url", "html").as[(String, String, String)]).toDF()
+      graft.ops.HeadMeta.pickLanguageRepresentative(
+        graft.ops.HeadMeta.hreflangClusters(meta), preferred = "ko")
+    }),
+    // freshness datasheet: pages per (host, publication month) from the
+    // ld+json dates -- the mixing table a recency-weighted sampler reads;
+    // carriers only (structured data is optional by design), one rollup
+    // with map-side combine
+    "q_web_freshness" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val meta = graft.ops.HeadMeta.parsed(
+        s.read.parquet(Corpus.ensureWebMeta(s, sf))
+          .select("doc_id", "url", "html").as[(String, String, String)]).toDF()
+      graft.ops.HeadMeta.structuredData(meta)
+        .join(meta.select("doc_id", "url"), Seq("doc_id"))
+        .select(regexp_extract(col("url"), "^https://([^/]+)", 1).as("host"),
+          substring(col("published"), 1, 7).as("month"))
+        .groupBy("host", "month")
+        .agg(count(lit(1)).cast("long").as("n_pages"))
+    }),
 
     // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
     // two-phase AvailableNow dedup ingest through ONE checkpoint (restart
@@ -1985,6 +2036,36 @@ object SparkEntry {
       ("SELECT doc_id, 'NewsArticle' AS ld_type, title AS headline, published " +
         "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
         "WHERE published <> ''"),
+    // chain-document truth: the recursive pointer walk joined to the
+    // planted span truth, renumbered by the same (pos, ord) total order
+    "q_web_chain_docs" ->
+      ("WITH RECURSIVE m AS (SELECT doc_id, url, prev_url, next_url " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
+        "WHERE prev_url <> '' OR next_url <> ''), " +
+        "chain AS (" +
+        "SELECT doc_id, url, next_url, url AS head_url, CAST(0 AS BIGINT) AS pos " +
+        "FROM m WHERE prev_url = '' " +
+        "UNION ALL " +
+        "SELECT m.doc_id, m.url, m.next_url, c.head_url, c.pos + 1 " +
+        "FROM chain c JOIN m ON m.url = c.next_url) " +
+        "SELECT c.head_url, s.kind, s.text, s.media_ref, " +
+        "CAST(row_number() OVER (PARTITION BY c.head_url ORDER BY c.pos, s.ord) - 1 AS BIGINT) AS ord " +
+        "FROM chain c JOIN read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') s " +
+        "ON s.doc_id = c.doc_id"),
+    // language-pick truth: the preferred-then-lexicographic total order
+    // restated over the planted reciprocal-group truth
+    "q_web_lang_pick" ->
+      ("SELECT alt_group AS grp, doc_id, alt_lang AS lang " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
+        "WHERE alt_group <> '' " +
+        "QUALIFY row_number() OVER (PARTITION BY alt_group " +
+        "ORDER BY (alt_lang <> 'ko'), alt_lang, doc_id) = 1"),
+    // freshness truth: planted publication dates bucketed by (host, month)
+    "q_web_freshness" ->
+      ("SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host, " +
+        "substr(published, 1, 7) AS month, CAST(count(*) AS BIGINT) AS n_pages " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
+        "WHERE published <> '' GROUP BY 1, 2"),
     // noindex admission rollup: planted flags x planted span counts
     "q_web_indexable" ->
       ("WITH s AS (SELECT doc_id, count(*) AS n FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') GROUP BY doc_id) " +

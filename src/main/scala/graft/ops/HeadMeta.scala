@@ -125,6 +125,49 @@ object HeadMeta {
       .select(col("doc_id"), col("grp"), col("lang"))
   }
 
+  /** Reassemble stitched chains into LOGICAL documents: every member's
+    * extracted spans, concatenated in (position, span-order) and re-numbered
+    * densely under the chain's head URL — the one-document view dedup,
+    * packing and context-window chunking must see (a 3-part serialized
+    * article is ONE training document, not three near-dup fragments).
+    *
+    * Plan: spans join chains on doc_id (inner — the 10¹²-page corpus
+    * contributes nothing unless it paginates), then ONE window partitioned
+    * by head. The partition is a single logical chain — bounded by chain
+    * length × spans/page, never by corpus size — so this is the rare window
+    * that is scale-safe by construction.
+    *
+    * Output: `(head_url, kind, text, media_ref, ord)`.
+    */
+  def assembleChains(spans: DataFrame, chains: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("head_url")).orderBy(col("pos"), col("ord"))
+    spans.join(chains.select("doc_id", "head_url", "pos"), Seq("doc_id"))
+      .select(col("head_url"), col("kind"), col("text"), col("media_ref"),
+        (row_number().over(w) - 1).cast("long").as("ord"))
+  }
+
+  /** One representative per validated hreflang cluster: the `preferred`
+    * language's member when the cluster has one, else the lexicographically
+    * smallest (lang, doc_id) — a total order, so the pick is deterministic
+    * under any partitioning. This is the admission rule that keeps ONE
+    * variant per translation group in a monolingual training mix; pure
+    * per-group min over the (tiny) validated-member table, map-side
+    * combined, no window.
+    *
+    * Output: `(grp, doc_id, lang)` — one row per cluster.
+    */
+  def pickLanguageRepresentative(clusters: DataFrame,
+                                 preferred: String): DataFrame = {
+    clusters
+      .groupBy(col("grp"))
+      .agg(min(struct(
+        when(col("lang") === preferred, 0).otherwise(1).as("p"),
+        col("lang"), col("doc_id"))).as("w"))
+      .select(col("grp"), col("w")("doc_id").as("doc_id"),
+        col("w")("lang").as("lang"))
+  }
+
   /** The fields a corpus pipeline reads from a NewsArticle ld+json block. */
   private val LdSchema = StructType(Seq(
     StructField("@type", StringType),

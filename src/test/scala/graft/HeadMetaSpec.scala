@@ -74,6 +74,40 @@ class HeadMetaSpec extends AnyFunSuite {
       ("x", "u/x", "ko"), ("z", "u/x", "en")))
   }
 
+  test("assembleChains: dense renumbering in (pos, ord), members only") {
+    val chains = Seq(
+      ("a0", "u/a0", 0L, 3L), ("a1", "u/a0", 1L, 3L), ("a2", "u/a0", 2L, 3L)
+    ).toDF("doc_id", "head_url", "pos", "n_parts")
+    val spans = Seq(
+      // pages arrive with their OWN per-page span orders; a2 has one span,
+      // a0 two, a1 two — and a non-member page must vanish
+      ("a1", "text", "p3", "", 0L), ("a1", "media", "", "img:1", 1L),
+      ("a0", "heading", "h", "", 0L), ("a0", "text", "p1", "", 1L),
+      ("a2", "text", "p5", "", 0L),
+      ("zz", "text", "not a member", "", 0L)
+    ).toDF("doc_id", "kind", "text", "media_ref", "ord")
+    val got = HeadMeta.assembleChains(spans, chains)
+      .as[(String, String, String, String, Long)].collect().sortBy(_._5)
+    assert(got.toSeq == Seq(
+      ("u/a0", "heading", "h", "", 0L),
+      ("u/a0", "text", "p1", "", 1L),
+      ("u/a0", "text", "p3", "", 2L),
+      ("u/a0", "media", "", "img:1", 3L),
+      ("u/a0", "text", "p5", "", 4L)))
+  }
+
+  test("pickLanguageRepresentative: preferred first, lexicographic fallback") {
+    val clusters = Seq(
+      ("g1", "d-ko", "ko"), ("g1", "d-en", "en"),   // preferred present
+      ("g2", "d-fr", "fr"), ("g2", "d-de", "de"),   // fallback: min lang
+      ("g3", "d-b", "en"), ("g3", "d-a", "en")      // lang tie: min doc_id
+    ).toDF("grp", "doc_id", "lang")
+    val got = HeadMeta.pickLanguageRepresentative(clusters, preferred = "ko")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("g1", "d-ko", "ko"), ("g2", "d-de", "de"), ("g3", "d-a", "en")))
+  }
+
   test("structuredData: escape round-trip, absent fields, carriers only") {
     val meta = Seq(
       row("a", "u/a", ld =
