@@ -75,16 +75,56 @@ object ScaleCheck {
       bad += diff(linkOut,
         spark.read.parquet(Corpus.goldenWebLinksPath(sf)), s"$sf web-links")
 
-      // page-metadata surface: title / robots-noindex / canonical vs the
-      // PLANTED metadata truth
+      // page-metadata surface: title / robots-noindex / canonical /
+      // pagination links vs the PLANTED metadata truth — parsed ONCE via
+      // HeadMeta and reused for the derived head-metadata surfaces below
       Corpus.ensureWebMeta(spark, sf)
-      val metaOut = pages.map { case (id, html) =>
-        val m = graft.parse.MainContent.pageMeta(html)
-        (id, m.title, m.noindex, m.canonical)
-      }.toDF("doc_id", "title", "noindex", "canonical")
-      bad += diff(metaOut,
-        spark.read.parquet(Corpus.goldenWebMetaPath(sf))
-          .select("doc_id", "title", "noindex", "canonical"), s"$sf web-meta")
+      val withUrl = spark.read.parquet(Corpus.ensureWeb(spark, sf))
+        .select(col("doc_id").cast("string"), col("url"), col("html"))
+        .as[(String, String, String)]
+      val metaRows = graft.ops.HeadMeta.parsed(withUrl).toDF().persist()
+      val golden = spark.read.parquet(Corpus.goldenWebMetaPath(sf))
+      bad += diff(
+        metaRows.select("doc_id", "title", "noindex", "canonical",
+          "prev_url", "next_url"),
+        golden.select("doc_id", "title", "noindex", "canonical",
+          "prev_url", "next_url"), s"$sf web-meta")
+
+      // ld+json surface: parsed publication dates vs the planted truth
+      // (presence AND value — carriers are exactly the planted set)
+      bad += diff(
+        graft.ops.HeadMeta.structuredData(metaRows)
+          .select(col("doc_id"), col("published")),
+        golden.where(col("published") =!= "")
+          .select("doc_id", "published"), s"$sf web-ldjson")
+
+      // hreflang surface: reciprocity-validated clusters vs the planted
+      // reciprocal-group truth (one-sided plants must be rejected at scale)
+      bad += diff(
+        graft.ops.HeadMeta.hreflangClusters(metaRows),
+        golden.where(col("alt_group") =!= "")
+          .select(col("doc_id"), col("alt_group").as("grp"),
+            col("alt_lang").as("lang")), s"$sf web-hreflang")
+
+      // pagination surface: the pointer-doubling stitcher vs the plant's
+      // CLOSED FORM (chainBase is a pure stride rule — a different
+      // algorithm reaching the same chains, like the DuckDB recursive CTE
+      // at the gate scale)
+      {
+        val spec = graft.corpus.WebGen.specFor(sf)
+        val nDocs = spec.docs.toLong
+        val expected = spark.range(0, nDocs, 1, cpus.toInt * 4).flatMap { i =>
+          val base = graft.corpus.WebGen.chainBase(i, nDocs)
+          if (base < 0) None
+          else Some((graft.corpus.WebGen.docId(i),
+            graft.corpus.WebGen.url(base), i - base,
+            graft.corpus.WebGen.ChainLen.toLong))
+        }.toDF("doc_id", "head_url", "pos", "n_parts")
+        bad += diff(
+          graft.ops.HeadMeta.paginationChains(metaRows),
+          expected, s"$sf web-pagination")
+      }
+      metaRows.unpersist()
 
       // extract-then-near-dup surface: the recovered pair set vs the
       // PLANTED duplicate truth (exact + near re-posts) at the same scale

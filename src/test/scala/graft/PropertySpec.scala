@@ -290,4 +290,74 @@ class PropertySpec extends AnyFunSuite with Matchers {
         .foreach { case (v, f, h) => (f, h) shouldBe walk(v) }
     }
   }
+
+  test("string-keyed resolvePointers == naive chain walk on random acyclic URL maps") {
+    // the key-type-generic core behind pagination-chain stitching: same
+    // fixpoint + hop contract as the numeric path, but joined on raw URLs
+    val spark = SparkSessions.spark
+    import spark.implicits._
+    def u(i: Int) = s"https://h${i % 3}.example/p/$i"
+    val gen = for {
+      n <- Gen.chooseNum(8, 24)
+      edges <- Gen.sequence[List[Option[(Int, Int)]], Option[(Int, Int)]](
+        (1 until n).toList.map { s =>
+          Gen.option(Gen.chooseNum(0, s - 1).map(d => (s, d)))
+        }).map(_.flatten)
+    } yield (n, edges)
+    forAll(gen, n = 6) { case (n, edges) =>
+      val nodes = (0 until n).map(u).toDF("doc_id")
+      val edf = if (edges.isEmpty) Seq.empty[(String, String)].toDF("src", "dst")
+        else edges.map { case (s, d) => (u(s), u(d)) }.toDF("src", "dst")
+      val m = edges.map { case (s, d) => u(s) -> u(d) }.toMap
+      def walk(v: String): (String, Long) = {
+        var c = v; var h = 0L
+        while (m.contains(c)) { c = m(c); h += 1 }
+        (c, h)
+      }
+      graft.ops.Graph.resolvePointers(nodes, edf)
+        .as[(String, String, Long)].collect()
+        .foreach { case (v, f, h) => (f, h) shouldBe walk(v) }
+    }
+  }
+
+  test("hreflangClusters == sequential validation on random declaration universes") {
+    // reciprocity + self-reference restated sequentially: a declarer is
+    // valid iff its own URL is in its declared set AND every declared href
+    // is a page declaring the IDENTICAL (lang, href) multiset. Random
+    // universes exercise what the planted corpus cannot: dangling hrefs,
+    // partial overlaps, conflicting langs for one href, duplicate entries.
+    val spark = SparkSessions.spark
+    import spark.implicits._
+    def u(i: Int) = s"https://h${i % 2}.example/a/$i"
+    val genDecl = for {
+      nPages <- Gen.chooseNum(4, 8)
+      sets <- Gen.sequence[List[List[(String, String)]], List[(String, String)]](
+        (0 until nPages).toList.map { _ =>
+          Gen.chooseNum(0, 4).flatMap(k =>
+            Gen.listOfN(k, for {
+              lang <- Gen.oneOf("ko", "en", "ja")
+              href <- Gen.chooseNum(0, nPages) // nPages itself = dangling
+            } yield (lang, u(href))))
+        })
+    } yield (nPages, sets)
+    forAll(genDecl, n = 6) { case (nPages, sets) =>
+      val meta = (0 until nPages).map { i =>
+        graft.ops.HeadMeta.HeadRow(s"d$i", u(i), "", noindex = false, "",
+          "", "", sets(i).map { case (l, h) => graft.ops.HeadMeta.AltLink(l, h) }, "")
+      }.toDF()
+      val got = graft.ops.HeadMeta.hreflangClusters(meta)
+        .as[(String, String, String)].collect().toSet
+      // sequential restatement over the same multiset-signature contract
+      val byUrl = (0 until nPages).map(i => u(i) -> sets(i).sorted).toMap
+      val expect = (0 until nPages).flatMap { i =>
+        val s = sets(i).sorted
+        val urlI = u(i)
+        val selfLangs = s.collect { case (l, h) if h == urlI => l }
+        val valid = s.nonEmpty && selfLangs.nonEmpty &&
+          s.forall { case (_, h) => byUrl.get(h).contains(s) }
+        if (valid) Some((s"d$i", s.map(_._2).min, selfLangs.min)) else None
+      }.toSet
+      got shouldBe expect
+    }
+  }
 }
