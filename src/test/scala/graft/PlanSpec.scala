@@ -42,4 +42,29 @@ class PlanSpec extends AnyFunSuite with Matchers {
     val plan = Extraction.run(spark, corpusPath).queryExecution.executedPlan.toString
     plan should include("ObjectHashAggregate") // collect_list path
   }
+
+  test("head-metadata plans: no window/cartesian in hreflang; chain window keyed by head") {
+    import spark.implicits._
+    val meta = graft.ops.HeadMeta.parsed(
+      spark.read.parquet(Corpus.ensureWeb(spark, "sf0.001"))
+        .select(col("doc_id").cast("string"), col("url"), col("html"))
+        .as[(String, String, String)]).toDF()
+    // hreflang validation is signature-join + rollup — a Window here would
+    // mean a per-cluster rank sneaked in; a cartesian would mean the
+    // reciprocity join lost its equi-key
+    val hre = graft.ops.HeadMeta.hreflangClusters(meta)
+      .queryExecution.executedPlan.toString
+    hre should not include "Window"
+    hre should not include "Cartesian"
+    // chain assembly is the rare SAFE window: partitioned by head_url (one
+    // logical chain), never an empty partition spec (global sort)
+    val spans = Seq(("web-000000002", "text", "x", "", 0L))
+      .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    val asm = graft.ops.HeadMeta.assembleChains(spans,
+        graft.ops.HeadMeta.paginationChains(meta))
+      .queryExecution.executedPlan.toString
+    asm should include("Window")
+    // the window spec's leading argument is its partition key: head_url
+    asm should include("windowspecdefinition(head_url")
+  }
 }

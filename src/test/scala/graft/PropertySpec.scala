@@ -263,6 +263,32 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("MainContent.pageMeta: total and deterministic on arbitrary markup soup") {
+    import graft.parse.MainContent
+    // the same adversarial fragments as the extract property, plus the
+    // head-metadata attack surface: half-open link/script tags, ld+json
+    // with markup inside, hreflang in every quoting form
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.oneOf("<div>", "</div>", "<title>", "</title>", "<link rel=",
+        "canonical", "'prev'", "\"next\"", "href=", "<link rel=alternate ",
+        "hreflang=ko ", "href='/x'>", "<script type=\"application/ld+json\">",
+        "{\"a\":\"<div>\"}", "</script>", "<!-- <title>no</title>", "-->",
+        "<meta name=robots content=noindex>", "<<<", "&amp;", " ", "/>", ">"),
+      Gen.alphaNumStr,
+      Gen.oneOf("제1조 본문", "", " \t\n"))
+    val genSoup: Gen[String] = Gen.listOfN(30, frag).map(_.mkString)
+    forAll(genSoup, n = 300) { html =>
+      val a = MainContent.pageMeta(html) // must not throw
+      a shouldBe MainContent.pageMeta(html) // deterministic
+      // langs are lowercased; whatever parsed is internally consistent
+      a.alternates.foreach { case (l, h) =>
+        l shouldBe l.toLowerCase
+        l should not be empty
+        h should not be empty
+      }
+    }
+  }
+
   test("pointer-doubling redirect resolution == naive chain walk on random acyclic maps") {
     val spark = SparkSessions.spark
     import spark.implicits._
