@@ -857,6 +857,36 @@ object SparkEntry {
         .groupBy("host", "month")
         .agg(count(lit(1)).cast("long").as("n_pages"))
     }),
+    // per-host head-metadata datasheet: the curation-report row for the
+    // head-signal family -- chain mass, hreflang declaration vs VALIDATION
+    // counts (the declared-minus-validated gap IS the one-sided-deployment
+    // rate a crawl ops team watches), ld+json coverage. ONE parse feeds a
+    // host rollup with map-side combine; validation joins back the (tiny)
+    // validated-member table. Oracle restates declaration in the plant's
+    // closed stride form -- zero engine knowledge.
+    "q_web_head_stats" -> ((s, dir) => {
+      import s.implicits._
+      val sf = Corpus.sfName(dir)
+      val meta = graft.ops.HeadMeta.parsed(
+        s.read.parquet(Corpus.ensureWebMeta(s, sf))
+          .select("doc_id", "url", "html").as[(String, String, String)]).toDF()
+      val validated = graft.ops.HeadMeta.hreflangClusters(meta)
+        .select(col("doc_id"), lit(true).as("validated"))
+      meta.join(validated, Seq("doc_id"), "left")
+        .select(regexp_extract(col("url"), "^https://([^/]+)", 1).as("host"),
+          col("prev_url"), col("next_url"), col("alts"), col("ld"),
+          coalesce(col("validated"), lit(false)).as("validated"))
+        .groupBy("host")
+        .agg(
+          count(lit(1)).cast("long").as("pages"),
+          sum(when(col("prev_url") =!= "" || col("next_url") =!= "", 1L)
+            .otherwise(0L)).as("chain_members"),
+          sum(when(col("prev_url") === "" && col("next_url") =!= "", 1L)
+            .otherwise(0L)).as("chain_heads"),
+          sum(when(size(col("alts")) > 0, 1L).otherwise(0L)).as("alt_declaring"),
+          sum(when(col("validated"), 1L).otherwise(0L)).as("alt_validated"),
+          sum(when(col("ld") =!= "", 1L).otherwise(0L)).as("ld_pages"))
+    }),
 
     // ---- end-to-end persisted-surface gates (graft.Gates) ---------------
     // two-phase AvailableNow dedup ingest through ONE checkpoint (restart
@@ -2066,6 +2096,30 @@ object SparkEntry {
         "substr(published, 1, 7) AS month, CAST(count(*) AS BIGINT) AS n_pages " +
         "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet') " +
         "WHERE published <> '' GROUP BY 1, 2"),
+    // head-stats truth: chain membership and ld coverage read straight off
+    // the planted truth; hreflang DECLARATION restated in the plant's
+    // closed stride form (WebGen.altBase/altOneSided: pairs every 73rd
+    // page, every 5th cluster one-sided -- declared by the base only,
+    // validated never), so the declared-vs-validated gap is pinned without
+    // any engine knowledge
+    "q_web_head_stats" ->
+      ("WITH m AS (SELECT doc_id, url, prev_url, next_url, alt_group, published, " +
+        "CAST(substr(doc_id, 5) AS BIGINT) AS id, " +
+        "regexp_extract(url, '^https://([^/]+)', 1) AS host " +
+        "FROM read_parquet('/root/repo/data/golden_web_meta/sf0.01/*.parquet')), " +
+        "tot AS (SELECT count(*) AS docs FROM m), " +
+        "d AS (SELECT m.*, CASE WHEN id % 73 IN (4, 5) THEN id - (id % 73 - 4) " +
+        "ELSE -1 END AS base FROM m), " +
+        "e AS (SELECT *, base >= 0 AND base + 1 < (SELECT docs FROM tot) " +
+        "AND base % 101 <> 100 AND (base + 1) % 101 <> 100 " +
+        "AND (base % 365 <> 4 OR id = base) AS declares FROM d) " +
+        "SELECT host, CAST(count(*) AS BIGINT) AS pages, " +
+        "CAST(count(*) FILTER (WHERE prev_url <> '' OR next_url <> '') AS BIGINT) AS chain_members, " +
+        "CAST(count(*) FILTER (WHERE prev_url = '' AND next_url <> '') AS BIGINT) AS chain_heads, " +
+        "CAST(count(*) FILTER (WHERE declares) AS BIGINT) AS alt_declaring, " +
+        "CAST(count(*) FILTER (WHERE alt_group <> '') AS BIGINT) AS alt_validated, " +
+        "CAST(count(*) FILTER (WHERE published <> '') AS BIGINT) AS ld_pages " +
+        "FROM e GROUP BY host"),
     // noindex admission rollup: planted flags x planted span counts
     "q_web_indexable" ->
       ("WITH s AS (SELECT doc_id, count(*) AS n FROM read_parquet('/root/repo/data/golden_web/sf0.01/*.parquet') GROUP BY doc_id) " +
