@@ -1030,6 +1030,13 @@ object SparkEntry {
       opsGolden(s, dir)
       Dedup.ngramJaccardPairs(docsTable(s, dir), n = 3, minJaccardPm = 200)
     }),
+    // directional shingle containment (Broder's measure — catches a short
+    // doc quoted inside a long host that Jaccard-threshold dedup misses);
+    // FULL ANSI-SQL gate: DuckDB re-derives the shingle sets as n-gram
+    // STRINGS (the engine's 64-bit shingle hashes are collision-free at the
+    // gate scale, so distinct-set sizes agree) incl. the df-cap prefilter
+    "q_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docsTable(s, dir), n = 3, minContainPm = 150)),
     "q_minhash_near_dup" -> ((s, dir) => {
       opsGolden(s, dir)
       Dedup.minHashNearDup(docsTable(s, dir), n = 3, minJaccardPm = 200)
@@ -1518,6 +1525,12 @@ object SparkEntry {
         Retrieval.bm25TopK(docs, Retrieval.GateQueries, k = 10),
         Retrieval.GateQueries)
     }),
+    // exact multi-token phrase search over positional postings — the
+    // adjacency query bag-of-words BM25 cannot express; FULL ANSI-SQL gate
+    // (DuckDB slides the token window directly, the engine intersects
+    // offset-aligned postings — two different algorithms, same rows)
+    "q_phrase_search" -> ((s, dir) =>
+      Retrieval.phraseSearch(docsTable(s, dir), Retrieval.GatePhrases)),
     // hybrid retrieval: BM25 ⊕ dense-ANN via reciprocal-rank fusion —
     // query q pairs the q-th text probe with the q-th document's
     // embedding (a real system's (text, vector) query pairs, derived
@@ -1584,6 +1597,14 @@ object SparkEntry {
     "q_doc_lm_score" -> ((s, dir) => {
       opsGolden(s, dir)
       TextOps.lmScore(docsTable(s, dir), vocabSize = 1 << 14, maxBigrams = 1 << 16)
+    }),
+    // token-distribution Shannon entropy per doc (micro-nats) — the
+    // histogram-shaped gibberish/spam signal next to the LM scores; per-type
+    // terms round to longs BEFORE summing (codegen entropy_term_micro), so
+    // the gate is the exact sequential restatement
+    "q_doc_entropy" -> ((s, dir) => {
+      opsGolden(s, dir)
+      TextOps.tokenEntropy(docsTable(s, dir))
     }),
     // CCNet head/middle/tail terciles per source: milli-nat-binned
     // value-at-rank cutoffs (bin-bounded per-source window), head = the
@@ -2463,6 +2484,22 @@ object SparkEntry {
         "CAST(coalesce(a.fr, 0) AS BIGINT) AS first_rel_rank, " +
         "CAST(CASE WHEN a.fr IS NOT NULL THEN 1000000 // a.fr ELSE 0 END AS BIGINT) AS rr_micro " +
         "FROM q LEFT JOIN agg a USING (q_id)"),
+    // full restatement of phraseSearch: DuckDB slides the token window
+    // directly (toks[i:i+len-1] = phrase), a genuinely different algorithm
+    // from the engine's offset-aligned positional-posting intersection
+    "q_phrase_search" ->
+      ("WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents), " +
+        "q AS (SELECT * FROM (VALUES (0, 'table hash'), (1, 'slow hash batch'), " +
+        "(2, 'a a'), (3, 'zzz absent phrase'), (4, 'a a the'), " +
+        "(5, 'part filter scan')) v(q_id, ph)), " +
+        "qa AS (SELECT CAST(q_id AS BIGINT) AS q_id, " +
+        "regexp_split_to_array(trim(ph), '[ \\t\\n\\x0B\\f\\r]+') AS pt FROM q), " +
+        "hits AS (SELECT qa.q_id, t.doc_id, u.i " +
+        "FROM t CROSS JOIN qa CROSS JOIN unnest(range(1, len(t.toks) - len(qa.pt) + 2)) AS u(i) " +
+        "WHERE t.toks[u.i:u.i + len(qa.pt) - 1] = qa.pt) " +
+        "SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+        "CAST(min(i) AS BIGINT) AS first_pos FROM hits GROUP BY 1, 2"),
     "q_source_stats" ->
       ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
@@ -2501,6 +2538,31 @@ object SparkEntry {
     // non-SQL-expressible dedup/similarity ops, hash-checked via parquet
     "q_ngram_jaccard_pairs" ->
       "SELECT a, b, n_inter, n_a, n_b, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ngram/*.parquet')",
+    // full restatement of containmentPairs: shingle sets as n-gram STRINGS
+    // (collision-free hash ⇒ identical distinct counts), df-cap prefilter on
+    // capped intersections, exact verify, integer-div per-mille score
+    "q_containment_pairs" ->
+      ("WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, ng FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), " +
+        "i -> array_to_string(toks[i:i+2], ' '))) AS ng FROM t WHERE len(toks) >= 3)), " +
+        "c AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1), " +
+        "d AS (SELECT ng, count(*) AS df FROM g GROUP BY 1), " +
+        "pc AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i_c " +
+        "FROM g ga JOIN g gb ON ga.ng = gb.ng AND ga.doc_id < gb.doc_id " +
+        "JOIN d ON ga.ng = d.ng WHERE d.df BETWEEN 2 AND 1000 GROUP BY 1, 2), " +
+        "surv AS (SELECT pc.a, pc.b FROM pc " +
+        "JOIN c ca ON pc.a = ca.doc_id JOIN c cb ON pc.b = cb.doc_id " +
+        "WHERE pc.i_c * 1000 >= 150 * least(ca.n_sh, cb.n_sh)), " +
+        "ex AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_inter " +
+        "FROM g ga JOIN g gb ON ga.ng = gb.ng AND ga.doc_id < gb.doc_id GROUP BY 1, 2) " +
+        "SELECT s.a, s.b, CAST(ex.n_inter AS BIGINT) AS n_inter, " +
+        "CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b, " +
+        "CAST((ex.n_inter * 1000) // least(ca.n_sh, cb.n_sh) AS BIGINT) AS contain_pm " +
+        "FROM surv s JOIN ex ON s.a = ex.a AND s.b = ex.b " +
+        "JOIN c ca ON s.a = ca.doc_id JOIN c cb ON s.b = cb.doc_id " +
+        "WHERE (ex.n_inter * 1000) // least(ca.n_sh, cb.n_sh) >= 150"),
     "q_minhash_near_dup" ->
       "SELECT a, b, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/minhash/*.parquet')",
     "q_dup_source_matrix" ->
@@ -2801,6 +2863,8 @@ object SparkEntry {
       "SELECT a, b, est_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/streamnd/*.parquet')",
     "q_doc_lm_score" ->
       "SELECT doc_id, n_trans, lp_micro_tot, lp_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')",
+    "q_doc_entropy" ->
+      "SELECT doc_id, n_toks, n_types, h_micro_tot, h_micro_per_tok FROM read_parquet('/root/repo/data/golden_ops/sf0.01/entropy/*.parquet')",
     "q_ccnet_buckets" ->
       ("WITH lp AS (SELECT doc_id, (lp_micro_per_tok + 100000000) // 1000 AS lp_bin " +
         "FROM read_parquet('/root/repo/data/golden_ops/sf0.01/lm/*.parquet')), " +

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -144,6 +144,34 @@ case class LogProbMicroExpr(first: Expression, second: Expression,
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** One token type's entropy contribution in integer micro-nats —
+  * `c · round(ln(n/c) · 1e6)` (see [[graft.ops.TextOps.entropyTermMicro]]) —
+  * as a native binary expression, so the per-type stream of
+  * `TextOps.tokenEntropy` stays inside whole-stage codegen like its
+  * `log_prob_micro` sibling.
+  */
+case class EntropyTermMicroExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BIGINT, BIGINT) arguments, got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  override def prettyName: String = "entropy_term_micro"
+
+  override def nullSafeEval(c: Any, n: Any): Any =
+    graft.ops.TextOps.entropyTermMicro(c.asInstanceOf[Long], n.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, n) =>
+      s"graft.ops.TextOps.entropyTermMicro($c, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** One trigram transition's stupid-backoff score in integer micro-nats —
@@ -436,6 +464,13 @@ object Functions {
         org.apache.spark.sql.GraftColumnBridge.expression(cu),
         org.apache.spark.sql.GraftColumnBridge.expression(v)))
 
+  /** Column-level API: `entropy_term_micro(c, n)` (both BIGINT). */
+  def entropy_term_micro(c: Column, n: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      EntropyTermMicroExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c),
+        org.apache.spark.sql.GraftColumnBridge.expression(n)))
+
   /** Column-level API: `sb_log_prob_micro(k, num, den, α‰)` (cols BIGINT). */
   def sb_log_prob_micro(k: Column, num: Column, den: Column,
                         alphaPm: Int): Column =
@@ -488,6 +523,9 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "log_prob_micro",
       exprs => LogProbMicroExpr(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "entropy_term_micro",
+      exprs => EntropyTermMicroExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_chunks", exprs => CdcChunksExpr(exprs.head, 6, 16, 256), "scala_udf")
   }

@@ -152,9 +152,9 @@ object Dedup {
     * codegen'd `array_intersect` after two hash joins — no exploded
     * shingle-level join, no per-pair groupBy-count shuffle.
     */
-  private def verifyJaccard(candidatePlan: DataFrame, sh: DataFrame,
-                            minJaccardPm: Int, reliableDir: Option[String])
-                           (select: DataFrame => DataFrame): DataFrame = {
+  private def verifyPairs(candidatePlan: DataFrame, sh: DataFrame,
+                          reliableDir: Option[String])
+                         (finish: DataFrame => DataFrame): DataFrame = {
     // the candidate subtree feeds BOTH the semi-join prune and the pair join;
     // materialize it once (it is small) so it is not computed twice, and
     // release its blocks once the (also-small) result is checkpointed
@@ -163,19 +163,26 @@ object Dedup {
       val ids = candidates.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
       val arrays = sh.join(ids, Seq("doc_id"), "left_semi")
         .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs"))
-      val out = select(candidates
+      val out = finish(candidates
         .join(arrays.toDF("a", "shs_a"), Seq("a"))
         .join(arrays.toDF("b", "shs_b"), Seq("b"))
         .select(col("a"), col("b"),
           size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_inter"),
           size(col("shs_a")).cast("long").as("n_a"),
-          size(col("shs_b")).cast("long").as("n_b"))
-        .withColumn("jaccard_pm",
-          floor(col("n_inter") * lit(1000) / (col("n_a") + col("n_b") - col("n_inter"))).cast("long"))
-        .where(col("jaccard_pm") >= minJaccardPm))
+          size(col("shs_b")).cast("long").as("n_b")))
       materialize(out, reliableDir)
     } finally releaseCheckpoint(candidates) // result is checkpointed above
   }
+
+  private def verifyJaccard(candidatePlan: DataFrame, sh: DataFrame,
+                            minJaccardPm: Int, reliableDir: Option[String])
+                           (select: DataFrame => DataFrame): DataFrame =
+    verifyPairs(candidatePlan, sh, reliableDir) { base =>
+      select(base
+        .withColumn("jaccard_pm",
+          floor(col("n_inter") * lit(1000) / (col("n_a") + col("n_b") - col("n_inter"))).cast("long"))
+        .where(col("jaccard_pm") >= minJaccardPm))
+    }
 
   /** N-gram Jaccard near-dup pairs via an inverted shingle index.
     *
@@ -209,6 +216,54 @@ object Dedup {
         .select("a", "b")
       verifyJaccard(survivors, sh, minJaccardPm, reliableCheckpointDir)(
         _.select(col("a"), col("b"), col("n_inter"), col("n_a"), col("n_b"), col("jaccard_pm")))
+    } finally sh.unpersist(false)
+  }
+
+  /** Directional shingle-containment near-dup pairs (Broder 1997's
+    * "containment" resemblance, the measure Jaccard-threshold dedup is
+    * structurally blind to): a short document quoted wholesale inside a much
+    * longer one shares ALL of its shingles — containment 1000‰ — yet its
+    * Jaccard against the host is tiny because the union is dominated by the
+    * host. Quote-inclusion, article-plus-comments re-posts, and
+    * digest/anthology pages are exactly this regime, and a curation pass that
+    * only runs Jaccard near-dup keeps feeding the training set the same
+    * embedded text. Score: `contain_pm = 1000·|A∩B| / min(|A|,|B|)` over
+    * distinct word-n-gram shingle sets — symmetric form of the directional
+    * measure (the smaller side is the contained candidate by construction).
+    *
+    * Plan shape (identical scale discipline to [[ngramJaccardPairs]]):
+    * shingles → df-capped pair-stream intersection counts (no join) →
+    * PREFILTER on capped containment (`1000·i_c >= pm·min(n_a,n_b)`; the
+    * denominator is intersection-free, so the prefilter is monotone: capped
+    * i_c <= true i means survivors only move further above the threshold) →
+    * EXACT intersection recomputed over the uncapped index for the few
+    * survivors via the semi-join-pruned `array_intersect` verify. Recall
+    * semantics are the same documented df-cap contract: a pair whose
+    * threshold-clearing overlap NEEDS shingles with df > maxDf is out of
+    * scope (mass-boilerplate regime — run exact dedup first). `contain_pm`
+    * is integer `div` arithmetic end to end, bit-identical at any
+    * parallelism and mirrored verbatim by the DuckDB oracle.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, minContainPm: Int = 800,
+                       maxDf: Int = 1000,
+                       reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    try {
+      val counts = sh.groupBy("doc_id")
+        .agg(countDistinct(col("shingle")).as("n_sh"))
+      val survivors = cappedInterCounts(sh, maxDf)
+        .join(counts.toDF("a", "n_a"), Seq("a"))
+        .join(counts.toDF("b", "n_b"), Seq("b"))
+        .where(col("n_inter_capped") * 1000 >=
+          lit(minContainPm) * least(col("n_a"), col("n_b")))
+        .select("a", "b")
+      verifyPairs(survivors, sh, reliableCheckpointDir) { base =>
+        base
+          .withColumn("contain_pm",
+            expr("(n_inter * 1000L) div least(n_a, n_b)"))
+          .where(col("contain_pm") >= minContainPm)
+          .select("a", "b", "n_inter", "n_a", "n_b", "contain_pm")
+      }
     } finally sh.unpersist(false)
   }
 

@@ -218,4 +218,76 @@ object Retrieval {
         when(col("fr").isNotNull, expr("1000000L div fr"))
           .otherwise(lit(0L)).as("rr_micro"))
   }
+
+  /** The fixed phrase-probe set for the driver gate. p2/p4 repeat a term
+    * ("a a" / "a a the") so the offset-alignment core is exercised on the
+    * self-overlapping case a distinct-terms shortcut would get wrong; p3 is
+    * the zero-hit probe (absent tokens emit no rows by contract).
+    */
+  val GatePhrases: Seq[(Long, String)] = Seq(
+    0L -> "table hash",
+    1L -> "slow hash batch",
+    2L -> "a a",
+    3L -> "zzz absent phrase",
+    4L -> "a a the",
+    5L -> "part filter scan")
+
+  /** Exact multi-token phrase search over positional postings — the
+    * adjacency query BM25's bag-of-words scoring cannot express (a doc
+    * containing every term scattered across paragraphs is a BM25 hit but
+    * not a phrase hit). The curation uses are boolean-phrase corpus audits
+    * ("find every doc containing this exact sentence fragment") and
+    * benchmark-contamination triage, where scattered-term matches are
+    * noise.
+    *
+    * Algorithm (the classic positional-index intersection, restated as one
+    * aggregation instead of a k-way self-join): tokenize → positional
+    * postings (doc_id, pos, tok) → keep only postings whose token occurs in
+    * some phrase (map-side InSet) → join the broadcast (tok, q_id, offset j,
+    * phrase length) table and normalize each hit to its implied phrase
+    * START `pos − j` → an occurrence exists at a start iff ALL offsets
+    * 0..len−1 matched there: `countDistinct(j) == len` per
+    * (q_id, doc_id, start). Repeated phrase terms need no special case —
+    * each posting simply aligns to every offset the term occupies, and the
+    * distinct-offset count is still exact. Output, one row per matching
+    * (q_id, doc_id): n_hits (occurrence count) and first_pos (1-based token
+    * index of the first occurrence); phrases with no match emit no rows.
+    *
+    * Scale shape: phrases are tiny and ship map-side (InSet filter +
+    * broadcast join — the corpus is never shuffled as text); the only
+    * exchanges carry (q_id, doc_id, start) hit partials, map-side combined
+    * and bounded by term hits, then the |matches|-sized rollup. A
+    * stop-word-only phrase fattens the hit stream linearly (its postings),
+    * never quadratically — there is no pairwise join anywhere.
+    */
+  def phraseSearch(docs: DataFrame,
+                   phrases: Seq[(Long, String)]): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // (q_id, tok, offset, len) — one row per phrase-token POSITION
+    val pt = phrases.flatMap { case (q, text) =>
+      val toks = text.trim.split(TextOps.WsPlus).filter(_.nonEmpty)
+      require(toks.nonEmpty, s"phrase $q has no tokens")
+      toks.iterator.zipWithIndex.map { case (t, j) => (q, t, j, toks.length) }
+    }
+    val terms = pt.map(_._2).distinct
+    val ptTbl = pt.toDF("q_id", "tok", "j", "len")
+
+    val postings = docs.select(
+        Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"),
+        posexplode(TextOps.toksOrEmpty(col("text"))).as(Seq("pos", "tok")))
+      .where(col("tok").isin(terms: _*))
+
+    postings.join(broadcast(ptTbl), Seq("tok"))
+      .select(col("q_id"), col("doc_id"),
+        (col("pos") - col("j")).as("start"), col("j"), col("len"))
+      .where(col("start") >= 0)
+      .groupBy("q_id", "doc_id", "start")
+      .agg(countDistinct(col("j")).as("n_matched"), max(col("len")).as("len"))
+      .where(col("n_matched") === col("len"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        (min(col("start")) + 1).cast("long").as("first_pos"))
+  }
 }

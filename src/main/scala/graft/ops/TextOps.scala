@@ -81,6 +81,58 @@ object TextOps {
       .withColumn("oov_pm", expr("n_oov * 1000 div n_toks").cast("long"))
   }
 
+  /** Per-document token-distribution Shannon entropy in integer micro-nats —
+    * the distribution-shaped quality signal next to the count-shaped ones
+    * ([[repetitionStats]] sees the top n-gram, [[oovRatio]] sees the rare
+    * tail; entropy sees the WHOLE histogram at once): `h_micro_per_tok ≈ 0`
+    * flags one-token spam ("buy buy buy …"), keyword-stuffed and
+    * template-looped pages, while unnaturally HIGH per-token entropy
+    * (every token unique) flags id dumps and hash soup. Used exactly this
+    * way as a cheap gibberish gate in large-corpus curation (e.g. the
+    * repetition/diversity filters of Gopher, Rae et al. 2021 §A.1.1 —
+    * entropy is the single-number summary those rule families approximate).
+    *
+    * Output, one row per input doc: (doc_id, n_toks, n_types, h_micro_tot,
+    * h_micro_per_tok) where h_micro_tot = Σ_types c·round(ln(n/c)·1e6) =
+    * n·H(doc) micro-nats (each TYPE's term rounded to a long BEFORE the
+    * sum — [[entropyTermMicro]], the `log_prob_micro` determinism
+    * discipline, so the aggregate is bit-identical at any parallelism) and
+    * h_micro_per_tok = h_micro_tot div n_toks, the plug-in entropy in
+    * micro-nats. Blank docs emit (0, 0, 0, 0) — every doc stays visible to
+    * the downstream quality ensemble.
+    *
+    * Scale shape: explode → ONE map-side-combined (doc_id, tok) count
+    * shuffle; everything after is per-doc-vocabulary-sized, keyed by doc_id
+    * (the per-doc totals, the entropy-term join, and the final rollup all
+    * reuse one hash partitioning on doc_id, and the entropy term itself is
+    * a codegen'd native expression). The corpus text never shuffles, and no
+    * row ever holds a whole doc's histogram — a 10^6-distinct-token doc is
+    * 10^6 skinny rows, not one fat array.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    import graft.functions.Functions.entropy_term_micro
+    val spine = docs.select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"))
+    val tf = docs.where(length(trim(col("text"))) > 0)
+      .select(Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"),
+        explode(splitToks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val totals = tf.groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_toks"),
+        count(lit(1)).cast("long").as("n_types"))
+    val h = tf.join(totals.select("doc_id", "n_toks"), Seq("doc_id"))
+      .select(col("doc_id"), entropy_term_micro(col("c"), col("n_toks")).as("e"))
+      .groupBy("doc_id")
+      .agg(sum(col("e")).cast("long").as("h_micro_tot"))
+    spine.join(totals.join(h, Seq("doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("h_micro_tot"), lit(0L)).as("h_micro_tot"))
+      .withColumn("h_micro_per_tok",
+        expr("h_micro_tot div greatest(n_toks, 1L)"))
+  }
+
   /** BPE-ish piece pattern (GPT-2 style): letter runs, digit runs, and
     * single non-letter/digit/space marks. Expressed as a MATCH pattern (no
     * lookarounds) so Java regex and DuckDB's RE2 agree exactly.
@@ -1345,6 +1397,19 @@ object TextOps {
     */
   def logProbMicro(cb: Long, cu: Long, v: Long): Long =
     Math.round(StrictMath.log((cb + 1.0d) / (cu.toDouble + v.toDouble)) * 1e6d)
+
+  /** One token TYPE's contribution to a document's Shannon entropy, in
+    * integer micro-nats: `c · round(ln(n/c) · 1e6)` for a type occurring
+    * `c` times in an `n`-token document (so the per-doc total is
+    * `Σ_t c_t·ln(n/c_t) = n·H(doc)` micro-nats, the plug-in entropy scaled
+    * by length). Rounded to a LONG per TYPE before the per-doc sum — the
+    * same micro-unit discipline as [[logProbMicro]], so the aggregate is
+    * exact under any partitioning. `StrictMath.log` keeps the value
+    * bit-identical on every JVM; called from generated code by
+    * [[graft.functions.EntropyTermMicroExpr]].
+    */
+  def entropyTermMicro(c: Long, n: Long): Long =
+    c * Math.round(StrictMath.log(n.toDouble / c.toDouble) * 1e6d)
 
   /** CCNet-style LM quality filter (Wenzek et al. 2020 run a KenLM over
     * Common Crawl and bucket docs by perplexity): trains a Laplace-smoothed

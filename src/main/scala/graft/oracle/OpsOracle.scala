@@ -904,6 +904,30 @@ object OpsOracle {
     }
   }
 
+  // ---- token-distribution entropy ------------------------------------------
+
+  /** Sequential `TextOps.tokenEntropy`, restated on immutable collections:
+    * whitespace tokens, per-TYPE micro-nat term `c·round(ln(n/c)·1e6)`
+    * (StrictMath.log) summed as longs, truncated Long division for the
+    * per-token average, blank docs emitting (0, 0, 0, 0). Returns
+    * (doc_id, n_toks, n_types, h_micro_tot, h_micro_per_tok).
+    */
+  def tokenEntropySeq(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Long)] =
+    docs.map { case (id, text) =>
+      val t = text.trim
+      val ts: Array[String] =
+        if (t.isEmpty) Array.empty[String] else t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+      if (ts.isEmpty) (id, 0L, 0L, 0L, 0L)
+      else {
+        val n = ts.length.toLong
+        val counts = ts.groupBy(identity).map { case (_, xs) => xs.length.toLong }
+        val tot = counts.iterator
+          .map(c => c * Math.round(StrictMath.log(n.toDouble / c.toDouble) * 1e6d))
+          .sum
+        (id, n, counts.size.toLong, tot, tot / n)
+      }
+    }
+
   // ---- bigram-LM perplexity score ------------------------------------------
 
   /** Sequential `TextOps.lmScore`, restated on immutable collections with
@@ -1771,7 +1795,7 @@ object OpsGolden {
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
     "incnd", "pagerank", "trustrank", "hits", "sblm", "winnow", "srcover",
-    "ugv", "ugenc", "exactsub", "ann_ivfpq", "ann_ivfpq_rr")
+    "ugv", "ugenc", "exactsub", "ann_ivfpq", "ann_ivfpq_rr", "entropy")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -1880,6 +1904,9 @@ object OpsGolden {
     write("lm",
       OpsOracle.lmScore(docs, vocabSize = 1 << 14, maxBigrams = 1 << 16),
       Seq("doc_id", "n_trans", "lp_micro_tot", "lp_micro_per_tok"))
+    write("entropy",
+      OpsOracle.tokenEntropySeq(docs),
+      Seq("doc_id", "n_toks", "n_types", "h_micro_tot", "h_micro_per_tok"))
     // trigram stupid-backoff LM: tight caps (vocab 16 of ~31 tokens, 1024
     // of ~5k normalized trigrams, 128 of ~300 bigrams) so ALL THREE
     // backoff levels fire at the gate scale

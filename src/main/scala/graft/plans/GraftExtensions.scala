@@ -72,5 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.LogProbMicroExpr].getName, "log_prob_micro"),
       exprs => graft.functions.LogProbMicroExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("entropy_term_micro"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.EntropyTermMicroExpr].getName, "entropy_term_micro"),
+      exprs => graft.functions.EntropyTermMicroExpr(exprs(0), exprs(1))))
   }
 }

@@ -2235,4 +2235,111 @@ class OpsSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Long)].collect().toSet
     again shouldBe want
   }
+
+  test("containmentPairs reports EXACT containment (uncapped verify), parallelism-invariant") {
+    // brute-force sequential ground truth over full shingle sets; the df cap
+    // cannot bind at this scale (< maxDf docs), so candidate recall is 1 and
+    // the whole output must match exactly
+    val sets = Dedup.shingles(docs, 3).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rows) => d -> rows.map(_._2).toSet }
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      inter = (sets(ids(i)) intersect sets(ids(j))).size
+      if inter > 0
+      cpm = inter.toLong * 1000 / math.min(sets(ids(i)).size, sets(ids(j)).size)
+      if cpm >= 150
+    } yield (ids(i), ids(j), inter.toLong, sets(ids(i)).size.toLong,
+      sets(ids(j)).size.toLong, cpm)).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentPairs(df, n = 3, minContainPm = 150)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val got = run(docs)
+    got shouldBe expected
+    expected should not be empty
+    run(docs.repartition(5)) shouldBe expected
+  }
+
+  test("containmentPairs catches a quoted-superset pair Jaccard-threshold dedup misses") {
+    // doc 2 quotes ALL of doc 1 inside 10x unrelated filler: containment is
+    // 1000 per-mille but Jaccard is tiny — the structural blind spot the op
+    // exists for
+    val quoted = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 120).map(i => s"f$i").mkString(" ")
+    val df = Seq((1L, quoted), (2L, s"$filler $quoted"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, n = 3, minContainPm = 800)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+    val (_, _, nInter, nA, _, cpm) = pairs.head
+    cpm shouldBe 1000L
+    nInter shouldBe nA // every shingle of the quoted doc is in the host
+    // the same pair is invisible to the Jaccard op at any sane threshold
+    Dedup.ngramJaccardPairs(df, n = 3, minJaccardPm = 200).count() shouldBe 0L
+  }
+
+  test("phraseSearch == sliding-window brute force on the gate corpus") {
+    val local = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq
+    val expected = (for {
+      (q, ph) <- Retrieval.GatePhrases
+      pt = ph.trim.split("\\s+").toSeq
+      (id, text) <- local
+      toks = text.trim.split("[ \\t\\n\\x0B\\f\\r]+", -1).toSeq
+        .filter(_ => text.trim.nonEmpty)
+      starts = (0 to toks.length - pt.length).filter(s => toks.slice(s, s + pt.length) == pt)
+      if starts.nonEmpty
+    } yield (q, id, starts.length.toLong, starts.min.toLong + 1)).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.phraseSearch(df, Retrieval.GatePhrases)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val got = run(docs)
+    got shouldBe expected
+    expected should not be empty
+    run(docs.repartition(5)) shouldBe expected
+  }
+
+  test("phraseSearch: self-overlapping repeated-term phrases count every occurrence") {
+    // "a a" in "a a a b a a" occurs at starts 1,2,5 (overlaps allowed);
+    // "a a a" once; an absent phrase emits no rows; a phrase longer than the
+    // doc emits no rows
+    val df = Seq((1L, "a a a b a a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(df,
+        Seq(0L -> "a a", 1L -> "a a a", 2L -> "zz", 3L -> "a a a b a a a"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    got shouldBe Set((0L, 1L, 3L, 1L), (1L, 1L, 1L, 1L))
+  }
+
+  test("tokenEntropy == sequential oracle, parallelism-invariant") {
+    val seq = docs.select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val want = oracle.OpsOracle.tokenEntropySeq(seq).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.tokenEntropy(df).as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = run(docs)
+    got shouldBe want
+    want should not be empty
+    run(docs.repartition(5)) shouldBe want
+  }
+
+  test("tokenEntropy: spam floors at zero, unique-token docs hit ln(n), blanks stay visible") {
+    val df = Seq(
+      (1L, "buy buy buy buy"),   // one type: H = 0 exactly
+      (2L, "a b c d"),           // uniform unique: per-tok = round(ln(4)*1e6)
+      (3L, ""),                  // blank: all-zero row, still present
+      (4L, "a a b b"))           // two balanced types: per-tok = round(ln(2)*1e6)
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(df)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    got(1L) shouldBe ((4L, 1L, 0L, 0L))
+    val ln4 = Math.round(StrictMath.log(4.0) * 1e6)
+    got(2L) shouldBe ((4L, 4L, 4 * ln4, ln4))
+    got(3L) shouldBe ((0L, 0L, 0L, 0L))
+    val ln2 = Math.round(StrictMath.log(2.0) * 1e6)
+    got(4L) shouldBe ((4L, 2L, 4 * ln2, ln2))
+    // ordering: the spam doc scores strictly below both diverse docs
+    got(1L)._4 should be < got(4L)._4
+    got(4L)._4 should be < got(2L)._4
+  }
 }
