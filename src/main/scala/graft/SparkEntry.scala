@@ -1531,6 +1531,13 @@ object SparkEntry {
     // offset-aligned postings — two different algorithms, same rows)
     "q_phrase_search" -> ((s, dir) =>
       Retrieval.phraseSearch(docsTable(s, dir), Retrieval.GatePhrases)),
+    // windowed proximity search over the SAME probes as BM25 — the
+    // middle relevance predicate between bag-of-words and exact adjacency
+    // (all distinct probe terms inside one 8-token window); FULL ANSI-SQL
+    // gate via DuckDB's sliding list_has_all window
+    "q_window_search" -> ((s, dir) =>
+      Retrieval.windowSearch(docsTable(s, dir), Retrieval.GateQueries,
+        window = 8)),
     // hybrid retrieval: BM25 ⊕ dense-ANN via reciprocal-rank fusion —
     // query q pairs the q-th text probe with the q-th document's
     // embedding (a real system's (text, vector) query pairs, derived
@@ -1851,6 +1858,19 @@ object SparkEntry {
       val media = Multimodal.fromCorpus(s, Corpus.ensure(s, sf))
       Multimodal.phashNearDup(
         media.union(Multimodal.perturbedAssets(media)), maxHamming = 6)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+    }),
+    // multi-index banding (3 bands per bucket key): the layout that keeps
+    // perceptual dedup recall alive at 10^12 assets, where the classic
+    // 512-key bands would ALL overflow the bucket cap — same exact-recall
+    // pigeonhole, gated against its own sequential restatement
+    "q_media_phash_dup_mih" -> ((s, dir) => {
+      opsGolden(s, dir)
+      val sf = Corpus.sfName(dir)
+      val media = Multimodal.fromCorpus(s, Corpus.ensure(s, sf))
+      Multimodal.phashNearDup(
+        media.union(Multimodal.perturbedAssets(media)), maxHamming = 6,
+        bandsPerKey = 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
     // video-style frame sampling: decode → resize-pool → every-2nd-frame
@@ -2500,6 +2520,22 @@ object SparkEntry {
         "WHERE t.toks[u.i:u.i + len(qa.pt) - 1] = qa.pt) " +
         "SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
         "CAST(min(i) AS BIGINT) AS first_pos FROM hits GROUP BY 1, 2"),
+    // full restatement of windowSearch: DuckDB slides the 8-token window
+    // directly (list_has_all over toks[s:s+7]) vs the engine's
+    // witness-start posting aggregation
+    "q_window_search" ->
+      ("WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents), " +
+        "q AS (SELECT * FROM (VALUES (0, 'join hash batch'), (1, 'customer filter'), " +
+        "(2, 'scan column row'), (3, 'slow small join'), (4, 'zzz_absent'), " +
+        "(5, 'hash hash join')) v(q_id, qtext)), " +
+        "qa AS (SELECT CAST(q_id AS BIGINT) AS q_id, " +
+        "list_distinct(regexp_split_to_array(trim(qtext), '[ \\t\\n\\x0B\\f\\r]+')) AS pt FROM q), " +
+        "hits AS (SELECT qa.q_id, t.doc_id, u.s " +
+        "FROM t CROSS JOIN qa CROSS JOIN unnest(range(1, len(t.toks) + 1)) AS u(s) " +
+        "WHERE list_has_all(t.toks[u.s:u.s + 7], qa.pt)) " +
+        "SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_windows, " +
+        "CAST(min(s) AS BIGINT) AS first_pos FROM hits GROUP BY 1, 2"),
     "q_source_stats" ->
       ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
@@ -2907,6 +2943,8 @@ object SparkEntry {
         "FROM r WHERE rank <= 10"),
     "q_media_phash_dup" ->
       "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/phash/*.parquet')",
+    "q_media_phash_dup_mih" ->
+      "SELECT a, b, hamming FROM read_parquet('/root/repo/data/golden_ops/sf0.01/phash_mih/*.parquet')",
     "q_semantic_decontam" ->
       "SELECT vec_id, eval_id, score_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/semdecon/*.parquet')",
     "q_temperature_mixture" ->

@@ -204,25 +204,54 @@ object Multimodal {
       }
   }
 
+  /** The multi-index band/key layout shared by [[phashNearDup]] and the
+    * sequential oracle: `maxHamming + bandsPerKey` disjoint bit-bands of
+    * `64 / m` bits, one bucket key per `bandsPerKey`-subset of bands
+    * (lexicographic [[Seq.combinations]] order — comboId is the band
+    * column). With r = bandsPerKey, ≤ maxHamming differing bits touch ≤
+    * maxHamming bands, leaving ≥ r bands intact, so some r-subset matches
+    * in BOTH hashes — recall is exact by pigeonhole at every r. Bits above
+    * `m·width` are unbanded, which only ever helps recall (a difference
+    * there touches no band).
+    */
+  private[graft] def bandCombos(maxHamming: Int, bandsPerKey: Int): Seq[(Int, Seq[Int])] = {
+    val m = maxHamming + bandsPerKey
+    (0 until m).combinations(bandsPerKey).toSeq.zipWithIndex
+      .map { case (bs, id) => (id, bs.toSeq) }
+  }
+
   /** Perceptual near-duplicate asset pairs: [[phash64]] at the scan (bytes
     * never survive the first projection), then the SimHash pigeonhole
-    * discipline — `maxHamming + 1` Hamming bands, pairs meet only inside a
-    * shared band bucket, hot buckets (> `maxBucket` assets — the
-    * exact-duplicate regime, dedupe by content hash first) are dropped and
-    * singleton buckets pruned before the self-join, exact `bit_count`
+    * discipline — `maxHamming + bandsPerKey` Hamming bands, pairs meet only
+    * inside a shared bucket, hot buckets (> `maxBucket` assets) are dropped
+    * and singleton buckets pruned before the self-join, exact `bit_count`
     * Hamming verify on the survivors. Output (a, b, hamming), a < b.
     *
+    * `bandsPerKey` (r) is the CORPUS-SCALE dial. At r = 1 (the classic
+    * banding) a bucket key is one `64/(h+1)`-bit slice — 512 distinct keys
+    * per band at h = 6, so once the corpus passes ~512·maxBucket assets
+    * EVERY bucket is hot regardless of duplication and the cap silently
+    * drops all recall. Requiring r bands to match jointly widens the key to
+    * `r·width` bits at a `C(h+r, r)`× banding cost (still 16-byte rows):
+    * h = 6, r = 3 → 84 keys of 21 bits ≈ 1.8·10^8 effective buckets, which
+    * keeps expected bucket population below a 10^4 cap out to ~10^12
+    * assets — the op's actual target scale. Recall stays exact by the
+    * pigeonhole argument on [[bandCombos]]; only bucket population (and
+    * with it the cap's bite) changes.
+    *
     * Scale shape: the only exchanged rows are (ref, 8-byte hash) and the
-    * band keys; asset payloads stay in the scan stage. Recall is exact for
-    * hamming ≤ maxHamming within kept buckets (pigeonhole: ≤ maxHamming
-    * differing bits cannot touch all maxHamming+1 bands).
+    * bucket keys; asset payloads stay in the scan stage.
     */
   def phashNearDup(media: Dataset[MediaRecord], maxHamming: Int = 6,
-                   maxBucket: Int = 10000): org.apache.spark.sql.DataFrame = {
+                   maxBucket: Int = 10000,
+                   bandsPerKey: Int = 1): org.apache.spark.sql.DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 15,
       s"maxHamming must be in [1, 15] (got $maxHamming); dedupe exact copies by content hash first")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
+    require(bandsPerKey >= 1 && 64 / (maxHamming + bandsPerKey) >= 3,
+      s"bandsPerKey must be >= 1 with bands of >= 3 bits (got $bandsPerKey at maxHamming=$maxHamming)")
+    val m = maxHamming + bandsPerKey
+    val width = 64 / m
+    val mask = (1L << width) - 1
     import org.apache.spark.sql.functions._
     val spark = media.sparkSession
     import spark.implicits._
@@ -230,11 +259,20 @@ object Multimodal {
     // across documents so each asset is banded once
     val hashed = media.map(m => (m.media_ref, phash64(m.content)))
       .toDF("ref", "ph").groupBy("ref").agg(min(col("ph")).as("ph"))
+    // one struct per band combo, built from plan-time constants: key =
+    // the r band slices concatenated low-to-high
+    val comboStructs = bandCombos(maxHamming, bandsPerKey).map { case (id, bs) =>
+      val key = bs.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftrightunsigned(col("ph"), b * width).bitwiseAND(lit(mask)),
+          i * width)
+      }.reduce(_ bitwiseOR _)
+      struct(lit(id).as("band"), key.as("key"))
+    }
     val banded = hashed
       .select(col("ref"), col("ph"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("key", expr(s"shiftrightunsigned(ph, band * $width)")
-        .bitwiseAND(lit((1L << width) - 1)))
+        explode(array(comboStructs: _*)).as("bk"))
+      .select(col("ref"), col("ph"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     val keepK = banded.groupBy("band", "key").agg(count(lit(1)).as("m"))
       .where(col("m").between(2, maxBucket))
       .select("band", "key")

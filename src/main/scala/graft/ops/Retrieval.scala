@@ -260,6 +260,66 @@ object Retrieval {
     * stop-word-only phrase fattens the hit stream linearly (its postings),
     * never quadratically — there is no pairwise join anywhere.
     */
+  /** Windowed proximity search — the relaxation between [[phraseSearch]]
+    * (exact adjacency) and [[bm25TopK]] (no position constraint at all): a
+    * doc matches probe q iff ALL of q's distinct terms co-occur inside some
+    * `window`-token span, in any order. The classic "terms near each other"
+    * relevance predicate — a doc mentioning "license" in §1 and "apache" in
+    * §9 is a bag-of-words hit but not a proximity hit.
+    *
+    * Restated as the same start-alignment aggregation as [[phraseSearch]]:
+    * each posting of term t at position p witnesses every window START in
+    * `[p − window + 1, p]` (an in-row `sequence` explode — `window`× the
+    * hit stream, a plan-time constant, never corpus-sized), and a start
+    * matches iff `countDistinct(term) == |distinct terms|` there. Here the
+    * distinct count is REQUIRED (the same term may repeat inside one
+    * window), unlike the phrase op where uniqueness is structural. Output,
+    * one row per matching (q_id, doc_id): n_windows (count of matching
+    * start positions — a crude within-doc proximity density) and first_pos
+    * (1-based earliest matching start). Witness starts are clamped at 0 on
+    * the doc head (`greatest(p − window + 1, 0)`); windows hanging past the
+    * doc tail need no clamp — they can only match if the terms actually
+    * present in the tail cover the probe, so no phantom matches arise.
+    *
+    * Scale shape identical to [[phraseSearch]]: broadcast probe table,
+    * map-side InSet cut, two map-side-combined aggregates keyed by
+    * (q_id, doc_id, start) then (q_id, doc_id); the countDistinct expand is
+    * bounded by term hits × window, never by the corpus.
+    */
+  def windowSearch(docs: DataFrame, probes: Seq[(Long, String)],
+                   window: Int = 8): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    require(window >= 1, "window >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // (q_id, tok, n_terms) — DISTINCT terms per probe (repeats in the probe
+    // text don't change the predicate)
+    val pt = probes.flatMap { case (q, text) =>
+      val toks = text.trim.split(TextOps.WsPlus).filter(_.nonEmpty).distinct
+      require(toks.nonEmpty, s"probe $q has no tokens")
+      toks.iterator.map(t => (q, t, toks.length))
+    }
+    val terms = pt.map(_._2).distinct
+    val ptTbl = pt.toDF("q_id", "tok", "n_terms")
+
+    val postings = docs.select(
+        Dedup.idLong(col("doc_id"), "doc_id").as("doc_id"),
+        posexplode(TextOps.toksOrEmpty(col("text"))).as(Seq("pos", "tok")))
+      .where(col("tok").isin(terms: _*))
+
+    postings.join(broadcast(ptTbl), Seq("tok"))
+      .select(col("q_id"), col("doc_id"), col("tok"), col("n_terms"),
+        explode(sequence(
+          greatest(col("pos") - lit(window - 1), lit(0)),
+          col("pos"))).as("start"))
+      .groupBy("q_id", "doc_id", "start")
+      .agg(countDistinct(col("tok")).as("n_here"), max(col("n_terms")).as("n_terms"))
+      .where(col("n_here") === col("n_terms"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        (min(col("start")) + 1).cast("long").as("first_pos"))
+  }
+
   def phraseSearch(docs: DataFrame,
                    phrases: Seq[(Long, String)]): DataFrame = {
     require(phrases.nonEmpty, "phrases must be non-empty")
@@ -279,12 +339,16 @@ object Retrieval {
         posexplode(TextOps.toksOrEmpty(col("text"))).as(Seq("pos", "tok")))
       .where(col("tok").isin(terms: _*))
 
+    // (q_id, doc_id, start, j) rows are unique by construction — pos is
+    // determined as start + j and posexplode emits each position once — so
+    // a plain count equals the distinct-offset count without the extra
+    // expand + exchange a countDistinct would plan
     postings.join(broadcast(ptTbl), Seq("tok"))
       .select(col("q_id"), col("doc_id"),
-        (col("pos") - col("j")).as("start"), col("j"), col("len"))
+        (col("pos") - col("j")).as("start"), col("len"))
       .where(col("start") >= 0)
       .groupBy("q_id", "doc_id", "start")
-      .agg(countDistinct(col("j")).as("n_matched"), max(col("len")).as("len"))
+      .agg(count(lit(1)).as("n_matched"), max(col("len")).as("len"))
       .where(col("n_matched") === col("len"))
       .groupBy("q_id", "doc_id")
       .agg(count(lit(1)).cast("long").as("n_hits"),

@@ -1723,7 +1723,8 @@ object OpsOracle {
     * the standard way. Returns (a, b, hamming) with a < b.
     */
   def phashPairs(spec: CorpusGen.Spec, flips: Int, mod: Int,
-                 maxHamming: Int, maxBucket: Int = 10000): Seq[(String, String, Long)] = {
+                 maxHamming: Int, maxBucket: Int = 10000,
+                 bandsPerKey: Int = 1): Seq[(String, String, Long)] = {
     val baseRefs = CorpusGen.genAll(spec)
       .flatMap(_.spans.iterator.map(_.media_ref).filter(_.nonEmpty))
       .toSeq.distinct
@@ -1744,19 +1745,27 @@ object OpsOracle {
         .map(r => (r + "~p") ->
           Multimodal.phash64(perturb(Multimodal.syntheticContent(r))))
       ).sortBy(_._1).toIndexedSeq
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
+    // identical multi-index layout as the engine (shared combo builder)
+    val width = 64 / (maxHamming + bandsPerKey)
     val mask = (1L << width) - 1
+    val combos = Multimodal.bandCombos(maxHamming, bandsPerKey)
     def bandKeys(h: Long): Seq[(Int, Long)] =
-      (0 until nBands).map(b => (b, (h >>> (b * width)) & mask))
+      combos.map { case (id, bs) =>
+        val key = bs.zipWithIndex.map { case (b, i) =>
+          ((h >>> (b * width)) & mask) << (i * width)
+        }.reduce(_ | _)
+        (id, key)
+      }
     val bucketSize = scala.collection.mutable.Map.empty[(Int, Long), Int]
     assets.foreach { case (_, h) =>
       bandKeys(h).foreach(k => bucketSize(k) = bucketSize.getOrElse(k, 0) + 1)
     }
-    def meetsInKeptBucket(h1: Long, h2: Long): Boolean =
-      bandKeys(h1).exists { case (b, k) =>
-        ((h2 >>> (b * width)) & mask) == k && bucketSize((b, k)) <= maxBucket
+    def meetsInKeptBucket(h1: Long, h2: Long): Boolean = {
+      val k2 = bandKeys(h2).toMap
+      bandKeys(h1).exists { case (id, k) =>
+        k2(id) == k && bucketSize((id, k)) <= maxBucket
       }
+    }
     (for {
       i <- assets.indices.iterator
       j <- (i + 1) until assets.length
@@ -1795,7 +1804,8 @@ object OpsGolden {
     "bpeenc", "nb", "dsir", "moji", "frames", "srckl", "bm25", "phash",
     "semdecon", "tempmix", "rproj", "cdc", "wpm", "wpenc", "streamnd",
     "incnd", "pagerank", "trustrank", "hits", "sblm", "winnow", "srcover",
-    "ugv", "ugenc", "exactsub", "ann_ivfpq", "ann_ivfpq_rr", "entropy")
+    "ugv", "ugenc", "exactsub", "ann_ivfpq", "ann_ivfpq_rr", "entropy",
+    "phash_mih")
 
   /** Idempotently generate all ops goldens for one testdata dir. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -2059,6 +2069,14 @@ object OpsGolden {
     write("phash",
       OpsOracle.phashPairs(CorpusGen.specFor(sf), flips = 2, mod = 7,
         maxHamming = 6),
+      Seq("a", "b", "hamming"))
+    // multi-index variant (r = 3 bands per key — the corpus-scale layout);
+    // at gate scale no bucket overflows under either layout, so the pair
+    // SET matches the classic banding, but the code path is the joint-band
+    // key machinery end to end
+    write("phash_mih",
+      OpsOracle.phashPairs(CorpusGen.specFor(sf), flips = 2, mod = 7,
+        maxHamming = 6, bandsPerKey = 3),
       Seq("a", "b", "hamming"))
     // BM25 retrieval over the fixed probe set (shared with q_bm25_topk)
     write("bm25",

@@ -1206,6 +1206,50 @@ class OpsSpec extends AnyFunSuite with Matchers {
     got.count { case (a, b, _) => b == a + "~p" } should be > 0
   }
 
+  test("phash multi-index banding == sequential restatement; classic set at gate scale") {
+    val sf = "sf0.001"
+    graft.corpus.Corpus.ensure(spark, sf)
+    val spec = graft.corpus.CorpusGen.specFor(sf)
+    val media = Multimodal.fromCorpus(spark, graft.corpus.Corpus.ensure(spark, sf))
+    val all = media.union(Multimodal.perturbedAssets(media))
+    def run(r: Int) =
+      Multimodal.phashNearDup(all, maxHamming = 6, bandsPerKey = r)
+        .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2).toLong)).toSet
+    for (r <- Seq(2, 3)) {
+      val want = graft.oracle.OpsOracle.phashPairs(spec, flips = 2, mod = 7,
+        maxHamming = 6, bandsPerKey = r).toSet
+      run(r) shouldBe want
+      // no bucket overflows at gate scale under either layout, so every
+      // variant reports exactly the classic r=1 pair set
+      want shouldBe graft.oracle.OpsOracle.phashPairs(spec, flips = 2, mod = 7,
+        maxHamming = 6).toSet
+    }
+  }
+
+  test("phash multi-index banding keeps recall where classic bands hot-drop it") {
+    // 20k pseudo-random assets: every 9-bit r=1 bucket holds ~39 assets, so
+    // a maxBucket=10 cap hot-drops ALL classic buckets and the planted
+    // near-dup pair silently vanishes — the corpus-scale failure mode. The
+    // 21-bit joint keys of r=3 stay near-empty and keep exact recall.
+    def content(seed: Int): Array[Byte] = {
+      val b = new Array[Byte](256); new scala.util.Random(seed).nextBytes(b); b
+    }
+    val base = content(999999)
+    val edited = base.clone(); edited(0) = (edited(0) + 1).toByte; edited(31) = (edited(31) + 1).toByte
+    java.lang.Long.bitCount(
+      Multimodal.phash64(base) ^ Multimodal.phash64(edited)) should be <= 6
+    def rec(doc: String, ref: String, c: Array[Byte]) =
+      Multimodal.MediaRecord(doc, ref, "image/png", c, 0, 0)
+    val crowd = (0 until 20000).map(i => rec(s"d$i", s"r$i", content(i)))
+    val assets = spark.createDataset(
+      crowd :+ rec("dA", "zA", base) :+ rec("dB", "zB", edited))
+    def pairs(r: Int) =
+      Multimodal.phashNearDup(assets, maxHamming = 6, maxBucket = 10, bandsPerKey = r)
+        .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    pairs(1) should not contain (("zA", "zB"))
+    pairs(3) should contain (("zA", "zB"))
+  }
+
   test("phash64: integer-exact, edit-local, order-of-magnitude separation") {
     val rng = new scala.util.Random(11)
     val base = Array.fill(512)(rng.nextInt(256).toByte)
@@ -2308,6 +2352,43 @@ class OpsSpec extends AnyFunSuite with Matchers {
         Seq(0L -> "a a", 1L -> "a a a", 2L -> "zz", 3L -> "a a a b a a a"))
       .as[(Long, Long, Long, Long)].collect().toSet
     got shouldBe Set((0L, 1L, 3L, 1L), (1L, 1L, 1L, 1L))
+  }
+
+  test("windowSearch == sliding-window brute force on the gate corpus") {
+    val w = 8
+    val local = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq
+    val expected = (for {
+      (q, probe) <- Retrieval.GateQueries
+      pt = probe.trim.split("\\s+").toSeq.distinct
+      (id, text) <- local
+      toks = if (text.trim.isEmpty) Seq.empty[String]
+             else text.trim.split("[ \\t\\n\\x0B\\f\\r]+", -1).toSeq
+      starts = toks.indices.filter { s =>
+        val win = toks.slice(s, s + w)
+        pt.forall(win.contains)
+      }
+      if starts.nonEmpty
+    } yield (q, id, starts.length.toLong, starts.min.toLong + 1)).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.windowSearch(df, Retrieval.GateQueries, window = w)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val got = run(docs)
+    got shouldBe expected
+    expected should not be empty
+    run(docs.repartition(5)) shouldBe expected
+  }
+
+  test("windowSearch: span boundary is exact and probe-term repeats collapse") {
+    // "x a y": span 3 fits window 3 (start 1); "x a a y": span 4 does not
+    val df = Seq((1L, "x a y"), (2L, "x a a y"), (3L, "y x")).toDF("doc_id", "text")
+    val got = Retrieval.windowSearch(df, Seq(0L -> "x y", 1L -> "x x y"), window = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 3: order-free — "y x" matches at starts 1 (and nothing else);
+    // probe 1 repeats "x" but the distinct-terms contract makes it probe 0
+    got shouldBe Set(
+      (0L, 1L, 1L, 1L), (0L, 3L, 1L, 1L),
+      (1L, 1L, 1L, 1L), (1L, 3L, 1L, 1L))
   }
 
   test("tokenEntropy == sequential oracle, parallelism-invariant") {
