@@ -1037,6 +1037,12 @@ object SparkEntry {
     // gate scale, so distinct-set sizes agree) incl. the df-cap prefilter
     "q_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(docsTable(s, dir), n = 3, minContainPm = 150)),
+    // the containment pairs CONSUMED as a curation decision: docs quoted
+    // >= 90% inside a larger host drop (smaller side of each pair; greedy
+    // per-pair, so A contained-in B contained-in C keeps only C); every doc
+    // stays visible with its verdict and lowest-id dominator
+    "q_containment_keeper" -> ((s, dir) =>
+      Dedup.containmentKeeper(docsTable(s, dir), n = 3, minContainPm = 900)),
     "q_minhash_near_dup" -> ((s, dir) => {
       opsGolden(s, dir)
       Dedup.minHashNearDup(docsTable(s, dir), n = 3, minJaccardPm = 200)
@@ -2599,6 +2605,37 @@ object SparkEntry {
         "FROM surv s JOIN ex ON s.a = ex.a AND s.b = ex.b " +
         "JOIN c ca ON s.a = ca.doc_id JOIN c cb ON s.b = cb.doc_id " +
         "WHERE (ex.n_inter * 1000) // least(ca.n_sh, cb.n_sh) >= 150"),
+    // keeper restatement: same shingle/df-cap/verify pipeline at 900‰, then
+    // the smaller-side drop rule and the lowest-dominator rollup in SQL
+    "q_containment_keeper" ->
+      ("WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, ng FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), " +
+        "i -> array_to_string(toks[i:i+2], ' '))) AS ng FROM t WHERE len(toks) >= 3)), " +
+        "c AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1), " +
+        "d AS (SELECT ng, count(*) AS df FROM g GROUP BY 1), " +
+        "pc AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i_c " +
+        "FROM g ga JOIN g gb ON ga.ng = gb.ng AND ga.doc_id < gb.doc_id " +
+        "JOIN d ON ga.ng = d.ng WHERE d.df BETWEEN 2 AND 1000 GROUP BY 1, 2), " +
+        "surv AS (SELECT pc.a, pc.b FROM pc " +
+        "JOIN c ca ON pc.a = ca.doc_id JOIN c cb ON pc.b = cb.doc_id " +
+        "WHERE pc.i_c * 1000 >= 900 * least(ca.n_sh, cb.n_sh)), " +
+        "ex AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_inter " +
+        "FROM g ga JOIN g gb ON ga.ng = gb.ng AND ga.doc_id < gb.doc_id GROUP BY 1, 2), " +
+        "pr AS (SELECT s.a, s.b, ca.n_sh AS n_a, cb.n_sh AS n_b " +
+        "FROM surv s JOIN ex ON s.a = ex.a AND s.b = ex.b " +
+        "JOIN c ca ON s.a = ca.doc_id JOIN c cb ON s.b = cb.doc_id " +
+        "WHERE (ex.n_inter * 1000) // least(ca.n_sh, cb.n_sh) >= 900), " +
+        "dr AS (SELECT CASE WHEN n_a < n_b THEN a WHEN n_b < n_a THEN b " +
+        "ELSE greatest(a, b) END AS doc_id, " +
+        "CASE WHEN n_a < n_b THEN b WHEN n_b < n_a THEN a " +
+        "ELSE least(a, b) END AS dominator FROM pr), " +
+        "mn AS (SELECT doc_id, min(dominator) AS subsumed_by FROM dr GROUP BY 1) " +
+        "SELECT CAST(d0.doc_id AS BIGINT) AS doc_id, " +
+        "CAST(CASE WHEN mn.subsumed_by IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_keep, " +
+        "CAST(coalesce(mn.subsumed_by, -1) AS BIGINT) AS subsumed_by " +
+        "FROM documents d0 LEFT JOIN mn ON CAST(d0.doc_id AS BIGINT) = mn.doc_id"),
     "q_minhash_near_dup" ->
       "SELECT a, b, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/minhash/*.parquet')",
     "q_dup_source_matrix" ->

@@ -267,6 +267,44 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** Subsumption keeper — [[containmentPairs]] CONSUMED as a curation
+    * decision: any doc whose shingle set is ≥ `minContainPm`‰ contained in
+    * a LARGER doc's set is dropped (the quoted copy adds no novel text to
+    * the training mix; the host keeps the context). Within a pair the
+    * smaller side (fewer distinct shingles; tie → higher doc_id) is the
+    * subsumed one. The rule is per-pair greedy — a doc subsumed by ANY
+    * other doc drops, even if that dominator itself drops (A⊂B⊂C keeps
+    * only C) — which is deterministic without any cluster resolution
+    * round. Output, one row per input doc: (doc_id, is_keep,
+    * subsumed_by) with subsumed_by = the lowest-id dominator (−1 for
+    * keepers — no NULLs, so dumps hash stably).
+    *
+    * Scale shape: the pair table is the dedup stage's (small) output; the
+    * drop rule is row arithmetic on it, and the (doc_id → min dominator)
+    * rollup joins the corpus spine by doc_id — AQE broadcasts it in the
+    * normal sparse-duplication regime. The corpus itself never reshuffles.
+    */
+  def containmentKeeper(docs: DataFrame, n: Int = 3, minContainPm: Int = 900,
+                        maxDf: Int = 1000,
+                        reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val pairs = containmentPairs(docs, n, minContainPm, maxDf,
+      reliableCheckpointDir)
+    val drops = pairs.select(
+        when(col("n_a") < col("n_b"), col("a"))
+          .when(col("n_b") < col("n_a"), col("b"))
+          .otherwise(greatest(col("a"), col("b"))).as("doc_id"),
+        when(col("n_a") < col("n_b"), col("b"))
+          .when(col("n_b") < col("n_a"), col("a"))
+          .otherwise(least(col("a"), col("b"))).as("dominator"))
+      .groupBy("doc_id")
+      .agg(min(col("dominator")).as("subsumed_by"))
+    docs.select(idLong(col("doc_id"), "doc_id").as("doc_id"))
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("subsumed_by").isNull.cast("long").as("is_keep"),
+        coalesce(col("subsumed_by"), lit(-1L)).as("subsumed_by"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Deterministic universal-hash family over a 64-bit shingle hash:

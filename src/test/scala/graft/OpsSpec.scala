@@ -2322,6 +2322,52 @@ class OpsSpec extends AnyFunSuite with Matchers {
     Dedup.ngramJaccardPairs(df, n = 3, minJaccardPm = 200).count() shouldBe 0L
   }
 
+  test("containmentKeeper == brute-force drop rule, parallelism-invariant") {
+    val sets = Dedup.shingles(docs, 3).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rows) => d -> rows.map(_._2).toSet }
+    val spine = docs.select($"doc_id".cast("long")).as[Long].collect().toSeq
+    val ids = sets.keys.toSeq.sorted
+    val dominators = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (x, y) = (ids(i), ids(j))
+      inter = (sets(x) intersect sets(y)).size
+      if inter.toLong * 1000 >= 900L * math.min(sets(x).size, sets(y).size)
+    } {
+      val (drop, dom) =
+        if (sets(x).size < sets(y).size) (x, y)
+        else if (sets(y).size < sets(x).size) (y, x)
+        else (math.max(x, y), math.min(x, y))
+      dominators(drop) = math.min(dominators.getOrElse(drop, Long.MaxValue), dom)
+    }
+    val expected = spine.map(d => (d,
+      if (dominators.contains(d)) 0L else 1L,
+      dominators.getOrElse(d, -1L))).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentKeeper(df, n = 3, minContainPm = 900)
+        .as[(Long, Long, Long)].collect().toSet
+    val got = run(docs)
+    got shouldBe expected
+    expected.count(_._2 == 0L) should be > 0 // the gate plants drop docs
+    run(docs.repartition(5)) shouldBe expected
+  }
+
+  test("containmentKeeper: transitive chain keeps only the outermost host; ties drop the higher id") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val mid = s"${(1 to 40).map(i => s"m$i").mkString(" ")} $quote"
+    val host = s"${(1 to 120).map(i => s"f$i").mkString(" ")} $mid"
+    val df = Seq((1L, quote), (2L, mid), (3L, host), (4L, "z1 z2 z3 z4"),
+      (5L, "t1 t2 t3 t4 t5"), (6L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val got = Dedup.containmentKeeper(df, n = 3, minContainPm = 900)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 ⊂ doc 2 ⊂ doc 3: only the outermost keeps; doc 1's lowest
+    // dominator is 2 even though 2 itself drops (greedy per-pair rule);
+    // identical twins 5/6 tie on size — the higher id drops
+    got shouldBe Set(
+      (1L, 0L, 2L), (2L, 0L, 3L), (3L, 1L, -1L), (4L, 1L, -1L),
+      (5L, 1L, -1L), (6L, 0L, 5L))
+  }
+
   test("phraseSearch == sliding-window brute force on the gate corpus") {
     val local = docs.select($"doc_id".cast("long"), $"text")
       .as[(Long, String)].collect().toSeq
