@@ -1047,6 +1047,14 @@ object SparkEntry {
       opsGolden(s, dir)
       Dedup.minHashNearDup(docsTable(s, dir), n = 3, minJaccardPm = 200)
     }),
+    // LSH-recall eval: the minhash tier scored against the exhaustive
+    // n-gram truth at the same threshold — precision pinned at 1000‰ by
+    // the verify step (found ⊆ truth), recall is what (k, bands) trades;
+    // the oracle recomputes the same confusion counts over the two goldens
+    "q_near_dup_eval" -> ((s, dir) => {
+      opsGolden(s, dir)
+      Dedup.nearDupEval(docsTable(s, dir), n = 3, minJaccardPm = 200)
+    }),
     // cross-source duplication matrix: where near-dups come from — the
     // curation diagnostic that finds mirror/scraper source pairs. The pair
     // set (small, the dedup stage's output) is explicitly broadcast into
@@ -2638,6 +2646,16 @@ object SparkEntry {
         "FROM documents d0 LEFT JOIN mn ON CAST(d0.doc_id AS BIGINT) = mn.doc_id"),
     "q_minhash_near_dup" ->
       "SELECT a, b, jaccard_pm FROM read_parquet('/root/repo/data/golden_ops/sf0.01/minhash/*.parquet')",
+    "q_near_dup_eval" ->
+      ("WITH t AS (SELECT a, b FROM read_parquet('/root/repo/data/golden_ops/sf0.01/ngram/*.parquet')), " +
+        "f AS (SELECT a, b FROM read_parquet('/root/repo/data/golden_ops/sf0.01/minhash/*.parquet')), " +
+        "n AS (SELECT (SELECT count(*) FROM t) AS n_true, " +
+        "(SELECT count(*) FROM f) AS n_found, " +
+        "(SELECT count(*) FROM t JOIN f USING (a, b)) AS n_correct) " +
+        "SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_found AS BIGINT) AS n_found, " +
+        "CAST(n_correct AS BIGINT) AS n_correct, " +
+        "CAST((n_correct * 1000) // greatest(n_found, 1) AS BIGINT) AS precision_pm, " +
+        "CAST((n_correct * 1000) // greatest(n_true, 1) AS BIGINT) AS recall_pm FROM n"),
     "q_dup_source_matrix" ->
       ("WITH p AS (SELECT a, b FROM read_parquet('/root/repo/data/golden_ops/sf0.01/minhash/*.parquet')), " +
         "j AS (SELECT least(da.source, db.source) AS source_lo, greatest(da.source, db.source) AS source_hi " +

@@ -267,6 +267,40 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** LSH-recall evaluation — the "measure, don't guess" harness for the
+    * approximate dedup tier: [[minHashNearDup]]'s pair set scored against
+    * the exhaustive [[ngramJaccardPairs]] truth at the SAME threshold.
+    * One row: (n_true, n_found, n_correct, precision_pm, recall_pm).
+    * Because the minhash path exact-verifies its candidates, found ⊆ truth
+    * and precision is 1000‰ by construction — reporting it is the live
+    * assertion that the verify step really is in the pipeline; recall is
+    * the metric the (k, bands) dial actually trades, and the number a
+    * curation run quotes before trusting the cheap tier at corpus scale.
+    *
+    * Scale shape: both inputs are the dedup stage's (small) pair outputs;
+    * the eval is one broadcast-friendly join + a single-row aggregate. At
+    * corpus scale the truth side is the capped exhaustive op on a SAMPLE
+    * (run it on one shard); the eval shape is unchanged.
+    */
+  def nearDupEval(docs: DataFrame, n: Int = 3, minJaccardPm: Int = 200,
+                  k: Int = 64, bands: Int = 16,
+                  reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val truth = ngramJaccardPairs(docs, n, minJaccardPm,
+      reliableCheckpointDir = reliableCheckpointDir).select("a", "b")
+    val found = minHashNearDup(docs, n, k, bands, minJaccardPm,
+      reliableCheckpointDir = reliableCheckpointDir).select("a", "b")
+    val nTrue = truth.count()
+    val nFound = found.count()
+    val nCorrect = truth.join(found, Seq("a", "b")).count()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((nTrue, nFound, nCorrect)).toDF("n_true", "n_found", "n_correct")
+      .withColumn("precision_pm",
+        expr("(n_correct * 1000L) div greatest(n_found, 1L)"))
+      .withColumn("recall_pm",
+        expr("(n_correct * 1000L) div greatest(n_true, 1L)"))
+  }
+
   /** Subsumption keeper — [[containmentPairs]] CONSUMED as a curation
     * decision: any doc whose shingle set is ≥ `minContainPm`‰ contained in
     * a LARGER doc's set is dropped (the quoted copy adds no novel text to

@@ -2322,6 +2322,24 @@ class OpsSpec extends AnyFunSuite with Matchers {
     Dedup.ngramJaccardPairs(df, n = 3, minJaccardPm = 200).count() shouldBe 0L
   }
 
+  test("nearDupEval scores the LSH tier against the exhaustive truth") {
+    val truth = Dedup.ngramJaccardPairs(docs, 3, 200)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minHashNearDup(docs, n = 3, minJaccardPm = 200)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val row = Dedup.nearDupEval(docs, n = 3, minJaccardPm = 200)
+      .as[(Long, Long, Long, Long, Long)].head()
+    row._1 shouldBe truth.size.toLong
+    row._2 shouldBe found.size.toLong
+    row._3 shouldBe (truth intersect found).size.toLong
+    // the minhash path exact-verifies candidates: found ⊆ truth, so
+    // precision is pinned at 1000‰ and recall is the live metric
+    found.subsetOf(truth) shouldBe true
+    row._4 shouldBe 1000L
+    row._5 shouldBe (truth intersect found).size.toLong * 1000 / truth.size
+    truth should not be empty
+  }
+
   test("containmentKeeper == brute-force drop rule, parallelism-invariant") {
     val sets = Dedup.shingles(docs, 3).as[(Long, Long)].collect()
       .groupBy(_._1).map { case (d, rows) => d -> rows.map(_._2).toSet }
